@@ -1,13 +1,347 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.config.{Rule, SyncConfig}
+import graft.functions.TypeNorm
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
+  * implemented operator from SURVEY.md §2. Aggregates over doubles are cast
+  * to DECIMAL before summing so results are exact and order-independent
+  * (a float SUM would hash-differently between Spark and DuckDB).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its TIMESTAMP(NANOS) `ts` (read as long via
+    * spark.sql.legacy.parquet.nanosAsLong) restored to a timestamp. The
+    * data is µs-granular, so integer-dividing the ns count by 1000 is
+    * lossless; `div` (not `/`) keeps the math in exact long arithmetic.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full CDC MERGE — snapshot + I/U/D stream → last-write-wins state. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    CdcMerge.applyChanges(
+      target = ChangeFeed.orders(spark, dir),
+      changes = ChangeFeed.updates(spark, dir)
+        .unionByName(ChangeFeed.deletes(spark, dir)),
+      keyCols = ChangeFeed.keyCols)
+  }
+
+  // ---------------------------------------------------------------- CDC core
+
+  private def snapshotLoad(s: SparkSession, dir: String): DataFrame = {
+    // S1+P1+P2: snapshot scan through a rule (filter + rename).
+    val rule = Rule("tpch", "customer", "sink", "customer_s",
+      filter = Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+      fieldMapping = Map("c_name" -> "cust_name", "c_mktsegment" -> "segment"),
+      pkColumns = Seq("c_custkey"))
+    Projection(rule)(t(s, dir, "customer"))
+  }
+
+  private def cdcInsertOnly(s: SparkSession, dir: String): DataFrame =
+    // S6+S9: insert-only posture — U/D dropped, inserts appended.
+    CdcMerge.applyChanges(
+      target = ChangeFeed.orders(s, dir).limit(0),
+      changes = ChangeFeed.full(s, dir),
+      keyCols = ChangeFeed.keyCols,
+      ignoreUpdates = true, ignoreDeletes = true)
+
+  private def cdcUpsert(s: SparkSession, dir: String): DataFrame =
+    // S7+S8+A1: MERGE updates + deletes into the snapshot.
+    CdcMerge.applyChanges(
+      target = ChangeFeed.orders(s, dir),
+      changes = ChangeFeed.updates(s, dir)
+        .unionByName(ChangeFeed.deletes(s, dir)),
+      keyCols = ChangeFeed.keyCols)
+
+  private def cdcIgnoreDelete(s: SparkSession, dir: String): DataFrame =
+    CdcMerge.applyChanges(
+      target = ChangeFeed.orders(s, dir),
+      changes = ChangeFeed.updates(s, dir)
+        .unionByName(ChangeFeed.deletes(s, dir)),
+      keyCols = ChangeFeed.keyCols,
+      ignoreDeletes = true)
+
+  private def cdcLww(s: SparkSession, dir: String): DataFrame =
+    // A1: ReplacingMergeTree-FINAL equivalence from an I/U/D stream.
+    CdcMerge.lastWriteWins(ChangeFeed.full(s, dir), ChangeFeed.keyCols)
+
+  private def cdcChangedCols(s: SparkSession, dir: String): DataFrame =
+    // P4: sparse update projection (before != after column set).
+    CdcMerge.changedColumns(ChangeFeed.updatePairs(s, dir),
+      ChangeFeed.keyCols,
+      ChangeFeed.payloadCols.filterNot(ChangeFeed.keyCols.contains))
+
+  private def cdcCounters(s: SparkSession, dir: String): DataFrame =
+    // A3: I/U/D running counters.
+    CdcMerge.opCounts(ChangeFeed.full(s, dir))
+
+  private def routeFilter(s: SparkSession, dir: String): DataFrame = {
+    // P6+S3: multi-table stream routed by rule key; unruled tables dropped.
+    val cfg = SyncConfig(rules = Seq(
+      Rule("tpch", "nation", "sink", "nation",
+        filter = Seq("n_nationkey", "n_name"),
+        fieldMapping = Map("n_nationkey" -> "entity_key",
+          "n_name" -> "entity_name")),
+      Rule("tpch", "region", "sink", "region",
+        filter = Seq("r_regionkey", "r_name"),
+        fieldMapping = Map("r_regionkey" -> "entity_key",
+          "r_name" -> "entity_name"))))
+    val tables = Map(
+      ("tpch", "nation") -> t(s, dir, "nation"),
+      ("tpch", "region") -> t(s, dir, "region"),
+      ("tpch", "supplier") -> t(s, dir, "supplier")) // no rule -> dropped
+    Router.route(tables, cfg)
+      .map { case ((_, table), df) =>
+        df.select(lit(table).as("src_table"),
+          col("entity_key").cast("long").as("entity_key"),
+          col("entity_name"))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  // ------------------------------------------------- type normalization (P5)
+
+  private def typeEnum(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"),
+      TypeNorm.enumLabel(col("o_orderkey") % 5, Seq("e1", "e2", "e3"))
+        .as("tenum"))
+
+  private def typeSet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"),
+      TypeNorm.setLabels(col("o_custkey") % 8, Seq("a", "b", "c"))
+        .as("tset"))
+
+  private def typeBit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"),
+      TypeNorm.bitToLong(
+        when(col("o_orderkey") % 3 === 0, lit("")).otherwise(lit("\u0001")))
+        .as("tbit"))
+
+  private def typeZeroDate(s: SparkSession, dir: String): DataFrame =
+    // cast to string so the comparator sees identical text on both sides
+    // (pandas renders Spark's date32 and DuckDB's DATE differently)
+    t(s, dir, "orders").select(col("o_orderkey"),
+      TypeNorm.mysqlDate(
+        when(col("o_orderkey") % 13 === 0, lit("0000-00-00"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .cast("string").as("tdate"))
+
+  private def typeList(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"),
+      TypeNorm.csvList(
+        concat(col("o_orderstatus"), lit(","), col("o_orderpriority")))
+        .as("mylist"))
+
+  private def typeUnixDate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"),
+      TypeNorm.unixSecondsToTs(col("o_orderkey") % 100000 + 1500000000L)
+        .as("mydate"))
+
+  private def typeJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("event_id"),
+      TypeNorm.jsonGet(col("props"), "$.k").cast("long").as("k"))
+
+  // ----------------------------------------------------- analytics surface
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        // sums stay exact in decimal; the final cast to double gives both
+        // engines the same value-to-text rendering in the comparator
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_base"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  private def q3Join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  private def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        col("rk"))
+  }
+
+  private def eventWindows(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+
+  // --------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snapshot_load" -> (snapshotLoad _),
+    "cdc_insert_only" -> (cdcInsertOnly _),
+    "cdc_upsert" -> (cdcUpsert _),
+    "cdc_ignore_delete" -> (cdcIgnoreDelete _),
+    "cdc_lww" -> (cdcLww _),
+    "cdc_changed_cols" -> (cdcChangedCols _),
+    "cdc_counters" -> (cdcCounters _),
+    "route_filter" -> (routeFilter _),
+    "type_enum" -> (typeEnum _),
+    "type_set" -> (typeSet _),
+    "type_bit" -> (typeBit _),
+    "type_zero_date" -> (typeZeroDate _),
+    "type_list" -> (typeList _),
+    "type_unixdate" -> (typeUnixDate _),
+    "type_json" -> (typeJson _),
+    "q1_agg" -> (q1Agg _),
+    "q3_join" -> (q3Join _),
+    "topk_per_group" -> (topkPerGroup _),
+    "event_windows" -> (eventWindows _))
+
+  private val ordersPayload =
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+  def oracleSql: Map[String, String] = Map(
+    "snapshot_load" ->
+      """SELECT c_custkey, c_name AS cust_name, c_acctbal,
+        | c_mktsegment AS segment FROM customer""".stripMargin,
+    "cdc_insert_only" ->
+      s"SELECT $ordersPayload FROM orders",
+    "cdc_upsert" ->
+      s"""SELECT o_orderkey, o_custkey,
+         | CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 2 = 1 THEN 'U'
+         |      ELSE o_orderstatus END AS o_orderstatus,
+         | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+         |      ELSE o_totalprice END AS o_totalprice,
+         | o_orderdate, o_orderpriority
+         |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin,
+    "cdc_ignore_delete" ->
+      s"""SELECT o_orderkey, o_custkey,
+         | CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 2 = 1 THEN 'U'
+         |      ELSE o_orderstatus END AS o_orderstatus,
+         | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+         |      ELSE o_totalprice END AS o_totalprice,
+         | o_orderdate, o_orderpriority
+         |FROM orders""".stripMargin,
+    "cdc_lww" ->
+      s"""WITH changes AS (
+         |  SELECT o_orderkey*10 AS _seq, 'I' AS _op, $ordersPayload
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey*10+1, 'U', o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey % 2 = 1 THEN 'U' ELSE o_orderstatus END,
+         |    o_totalprice + 1000.0, o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey*10+2, 'D', o_orderkey, NULL, NULL, NULL, NULL,
+         |    NULL
+         |  FROM orders WHERE o_orderkey % 11 = 0
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY o_orderkey ORDER BY _seq DESC) AS rn
+         |  FROM changes
+         |)
+         |SELECT $ordersPayload FROM ranked WHERE rn = 1 AND _op <> 'D'"""
+        .stripMargin,
+    "cdc_changed_cols" ->
+      """SELECT o_orderkey, concat_ws(',',
+        |  CASE WHEN o_orderkey % 2 = 1 THEN 'o_orderstatus' END,
+        |  'o_totalprice') AS changed_cols
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "cdc_counters" ->
+      """SELECT 'I' AS op, count(*) AS n FROM orders
+        |UNION ALL
+        |SELECT 'U', count(*) FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT 'D', count(*) FROM orders WHERE o_orderkey % 11 = 0"""
+        .stripMargin,
+    "route_filter" ->
+      """SELECT 'nation' AS src_table, CAST(n_nationkey AS BIGINT)
+        |  AS entity_key, n_name AS entity_name FROM nation
+        |UNION ALL
+        |SELECT 'region', CAST(r_regionkey AS BIGINT), r_name FROM region"""
+        .stripMargin,
+    "type_enum" ->
+      """SELECT o_orderkey, CASE o_orderkey % 5
+        |  WHEN 1 THEN 'e1' WHEN 2 THEN 'e2' WHEN 3 THEN 'e3'
+        |  ELSE '' END AS tenum FROM orders""".stripMargin,
+    "type_set" ->
+      """SELECT o_orderkey, concat_ws(',',
+        |  CASE WHEN (o_custkey % 8) & 1 <> 0 THEN 'a' END,
+        |  CASE WHEN (o_custkey % 8) & 2 <> 0 THEN 'b' END,
+        |  CASE WHEN (o_custkey % 8) & 4 <> 0 THEN 'c' END) AS tset
+        |FROM orders""".stripMargin,
+    "type_bit" ->
+      """SELECT o_orderkey,
+        | CAST(CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+        |   AS tbit FROM orders""".stripMargin,
+    "type_zero_date" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |      ELSE strftime(o_orderdate, '%Y-%m-%d') END AS tdate
+        |FROM orders""".stripMargin,
+    "type_list" ->
+      """SELECT o_orderkey,
+        | string_split(o_orderstatus || ',' || o_orderpriority, ',')
+        |   AS mylist FROM orders""".stripMargin,
+    "type_unixdate" ->
+      """SELECT o_orderkey,
+        | epoch_ms((o_orderkey % 100000 + 1500000000) * 1000) AS mydate
+        |FROM orders""".stripMargin,
+    "type_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_base,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT o_orderkey,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "topk_per_group" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (
+        |    PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) WHERE rk <= 3""".stripMargin,
+    "event_windows" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        | count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.model.ChangeEvent
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-stream application: the engine's MERGE.
+  *
+  * The reference applies changes row-at-a-time against ClickHouse — batch
+  * `INSERT` for inserts (reference: clickhouse/client.go:129-230), one
+  * `ALTER TABLE … UPDATE/DELETE` mutation per updated/deleted row
+  * (reference: clickhouse/client.go:246-343) — and leans on the documented
+  * `ReplacingMergeTree ORDER BY (pk)` sink engine for last-write-wins
+  * collapse of replayed/duplicate keys (reference: README.md:44-56, 161).
+  *
+  * Here the same observable semantics become a set-oriented MERGE per
+  * micro-batch: collapse the batch to the latest event per key (one shuffle
+  * on the key), anti-join the target against the touched keys, union the
+  * surviving after-images. Deterministic under any partitioning because
+  * ordering rides in the explicit `_seq` column (the reference got ordering
+  * from its single-threaded sync loop, river/river.go:43-52).
+  *
+  * Scale notes: the window collapse and the anti-join shuffle on the same
+  * key columns, so AQE reuses the exchange; in the streaming path the
+  * change side of the anti-join is a micro-batch and is broadcast.
+  */
+object CdcMerge {
+  import ChangeEvent.{OpCol, SeqCol, OpDelete, OpInsert, OpUpdate}
+
+  /** Collapse a change set to the latest event per key by `_seq` —
+    * the ReplacingMergeTree-FINAL equivalence (SURVEY §2.4 A1). */
+  def latestByKey(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+    changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Drop change ops per the mutation-ignore flags (reference `-update` /
+    * `-delete` CLI flags, default true = drop; clickhouse/client.go:240-243,
+    * 252-254, 273-275 — insert-only is the reference's default posture). */
+  def filterOps(changes: DataFrame, ignoreUpdates: Boolean,
+      ignoreDeletes: Boolean): DataFrame = {
+    var out = changes
+    if (ignoreUpdates) out = out.filter(col(OpCol) =!= OpUpdate)
+    if (ignoreDeletes) out = out.filter(col(OpCol) =!= OpDelete)
+    out
+  }
+
+  /** MERGE a change batch into a target snapshot.
+    *
+    * @param changes target's columns + `_op` ("I"|"U"|"D") + `_seq` (long)
+    * @param broadcastChanges hint the change side for broadcast — right for
+    *        streaming micro-batches (small change set vs big target); leave
+    *        false for batch backfills and let AQE pick.
+    */
+  def applyChanges(
+      target: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      ignoreUpdates: Boolean = false,
+      ignoreDeletes: Boolean = false,
+      broadcastChanges: Boolean = false): DataFrame = {
+    val payloadCols = target.columns.toSeq
+    val effective = filterOps(changes, ignoreUpdates, ignoreDeletes)
+    val latest = latestByKey(effective, keyCols)
+    val latestHinted = if (broadcastChanges) broadcast(latest) else latest
+    val survivors = target.join(
+      latestHinted.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val upserts = latest
+      .filter(col(OpCol) =!= OpDelete)
+      .select(payloadCols.map(col): _*)
+    survivors.unionByName(upserts)
+  }
+
+  /** Final state of a change stream applied to an empty target:
+    * latest non-delete after-image per key. */
+  def lastWriteWins(changes: DataFrame, keyCols: Seq[String]): DataFrame =
+    latestByKey(changes, keyCols)
+      .filter(col(OpCol) =!= OpDelete)
+      .drop(OpCol, SeqCol)
+
+  /** Changed-column projection for update events (reference emits only the
+    * columns whose before/after values differ, via reflect.DeepEqual —
+    * river/sync.go:356-383). Input carries `before` / `after` structs with
+    * identical fields; output = key cols + `changed_cols` (comma-joined
+    * sorted names of columns that differ, null-safe comparison).
+    */
+  def changedColumns(updates: DataFrame, keyCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val flags = valueCols.sorted.map { c =>
+      when(not(col(s"before.$c") <=> col(s"after.$c")), lit(c))
+        .otherwise(lit(null: String))
+    }
+    updates.select(
+      keyCols.map(col) :+ concat_ws(",", flags: _*).as("changed_cols"): _*)
+  }
+
+  /** Running I/U/D counters (reference: atomic counters surfaced on /stat,
+    * river/status.go:19-21, river/sync.go:202-234). */
+  def opCounts(changes: DataFrame): DataFrame =
+    changes.groupBy(col(OpCol).as("op")).agg(count(lit(1)).as("n"))
+
+  val allOps: Seq[String] = Seq(OpInsert, OpUpdate, OpDelete)
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.config.Rule
+import graft.functions.TypeNorm
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule → declarative projection: column filter → rename → modifier cast.
+  *
+  * The reference applies these interpretively per row while building each
+  * request (filter reference: river/sync.go:339-341; rename
+  * river/sync.go:342-352; modifiers river/sync.go:428-455). Here the rule
+  * compiles ONCE into a `select` so Catalyst gets a static plan — column
+  * pruning reaches the parquet scan and every transform is codegen'd.
+  */
+object Projection {
+
+  /** Compile a rule into the list of projected columns. */
+  def columns(rule: Rule, sourceCols: Seq[String]): Seq[Column] =
+    sourceCols.filter(rule.passesFilter).map { src =>
+      val (sinkName, modifier) = rule.mappedField(src)
+      val base = col(src)
+      val transformed = modifier match {
+        case Some("list") => TypeNorm.csvList(base)
+        case Some("date") => TypeNorm.unixSecondsToTs(base)
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"unknown field modifier '$other' for column $src " +
+              "(reference supports: list, date)")
+        case None => base
+      }
+      transformed.as(sinkName)
+    }
+
+  /** Apply a rule's projection to a DataFrame. */
+  def apply(rule: Rule)(df: DataFrame): DataFrame =
+    df.select(columns(rule, df.columns.toSeq): _*)
+}
