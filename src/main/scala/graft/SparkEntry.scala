@@ -1,7 +1,7 @@
 package graft
 
 import graft.config.{Rule, SyncConfig}
-import graft.functions.TypeNorm
+import graft.functions.{TextFunctions, TypeNorm}
 import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -196,6 +196,80 @@ object SparkEntry {
         sum(col("value").cast("decimal(18,2)")).cast("double")
           .as("sum_value"))
 
+  // ------------------------------------------- text analysis (SURVEY §7.9)
+
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_ws"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.rollingHash(col("text")).as("rhash"))
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+      TextFunctions.uniqueTokenRatio(col("text")).as("uniq_ratio"),
+      TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+
+  private def textLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+
+  // ------------------------------------------------- dedup (SURVEY §7.9)
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    // a re-crawled corpus: every doc appears twice; exact dedup halves it
+    val docs = t(s, dir, "documents")
+    Dedup.exact(docs.unionByName(docs), "doc_id", "text")
+  }
+
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.8)
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.8)
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsBlocked(t(s, dir, "documents"), "doc_id", "text",
+      maxDist = 3)
+
+  private def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45)
+
+  // -------------------------------------- similarity search (SURVEY §7.9)
+
+  private def annTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    // approximate: no SQL oracle (driver records rows-only); recall vs
+    // brute force is asserted in SimilaritySpec
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+      bits = 8, probeDist = 1)
+  }
+
+  // ------------------------------------------- multimodal (SURVEY §7.9)
+
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(
+      Multimodal.attachPayload(t(s, dir, "documents")))
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        col("n_frames"), col("n_bytes"))
+
+  private def frameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.decodeMeta(Multimodal.attachPayload(
+        t(s, dir, "documents"))), step = 4)
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -217,7 +291,20 @@ object SparkEntry {
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "topk_per_group" -> (topkPerGroup _),
-    "event_windows" -> (eventWindows _))
+    "event_windows" -> (eventWindows _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangId _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram" -> (dedupNgram _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embed_cosine" -> (dedupEmbedCosine _),
+    "ann_topk" -> (annTopk _),
+    "ann_lsh" -> (annLsh _),
+    "multimodal_meta" -> (multimodalMeta _),
+    "frame_sample" -> (frameSample _))
 
   private val ordersPayload =
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
@@ -343,5 +430,185 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |   AS n_bpe
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        | list_reduce(
+        |   list_prepend(0::BIGINT, list_transform(
+        |     string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |   (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE len(list_filter(toks, t -> list_contains(
+         |        [$stopwordsSqlList], t))) / len(toks) END AS stop_ratio,
+         | CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE len(list_distinct(toks)) / len(toks) END AS uniq_ratio,
+         | CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |           / length(text) END AS alpha_ratio,
+         | (least(
+         |    (CASE WHEN length(trim(text)) = 0 THEN 0
+         |          ELSE len(string_split_regex(trim(text), '\\s+')) END)
+         |      / 200.0, 1.0)
+         |  + CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_distinct(toks)) / len(toks) END
+         |  + CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |              / length(text) END) / 3.0 AS quality
+         |FROM d""".stripMargin,
+    "text_langid" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+         |   ELSE len(list_filter(toks, t -> list_contains(
+         |     [$stopwordsSqlList], t))) / len(toks) END) >= 0.02
+         |   THEN 'en' ELSE 'und' END AS lang_pred
+         |FROM d""".stripMargin,
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM corpus
+        |GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"""
+        .stripMargin,
+    "dedup_ngram" ->
+      s"""$shingleCte
+         |, e AS (SELECT doc_id, unnest(s) AS g FROM sh)
+         |, common AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.a, p.b,
+         |  p.c / (len(sa.s) + len(sb.s) - p.c) AS jaccard
+         |FROM common p
+         |JOIN sh sa ON p.a = sa.doc_id
+         |JOIN sh sb ON p.b = sb.doc_id
+         |WHERE p.c / (len(sa.s) + len(sb.s) - p.c) >= 0.8""".stripMargin,
+    "dedup_minhash" ->
+      s"""$shingleCte
+         |, e AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0)
+         |, sig AS (
+         |  SELECT doc_id, i,
+         |    min(('0x' || substr(md5(i || ':' || g), 1, 15))::BIGINT) AS h
+         |  FROM e, range(16) t(i) GROUP BY 1, 2)
+         |, bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    string_agg(h, '_' ORDER BY i) AS key
+         |  FROM sig GROUP BY 1, 2)
+         |, cands AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT c.a, c.b,
+         |  len(list_intersect(sa.s, sb.s))
+         |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+         |    AS jaccard
+         |FROM cands c
+         |JOIN sh sa ON c.a = sa.doc_id
+         |JOIN sh sb ON c.b = sb.doc_id
+         |WHERE len(list_intersect(sa.s, sb.s))
+         |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+         |    >= 0.8""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |, h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+        |  FROM tok)
+        |, votes AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, range(60) r(j) GROUP BY 1, 2)
+        |, sig AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)
+        |      AS s
+        |  FROM votes GROUP BY 1)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  bit_count(xor(x.s, y.s)) AS dist
+        |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.s, y.s)) <= 3""".stripMargin,
+    "dedup_embed_cosine" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |  round(${cosineSql("x.v", "y.v")}, 4) AS sim
+         |FROM e x JOIN e y ON x.vec_id < y.vec_id
+         |WHERE round(${cosineSql("x.v", "y.v")}, 4) >= 0.45""".stripMargin,
+    "ann_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |, scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${cosineSql("q.v", "c.v")}, 4) AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, 'image/fake' AS mime,
+        | CAST(strlen(text) % 640 + 1 AS INT) AS width,
+        | CAST(strlen(text) % 480 + 1 AS INT) AS height,
+        | CAST(strlen(text) % 16 + 1 AS INT) AS n_frames,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    "frame_sample" ->
+      """SELECT doc_id,
+        | unnest(range(0, strlen(text) % 16 + 1, 4)) AS frame_idx
+        |FROM documents""".stripMargin)
+
+  /** DuckDB list of the language-ID stopwords, quoted. */
+  private def stopwordsSqlList: String =
+    TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Shared DuckDB CTE: per-doc distinct 3-gram shingles (mirrors
+    * TextFunctions.shingles(text, 3)). */
+  private val shingleCte: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents)
+      |, sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(
+      |           generate_series(1, len(toks) - 2),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END
+      |      AS s
+      |  FROM d)""".stripMargin
+
+  /** DuckDB cosine that replicates Similarity.cosine's exact fold order
+    * (sequential left-fold dot and norms, dot / (sqrt(na) * sqrt(nb))) so
+    * both engines produce bit-identical doubles. */
+  private def cosineSql(a: String, b: String): String = {
+    def fold(terms: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, $terms), (acc, x) -> acc + x)"
+    val dot = fold(s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])")
+    val na = s"sqrt(${fold(s"list_transform($a, x -> x * x)")})"
+    val nb = s"sqrt(${fold(s"list_transform($b, x -> x * x)")})"
+    s"($dot / ($na * $nb))"
+  }
 }

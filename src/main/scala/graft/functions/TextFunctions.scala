@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, built
+  * entirely from codegen'd Catalyst built-ins (no UDFs): tokenization,
+  * shingling, hashing, fingerprinting, language ID and quality scoring.
+  *
+  * The reference engine has no text surface (it is a row replicator); these
+  * are the engine-level extensions a 100 TB document pipeline needs. Every
+  * transform is a pure `Column => Column` so it fuses into whole-stage
+  * codegen and runs embarrassingly parallel — no shuffle, no state.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a document; empty/blank text → empty array
+    * (a bare `split` would yield `[""]`). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single other
+    * non-space chars each count as one token — the usual pre-tokenizer
+    * regex shape. ~chars/4 heuristics are worse; this is cheap and exact. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Distinct word n-gram shingles ("a b c" strings) over the token
+    * array; documents shorter than n tokens → empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*))))
+  }
+
+  /** 60-bit hash of a string: first 15 hex chars of md5, as a positive
+    * long. md5 (not Spark's xxhash64/murmur) so an external SQL engine can
+    * reproduce the value bit-for-bit — the correctness oracle depends on
+    * engine-portable hashing. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded 60-bit hash family: h_i(x) = hash60(i ++ ":" ++ x). */
+  def hash60Seeded(seed: Int, c: Column): Column =
+    hash60(concat(lit(s"$seed:"), c))
+
+  /** Content fingerprint: md5 of whitespace-normalized, lowercased text —
+    * the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Polynomial rolling hash over the characters (base 31, mod 1e9+7) —
+    * an order-sensitive fingerprint that, unlike md5, can be computed
+    * incrementally over a stream of chunks. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** English stopword list used by the language-ID heuristic and quality
+    * score. Deliberately tiny: the point is the ratio plumbing. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Fraction of tokens that are English stopwords (0.0 for empty docs). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(EnglishStopwords: _*)))
+    when(size(toks) === 0, lit(0.0)).otherwise(hits / size(toks))
+  }
+
+  /** N-gram-free language-ID heuristic: stopword-profile scoring. Real
+    * pipelines plug per-language char-n-gram profiles into the same shape;
+    * the classification contract (argmax profile score with an 'und'
+    * floor) is what matters here. */
+  def langId(text: Column): Column =
+    when(stopwordRatio(text) >= 0.02, lit("en")).otherwise(lit("und"))
+
+  /** Ratio of alphabetic chars to all chars (0.0 for empty). */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^A-Za-z]", "")) / length(text))
+
+  /** Ratio of distinct tokens to tokens — low values flag boilerplate /
+    * repetition (0.0 for empty). */
+  def uniqueTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)) / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: mean of three bounded signals —
+    * length (saturating at 200 tokens), lexical diversity, alpha ratio.
+    * The blend is illustrative; each signal is independently exposed. */
+  def qualityScore(text: Column): Column = {
+    val lenSignal = least(tokenCount(text) / lit(200.0), lit(1.0))
+    (lenSignal + uniqueTokenRatio(text) + alphaRatio(text)) / 3.0
+  }
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]] — the exact baseline: query × corpus join with a
+  *     codegen'd cosine expression, ranked per query. Correct at any k,
+  *     quadratic in corpus size. With a small query set the join is a
+  *     broadcast of the queries, so the corpus is scanned exactly once
+  *     and never shuffled — at 100 TB this is a map-only pass plus a
+  *     per-query top-k (partial top-k per partition, merged on the
+  *     driver-side reduce of the window/limit).
+  *   - [[lshTopK]] — the scale path: random-hyperplane LSH. Each vector
+  *     gets a `bits`-wide sign bucket; queries only meet corpus vectors
+  *     in the same bucket (one shuffle on bucket id, multi-probe over
+  *     nearby buckets for recall). Cost per query drops from O(corpus)
+  *     to O(bucket).
+  *
+  * Cosine is computed in double precision from sequential left-folds
+  * (`aggregate`) so the value is deterministic under any row order — the
+  * fold order is the array order, not the partition order.
+  */
+object Similarity {
+
+  /** Cosine similarity of two `array<float|double>` columns, in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(ad, x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(bd, x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query vector (self-matches excluded).
+    * Returns (query_id, neighbor_id, rank, sim) with sim rounded to
+    * `roundTo` decimals BEFORE ranking, id-tiebroken — so the ranking is
+    * stable across engines that sum floating point in different orders.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    * rounded cosine ≥ threshold. Exact quadratic form (the oracle shape);
+    * at scale, bucket with [[bucketId]] first and compare within buckets.
+    */
+  def cosinePairs(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    val a = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane j is
+    * derived from md5(j ++ "_" ++ d), uniform in [-1, 1). Driver-side
+    * constants — they compile into the plan as literals, so every
+    * executor (and every retry) sees identical planes. */
+  def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (j, d) =>
+      val digest = MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$d".getBytes("UTF-8"))
+      val v = java.lang.Long.parseLong(
+        digest.take(7).map(b => f"$b%02x").mkString, 16)
+      (v.toDouble / java.lang.Math.pow(16, 14)) * 2.0 - 1.0
+    }
+
+  /** Sign-bucket id of a vector under the given hyperplanes: bit j is the
+    * sign of <v, plane_j>. */
+  def bucketId(vec: Column, planes: Array[Array[Double]]): Column = {
+    val vd = vec.cast("array<double>")
+    planes.zipWithIndex.map { case (p, j) =>
+      val plane = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(vd, plane, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k via random-hyperplane LSH with multi-probe: a
+    * corpus vector is a candidate for a query if their buckets differ in
+    * at most `probeDist` bits. The candidate join runs on exploded
+    * (probe-bucket, id) keys — equi-join, one shuffle — and only
+    * candidates get the exact cosine. Recall rises with `probeDist` and
+    * falls with `bits`; (bits=8, probeDist=1) ≈ recall ~0.9 on uniform
+    * data while cutting comparisons ~an order of magnitude. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 8, probeDist: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, roundTo: Int = 4): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    // query side: explode every bucket within probeDist bit flips
+    val probes: Column => Column = b => {
+      val flips: Seq[Column] = lit(0L) +: (
+        if (probeDist >= 1) (0 until bits).map(j => shiftleft(lit(1L), j))
+        else Seq.empty)
+      array_distinct(array(flips.map(f =>
+        b.bitwiseXOR(f)): _*))
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      bucketId(col(vecCol), planes).as("qb"))
+      .select(col("query_id"), col("qv"),
+        explode(probes(col("qb"))).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      bucketId(col(vecCol), planes).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct() // a pair can collide in several probe buckets
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+}
