@@ -196,6 +196,22 @@ object SparkEntry {
         sum(col("value").cast("decimal(18,2)")).cast("double")
           .as("sum_value"))
 
+  /** ST1-ST7 end-to-end: the I/U/D feed written to a change-log dir as
+    * multiple files, replayed through the Structured Streaming path
+    * (maxFilesPerTrigger=1 → several micro-batches, checkpointed,
+    * tombstone state), final view read back. Oracle: identical to
+    * cdc_lww — the streaming path must agree with the batch LWW. */
+  private def cdcStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_stream_").toString
+    ChangeFeed.full(s, dir).repartition(4)
+      .write.mode("overwrite").parquet(s"$work/changes")
+    val schema = ChangeFeed.full(s, dir).schema
+    streaming.CdcStream.replayToCompletion(s, s"$work/changes", schema,
+      s"$work/target", s"$work/ckpt", ChangeFeed.keyCols,
+      maxFilesPerTrigger = Some(1))
+  }
+
   // ------------------------------------------- text analysis (SURVEY §7.9)
 
   private def textTokens(s: SparkSession, dir: String): DataFrame =
@@ -240,13 +256,15 @@ object SparkEntry {
       maxDist = 3)
 
   private def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45)
+    Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45,
+      native = true)
 
   // -------------------------------------- similarity search (SURVEY §7.9)
 
   private def annTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+      native = true)
   }
 
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
@@ -254,7 +272,7 @@ object SparkEntry {
     // brute force is asserted in SimilaritySpec
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-      bits = 8, probeDist = 1)
+      bits = 8, probeDist = 1, native = true)
   }
 
   // ------------------------------------------- multimodal (SURVEY §7.9)
@@ -280,6 +298,7 @@ object SparkEntry {
     "cdc_lww" -> (cdcLww _),
     "cdc_changed_cols" -> (cdcChangedCols _),
     "cdc_counters" -> (cdcCounters _),
+    "cdc_stream_replay" -> (cdcStreamReplay _),
     "route_filter" -> (routeFilter _),
     "type_enum" -> (typeEnum _),
     "type_set" -> (typeSet _),
@@ -306,6 +325,29 @@ object SparkEntry {
     "multimodal_meta" -> (multimodalMeta _),
     "frame_sample" -> (frameSample _))
 
+  /** Last-write-wins replay of the synthetic I/U/D feed — the oracle for
+    * both the batch (cdc_lww) and streaming (cdc_stream_replay) paths. */
+  private lazy val lwwOracleSql: String =
+    s"""WITH changes AS (
+       |  SELECT o_orderkey*10 AS _seq, 'I' AS _op, $ordersPayload
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey*10+1, 'U', o_orderkey, o_custkey,
+       |    CASE WHEN o_orderkey % 2 = 1 THEN 'U' ELSE o_orderstatus END,
+       |    o_totalprice + 1000.0, o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 7 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey*10+2, 'D', o_orderkey, NULL, NULL, NULL, NULL,
+       |    NULL
+       |  FROM orders WHERE o_orderkey % 11 = 0
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY o_orderkey ORDER BY _seq DESC) AS rn
+       |  FROM changes
+       |)
+       |SELECT $ordersPayload FROM ranked WHERE rn = 1 AND _op <> 'D'"""
+      .stripMargin
+
   private val ordersPayload =
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 
@@ -331,26 +373,8 @@ object SparkEntry {
          |      ELSE o_totalprice END AS o_totalprice,
          | o_orderdate, o_orderpriority
          |FROM orders""".stripMargin,
-    "cdc_lww" ->
-      s"""WITH changes AS (
-         |  SELECT o_orderkey*10 AS _seq, 'I' AS _op, $ordersPayload
-         |  FROM orders
-         |  UNION ALL
-         |  SELECT o_orderkey*10+1, 'U', o_orderkey, o_custkey,
-         |    CASE WHEN o_orderkey % 2 = 1 THEN 'U' ELSE o_orderstatus END,
-         |    o_totalprice + 1000.0, o_orderdate, o_orderpriority
-         |  FROM orders WHERE o_orderkey % 7 = 0
-         |  UNION ALL
-         |  SELECT o_orderkey*10+2, 'D', o_orderkey, NULL, NULL, NULL, NULL,
-         |    NULL
-         |  FROM orders WHERE o_orderkey % 11 = 0
-         |), ranked AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY o_orderkey ORDER BY _seq DESC) AS rn
-         |  FROM changes
-         |)
-         |SELECT $ordersPayload FROM ranked WHERE rn = 1 AND _op <> 'D'"""
-        .stripMargin,
+    "cdc_lww" -> lwwOracleSql,
+    "cdc_stream_replay" -> lwwOracleSql,
     "cdc_changed_cols" ->
       """SELECT o_orderkey, concat_ws(',',
         |  CASE WHEN o_orderkey % 2 = 1 THEN 'o_orderstatus' END,

@@ -41,6 +41,17 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Codegen'd native cosine ([[graft.functions.expr.CosineSimilarity]]):
+    * bit-identical to [[cosine]] but a single fused loop per row instead
+    * of interpreted higher-order lambdas — the scale path for the ANN
+    * inner loop. Requires [[graft.GraftExtensions]] on the session. */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("cosine_sim",
+      a.cast("array<double>"), b.cast("array<double>"))
+
+  private def cosineBy(native: Boolean)(a: Column, b: Column): Column =
+    if (native) cosineNative(a, b) else cosine(a, b)
+
   /** Exact top-k neighbors for each query vector (self-matches excluded).
     * Returns (query_id, neighbor_id, rank, sim) with sim rounded to
     * `roundTo` decimals BEFORE ranking, id-tiebroken — so the ranking is
@@ -48,12 +59,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4, native: Boolean = false): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), roundTo))
+      .withColumn("sim",
+        round(cosineBy(native)(col("qv"), col("cv")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored
@@ -68,11 +80,12 @@ object Similarity {
     */
   def cosinePairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4, native: Boolean = false): DataFrame = {
     val a = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
     val b = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
     a.join(b, col("a") < col("b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), roundTo))
+      .withColumn("sim",
+        round(cosineBy(native)(col("va"), col("vb")), roundTo))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))
   }
@@ -112,7 +125,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 8, probeDist: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64, roundTo: Int = 4): DataFrame = {
+      dim: Int = 64, roundTo: Int = 4, native: Boolean = false): DataFrame = {
     val planes = hyperplanes(bits, dim)
     // query side: explode every bucket within probeDist bit flips
     val probes: Column => Column = b => {
@@ -132,7 +145,8 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
       .distinct() // a pair can collide in several probe buckets
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), roundTo))
+      .withColumn("sim",
+        round(cosineBy(native)(col("qv"), col("cv")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored

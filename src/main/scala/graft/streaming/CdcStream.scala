@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.model.ChangeEvent
+import graft.operators.CdcMerge
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming CDC apply: a file-based change-log source micro-batched into
+  * a versioned parquet target via `foreachBatch` MERGE.
+  *
+  * Reference shape: binlog tail → buffered flush by size/time → bulk apply
+  * → checkpoint binlog position (reference: river/sync.go:116-178,
+  * river/master.go:53-83). Here each piece maps to first-class Structured
+  * Streaming machinery:
+  *
+  *   - binlog tail        → `readStream` file source over the change log
+  *                          (`maxFilesPerTrigger` = the bulk_size analog)
+  *   - flush ticker       → `Trigger.ProcessingTime` / `AvailableNow`
+  *   - position file      → `checkpointLocation` offset+commit log; resume
+  *                          is restart-with-same-checkpoint (ST7)
+  *   - ReplacingMergeTree → explicit latest-by-`_seq` state with delete
+  *                          tombstones — the ClickHouse
+  *                          `ReplacingMergeTree(ver, is_deleted)` engine the
+  *                          reference documents (README.md:56,161), made
+  *                          deterministic
+  *
+  * Ordering: the reference relies on single-threaded arrival order (ST2).
+  * A distributed engine cannot, so state keeps `(_op, _seq)` per key and
+  * every merge takes the max-`_seq` event — the result is identical for
+  * ANY partitioning or batch boundary of the same event set, including
+  * out-of-order file pickup and batch replay after a crash (ST3:
+  * exactly-once observable state from at-least-once delivery, because the
+  * per-batch output write is an idempotent overwrite of `v=<batchId>`).
+  *
+  * Scale: state grows by key count, not event count (one row per key).
+  * Tombstones persist so a late event can never resurrect a deleted key;
+  * production GC drops tombstones older than the source's max replay
+  * horizon (the analog of ClickHouse's `OPTIMIZE ... FINAL` collapse).
+  */
+object CdcStream {
+  import ChangeEvent.{OpCol, SeqCol, OpDelete}
+
+  /** Versioned state layout: `targetDir/v=<batchId>/` parquet per batch,
+    * highest complete version = current state. Parquet `_SUCCESS` markers
+    * gate completeness, so a batch killed mid-write is invisible. */
+  private def versions(spark: SparkSession, targetDir: String): Seq[Long] = {
+    val path = new Path(targetDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  /** Current merged state (payload + `_op` + `_seq`), empty if no batch
+    * has committed. `beforeBatch` bounds the version for replay: batch N
+    * re-merges on top of the state BEFORE N, so re-running N after a
+    * crash is idempotent. */
+  def currentState(spark: SparkSession, targetDir: String,
+      stateSchema: StructType,
+      beforeBatch: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, targetDir)
+    val eligible = beforeBatch.map(b => vs.filter(_ < b)).getOrElse(vs)
+    eligible.lastOption match {
+      case Some(v) => spark.read.schema(stateSchema)
+        .parquet(s"$targetDir/v=$v")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+    }
+  }
+
+  /** The user-facing table: live keys only, meta columns dropped. */
+  def currentView(spark: SparkSession, targetDir: String,
+      stateSchema: StructType): DataFrame =
+    currentState(spark, targetDir, stateSchema)
+      .filter(col(OpCol) =!= OpDelete)
+      .drop(OpCol, SeqCol)
+
+  /** Merge one micro-batch into the versioned state. Public so batch
+    * backfills can reuse the exact streaming semantics. */
+  def mergeBatch(batch: DataFrame, batchId: Long, targetDir: String,
+      keyCols: Seq[String], ignoreUpdates: Boolean,
+      ignoreDeletes: Boolean): Unit = {
+    val spark = batch.sparkSession
+    val state = currentState(spark, targetDir, batch.schema,
+      beforeBatch = Some(batchId))
+    val effective = CdcMerge.filterOps(batch, ignoreUpdates, ignoreDeletes)
+    CdcMerge.latestByKey(state.unionByName(effective), keyCols)
+      .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+  }
+
+  /** Start the streaming apply. The change log is a directory of parquet
+    * files with the target's payload columns + `_op` + `_seq`; new files
+    * are picked up per trigger (`maxFilesPerTrigger` caps batch size —
+    * the reference's `bulk_size`). Restarting with the same
+    * `checkpointDir` resumes from the recorded offset (ST7). */
+  def start(spark: SparkSession, changesDir: String,
+      changeSchema: StructType, targetDir: String, checkpointDir: String,
+      keyCols: Seq[String], ignoreUpdates: Boolean = false,
+      ignoreDeletes: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    var reader = spark.readStream.schema(changeSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n))
+    reader.parquet(changesDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, batchId, targetDir, keyCols, ignoreUpdates,
+          ignoreDeletes)
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Run the stream to completion over everything currently in the change
+    * log and return the final user-facing table. */
+  def replayToCompletion(spark: SparkSession, changesDir: String,
+      changeSchema: StructType, targetDir: String, checkpointDir: String,
+      keyCols: Seq[String], maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = start(spark, changesDir, changeSchema, targetDir, checkpointDir,
+      keyCols, maxFilesPerTrigger = maxFilesPerTrigger)
+    q.awaitTermination()
+    currentView(spark, targetDir, changeSchema)
+  }
+}

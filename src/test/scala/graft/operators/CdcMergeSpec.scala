@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** MERGE semantics vs a naive sequential-replay oracle: the reference
+  * applies events one at a time in arrival order (river/sync.go:116-178);
+  * our set-oriented merge must produce the identical final state for any
+  * event sequence, partitioning, and batch split. Seeded random sequences
+  * keep the property runs reproducible. */
+class CdcMergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private case class Ev(seq: Long, op: String, k: Int, v: String)
+
+  /** The oracle: replay events in seq order into a Map, like the
+    * reference's single-threaded sync loop. */
+  private def naiveReplay(evs: Seq[Ev]): Map[Int, String] =
+    evs.sortBy(_.seq).foldLeft(Map.empty[Int, String]) { (state, e) =>
+      e.op match {
+        case "D" => state - e.k
+        case _ => state + (e.k -> e.v)
+      }
+    }
+
+  private def genEvents(rnd: Random, n: Int, seqOffset: Long = 0): List[Ev] =
+    List.tabulate(n) { i =>
+      Ev(seqOffset + i,
+        rnd.shuffle(List("I", "I", "U", "D")).head,
+        rnd.nextInt(10),
+        rnd.alphanumeric.take(5).mkString)
+    }
+
+  test("property: lastWriteWins == naive sequential replay (20 seeds)") {
+    for (seed <- 0 until 20) {
+      val rnd = new Random(seed)
+      val evs = genEvents(rnd, 1 + rnd.nextInt(60))
+      val df = evs.map(e => (e.seq, e.op, e.k, e.v)).toDF("seq", "op", "k", "v")
+        .select($"k", $"v", $"op".as("_op"), $"seq".as("_seq"))
+        .repartition(4) // any partitioning must give the same answer
+      val got = CdcMerge.lastWriteWins(df, Seq("k"))
+        .as[(Int, String)].collect().toMap
+      assert(got == naiveReplay(evs), s"seed=$seed")
+    }
+  }
+
+  test("property: applyChanges == naive replay of snapshot + stream") {
+    for (seed <- 100 until 115) {
+      val rnd = new Random(seed)
+      val a = genEvents(rnd, rnd.nextInt(40))
+      val b = genEvents(rnd, 1 + rnd.nextInt(40), seqOffset = a.size)
+      val snapshotState = naiveReplay(a)
+      val snapshot = snapshotState.toSeq.toDF("k", "v")
+      // target rows act like inserts predating every change event
+      val expected = naiveReplay(
+        snapshotState.toSeq.map { case (k, v) => Ev(-1, "I", k, v) }
+          .toList ++ b)
+      val changes = b.map(e => (e.seq, e.op, e.k, e.v)).toDF("seq", "op", "k", "v")
+        .select($"k", $"v", $"op".as("_op"), $"seq".as("_seq"))
+        .repartition(3)
+      val got = CdcMerge.applyChanges(snapshot, changes, Seq("k"))
+        .as[(Int, String)].collect().toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("ignore flags drop ops before merge (reference default posture)") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val changes = Seq((1, "a2", "U", 10L), (2, null, "D", 11L),
+      (3, "c", "I", 12L)).toDF("k", "v", "_op", "_seq")
+    val insertOnly = CdcMerge.applyChanges(target, changes, Seq("k"),
+      ignoreUpdates = true, ignoreDeletes = true)
+      .as[(Int, String)].collect().toMap
+    assert(insertOnly == Map(1 -> "a", 2 -> "b", 3 -> "c"))
+  }
+
+  test("changedColumns emits only before!=after names, null-safe") {
+    val updates = Seq(
+      (1, ("x", "p"), ("x", "q")), // only c2 changed
+      (2, ("x", null: String), ("x", null: String)), // nothing changed
+      (3, (null: String, "p"), ("x", "p")) // c1 null -> value
+    ).toDF("k", "before", "after")
+      .select($"k",
+        $"before".cast("struct<c1:string,c2:string>").as("before"),
+        $"after".cast("struct<c1:string,c2:string>").as("after"))
+    val got = CdcMerge.changedColumns(updates, Seq("k"), Seq("c2", "c1"))
+      .as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "c2", 2 -> "", 3 -> "c1"))
+  }
+
+  test("opCounts matches stream composition") {
+    val changes = Seq(("I", 1L), ("I", 2L), ("U", 3L), ("D", 4L))
+      .toDF("_op", "_seq").withColumn("k", lit(1))
+    val got = CdcMerge.opCounts(changes).as[(String, Long)].collect().toMap
+    assert(got == Map("I" -> 2L, "U" -> 1L, "D" -> 1L))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  // two exact dups (0,1), one near-dup pair (2,3), two unrelated (4,5)
+  private lazy val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the  quick brown fox jumps over the lazy dog again and again "),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+    (4L, "completely different content about spark query engines at scale"),
+    (5L, "yet another unrelated document mentioning benchmarks and parquet")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup collapses whitespace-normalized duplicates") {
+    val kept = Dedup.exact(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(kept.keySet == Set(0L, 2L, 3L, 4L, 5L))
+    assert(kept(0L) == 2L) // docs 0 and 1 collapsed
+  }
+
+  test("ngram Jaccard finds the near-dup pair and only it (plus exact)") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH candidates cover high-jaccard pairs; verify filters") {
+    // bands=8 (r=2): collision prob per band = jac^2, miss prob for the
+    // 0.82-jaccard pair = (1-0.67)^8 ~ 1e-4 -> deterministic hashes make
+    // this a fixed outcome, verified to hold
+    val verified = Dedup.minhashDedupPairs(corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 8, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(verified.contains((0L, 1L)))
+    assert(verified.contains((2L, 3L)))
+    assert(!verified.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at distance 0; blocked == cross join") {
+    val naive = Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val blocked = Dedup.simhashPairsBlocked(corpus, "doc_id", "text",
+      maxDist = 8).as[(Long, Long, Int)].collect().toSet
+    assert(naive == blocked)
+    assert(naive.exists { case (a, b, d) => a == 0L && b == 1L && d == 0 })
+  }
+
+  test("shingles of short docs are empty, not an error") {
+    val tiny = Seq((0L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(tiny, "doc_id", "text").count() == 0)
+  }
+}

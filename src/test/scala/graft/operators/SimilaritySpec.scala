@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private lazy val embeddings =
+    spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+
+  test("cosine: identity = 1, orthogonal = 0, opposite = -1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0)
+    ).toDF("a", "b", "want")
+    val got = df.select(Similarity.cosine($"a", $"b").as("c"), $"want")
+      .as[(Double, Double)].collect()
+    got.foreach { case (c, want) => assert(math.abs(c - want) < 1e-12) }
+  }
+
+  test("native cosine_sim expression is bit-identical to the HOF cosine") {
+    val pairs = embeddings.as("x").crossJoin(embeddings.limit(3).as("y"))
+      .select(
+        Similarity.cosine($"x.embedding", $"y.embedding").as("hof"),
+        Similarity.cosineNative($"x.embedding", $"y.embedding")
+          .as("native"))
+    // bitwise equality, not epsilon: both must fold in the same order
+    assert(pairs.filter($"hof" =!= $"native" ||
+      $"hof".isNull =!= $"native".isNull).count() == 0)
+  }
+
+  test("native cosine_sim rejects dimension mismatch") {
+    val ex = intercept[Exception] {
+      Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+        .select(Similarity.cosineNative($"a", $"b")).collect()
+    }
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
+  test("bruteForceTopK: ranks are 1..k per query, self excluded") {
+    val res = Similarity.bruteForceTopK(embeddings,
+      embeddings.filter($"vec_id" < 5), k = 3).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3))
+      rows.foreach(r => assert(r.getLong(1) != r.getLong(0)))
+    }
+  }
+
+  test("lshTopK recall@5 beats the bucket-fraction baseline (bits=4)") {
+    val queries = embeddings.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(embeddings, queries, k = 5,
+      bits = 4, probeDist = 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("lshTopK with exhaustive probing equals brute force") {
+    val queries = embeddings.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, k = 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // 1 bit + 1-flip probe = both buckets probed -> identical result
+    val approx = Similarity.lshTopK(embeddings, queries, k = 3,
+      bits = 1, probeDist = 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(approx == exact)
+  }
+}

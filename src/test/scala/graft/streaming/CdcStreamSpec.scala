@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.operators.{ChangeFeed, CdcMerge}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ST1-ST7: micro-batching, checkpoint resume, tombstone state. */
+class CdcStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_cdcstream_").toString
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("streamed replay equals batch last-write-wins") {
+    val work = tmp()
+    val feed = ChangeFeed.full(spark, TestSpark.Sf0001)
+    feed.repartition(4).write.parquet(s"$work/changes")
+    val got = CdcStream.replayToCompletion(spark, s"$work/changes",
+      feed.schema, s"$work/target", s"$work/ckpt", ChangeFeed.keyCols,
+      maxFilesPerTrigger = Some(1))
+    val want = CdcMerge.lastWriteWins(feed, ChangeFeed.keyCols)
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("checkpoint resume: second run picks up only new files (ST7)") {
+    val work = tmp()
+    val feed = ChangeFeed.full(spark, TestSpark.Sf0001)
+    // phase 1: inserts only
+    ChangeFeed.inserts(spark, TestSpark.Sf0001)
+      .write.parquet(s"$work/changes")
+    val afterPhase1 = CdcStream.replayToCompletion(spark, s"$work/changes",
+      feed.schema, s"$work/target", s"$work/ckpt", ChangeFeed.keyCols)
+    assert(afterPhase1.count() ==
+      ChangeFeed.orders(spark, TestSpark.Sf0001).count())
+    // phase 2: updates + deletes land later; same checkpoint resumes
+    ChangeFeed.updates(spark, TestSpark.Sf0001)
+      .unionByName(ChangeFeed.deletes(spark, TestSpark.Sf0001))
+      .write.mode("append").parquet(s"$work/changes")
+    val afterPhase2 = CdcStream.replayToCompletion(spark, s"$work/changes",
+      feed.schema, s"$work/target", s"$work/ckpt", ChangeFeed.keyCols)
+    val want = CdcMerge.lastWriteWins(feed, ChangeFeed.keyCols)
+    assert(sortedRows(afterPhase2) == sortedRows(want))
+  }
+
+  test("out-of-order batches: delete arriving before its insert wins by seq") {
+    val work = tmp()
+    val schema = Seq((1, "v", "I", 0L)).toDF("k", "v", "_op", "_seq").schema
+    // run 1: only the DELETE (seq 20) has arrived
+    Seq((1, null.asInstanceOf[String], "D", 20L))
+      .toDF("k", "v", "_op", "_seq")
+      .write.parquet(s"$work/changes")
+    CdcStream.replayToCompletion(spark, s"$work/changes", schema,
+      s"$work/target", s"$work/ckpt", Seq("k"))
+    // run 2: the INSERT (seq 10) arrives late, as a new file
+    Seq((1, "stale", "I", 10L)).toDF("k", "v", "_op", "_seq")
+      .write.mode("append").parquet(s"$work/changes")
+    val finalView = CdcStream.replayToCompletion(spark, s"$work/changes",
+      schema, s"$work/target", s"$work/ckpt", Seq("k"))
+    // tombstone state: the late insert must NOT resurrect the key
+    assert(finalView.count() == 0)
+  }
+
+  test("batch replay is idempotent: re-merging the same batch id is a no-op") {
+    val work = tmp()
+    val batch = Seq((1, "a", "I", 1L), (2, "b", "I", 2L))
+      .toDF("k", "v", "_op", "_seq")
+    CdcStream.mergeBatch(batch, 0L, s"$work/target", Seq("k"),
+      ignoreUpdates = false, ignoreDeletes = false)
+    val once = sortedRows(CdcStream.currentView(spark, s"$work/target",
+      batch.schema))
+    CdcStream.mergeBatch(batch, 0L, s"$work/target", Seq("k"),
+      ignoreUpdates = false, ignoreDeletes = false)
+    val twice = sortedRows(CdcStream.currentView(spark, s"$work/target",
+      batch.schema))
+    assert(once == twice && once.size == 2)
+  }
+}
