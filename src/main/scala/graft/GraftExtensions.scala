@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.CosineSimilarity
+import graft.functions.expr.{CosineSimilarity, HashedShingles, MinHashSig, SimHash60, SortedIntersectCount}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -13,27 +13,41 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * imperatively on a live session ([[GraftExtensions.register]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.cosineSim)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
   private type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  private val cosineSim: FunctionDescription = (
-    FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+  private def fn(name: String, clazz: Class[_], arity: Int)(
+      build: Seq[Expression] => Expression): FunctionDescription = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
     (children: Seq[Expression]) => {
-      require(children.size == 2,
-        s"cosine_sim takes 2 arguments, got ${children.size}")
-      CosineSimilarity(children.head, children(1))
+      require(children.size == arity,
+        s"$name takes $arity arguments, got ${children.size}")
+      build(children)
     })
+
+  private val all: Seq[FunctionDescription] = Seq(
+    fn("cosine_sim", classOf[CosineSimilarity], 2)(c =>
+      CosineSimilarity(c.head, c(1))),
+    fn("simhash60", classOf[SimHash60], 1)(c => SimHash60(c.head)),
+    fn("sorted_intersect_count", classOf[SortedIntersectCount], 2)(c =>
+      SortedIntersectCount(c.head, c(1))),
+    // k via int literal, e.g. minhash_sig(hashes, 16)
+    fn("minhash_sig", classOf[MinHashSig], 2)(c =>
+      MinHashSig(c.head, c(1).eval().asInstanceOf[Int])),
+    fn("hashed_shingles", classOf[HashedShingles], 2)(c =>
+      HashedShingles(c.head, c(1).eval().asInstanceOf[Int])))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.registerFunction(cosineSim._1, cosineSim._2, cosineSim._3)
+    all.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -516,42 +516,36 @@ object SparkEntry {
         .stripMargin,
     "dedup_ngram" ->
       s"""$shingleCte
-         |, e AS (SELECT doc_id, unnest(s) AS g FROM sh)
-         |, common AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-         |  FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT p.a, p.b,
-         |  p.c / (len(sa.s) + len(sb.s) - p.c) AS jaccard
-         |FROM common p
-         |JOIN sh sa ON p.a = sa.doc_id
-         |JOIN sh sb ON p.b = sb.doc_id
-         |WHERE p.c / (len(sa.s) + len(sb.s) - p.c) >= 0.8""".stripMargin,
+         |$hsetsCte
+         |, prefix AS (
+         |  SELECT doc_id, unnest(hs[1 : CAST(floor(
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) * n) AS INT) + 1])
+         |    AS h
+         |  FROM hsets)
+         |, cands AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM prefix x JOIN prefix y
+         |    ON x.h = y.h AND x.doc_id < y.doc_id)
+         |$verifySql""".stripMargin,
     "dedup_minhash" ->
       s"""$shingleCte
-         |, e AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0)
+         |$hsetsCte
+         |, base AS (SELECT doc_id, unnest(hs) AS h FROM hsets)
          |, sig AS (
          |  SELECT doc_id, i,
-         |    min(('0x' || substr(md5(i || ':' || g), 1, 15))::BIGINT) AS h
-         |  FROM e, range(16) t(i) GROUP BY 1, 2)
+         |    min((((1103515245*(i+1) + 12345) % 2147483647)
+         |         * (h % 2147483647)
+         |         + ((69069*(i+1) + 1) % 2147483647)) % 2147483647) AS m
+         |  FROM base, range(16) t(i) GROUP BY 1, 2)
          |, bands AS (
          |  SELECT doc_id, i // 4 AS band,
-         |    string_agg(h, '_' ORDER BY i) AS key
+         |    string_agg(m, '_' ORDER BY i) AS key
          |  FROM sig GROUP BY 1, 2)
          |, cands AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-         |SELECT c.a, c.b,
-         |  len(list_intersect(sa.s, sb.s))
-         |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
-         |    AS jaccard
-         |FROM cands c
-         |JOIN sh sa ON c.a = sa.doc_id
-         |JOIN sh sb ON c.b = sb.doc_id
-         |WHERE len(list_intersect(sa.s, sb.s))
-         |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
-         |    >= 0.8""".stripMargin,
+         |$verifySql""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
@@ -623,6 +617,29 @@ object SparkEntry {
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END
       |      AS s
       |  FROM d)""".stripMargin
+
+  /** DuckDB CTE mirroring Dedup.hashedShingleSets: sorted 60-bit hash
+    * sets of the distinct shingles (one md5 per shingle). */
+  private val hsetsCte: String =
+    """, hsets AS (
+      |  SELECT doc_id,
+      |    list_sort(list_transform(s,
+      |      g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS hs,
+      |    len(s) AS n
+      |  FROM sh WHERE len(s) > 0)""".stripMargin
+
+  /** Shared verification tail: exact Jaccard on the hash sets over a
+    * `cands(a, b)` CTE (mirrors Dedup.verifiedPairs). */
+  private val verifySql: String =
+    """SELECT c.a, c.b,
+      |  len(list_intersect(ha.hs, hb.hs))
+      |    / (ha.n + hb.n - len(list_intersect(ha.hs, hb.hs))) AS jaccard
+      |FROM cands c
+      |JOIN hsets ha ON c.a = ha.doc_id
+      |JOIN hsets hb ON c.b = hb.doc_id
+      |WHERE len(list_intersect(ha.hs, hb.hs))
+      |    / (ha.n + hb.n - len(list_intersect(ha.hs, hb.hs))) >= 0.8"""
+      .stripMargin
 
   /** DuckDB cosine that replicates Similarity.cosine's exact fold order
     * (sequential left-fold dot and norms, dot / (sqrt(na) * sqrt(nb))) so

@@ -98,10 +98,59 @@ object CdcMerge {
       keyCols.map(col) :+ concat_ws(",", flags: _*).as("changed_cols"): _*)
   }
 
+  /** Normalize update events that carry both row images into key-stable
+    * I/U/D events. An update that CHANGES the primary key acts as
+    * delete(before-key) + insert(after-image) — the reference detects
+    * `beforeID != afterID` and emits exactly that pair
+    * (river/sync.go:219-233, asserted river/river_test.go:320, 355-360).
+    * Key-stable updates pass through as a single U of the after-image.
+    *
+    * Input: `keyCols`-typed fields inside `before`/`after` structs plus
+    * `_seq`; output: after-image payload columns + `_op` + `_seq`, where
+    * the delete half ranks just below its paired insert (seq*2 vs
+    * seq*2+1) so a same-key re-insert beats the delete. */
+  def normalizeUpdates(updates: DataFrame, keyCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    val keyChanged = keyCols
+      .map(k => not(col(s"before.$k") <=> col(s"after.$k")))
+      .reduce(_ || _)
+    val afterPayload = payloadCols.map(c => col(s"after.$c").as(c))
+    val beforeKeyRow = payloadCols.map { c =>
+      if (keyCols.contains(c)) col(s"before.$c").as(c)
+      else lit(null).cast(updates.select(col(s"before.$c")).schema
+        .head.dataType).as(c)
+    }
+    val stable = updates.filter(!keyChanged)
+      .select(afterPayload :+ lit(OpUpdate).as(OpCol)
+        :+ (col(SeqCol) * 2 + 1).as(SeqCol): _*)
+    val pkDelete = updates.filter(keyChanged)
+      .select(beforeKeyRow :+ lit(OpDelete).as(OpCol)
+        :+ (col(SeqCol) * 2).as(SeqCol): _*)
+    val pkInsert = updates.filter(keyChanged)
+      .select(afterPayload :+ lit(OpInsert).as(OpCol)
+        :+ (col(SeqCol) * 2 + 1).as(SeqCol): _*)
+    stable.unionByName(pkDelete).unionByName(pkInsert)
+  }
+
   /** Running I/U/D counters (reference: atomic counters surfaced on /stat,
     * river/status.go:19-21, river/sync.go:202-234). */
   def opCounts(changes: DataFrame): DataFrame =
     changes.groupBy(col(OpCol).as("op")).agg(count(lit(1)).as("n"))
+
+  /** PK null guard (P7): a change row with a null key column is a hard
+    * error — the reference aborts the stream on it (river/sync.go:402-405).
+    * `raise_error` fires during the scan of the offending partition, so
+    * the batch fails before any state is written. */
+  def requireKeys(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    // a filter (not a dropped projection) so the optimizer cannot prune
+    // the error expression away
+    changes.filter(
+      when(anyNull, raise_error(concat(
+        lit("null primary key in change event (cols: " +
+          s"${keyCols.mkString(",")}) op="), col(OpCol))).cast("boolean"))
+        .otherwise(lit(true)))
+  }
 
   val allOps: Seq[String] = Seq(OpInsert, OpUpdate, OpDelete)
 }

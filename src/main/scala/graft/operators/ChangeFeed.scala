@@ -50,19 +50,18 @@ object ChangeFeed {
       .withColumn(OpCol, lit("U"))
       .withColumn(SeqCol, k * 10 + 1)
 
-  def deletes(spark: SparkSession, sfDir: String): DataFrame =
-    orders(spark, sfDir)
+  def deletes(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = orders(spark, sfDir)
+    val schema = base.schema // one metadata read, reused for every column
+    base
       .filter(k % 11 === 0)
       .select(
         (keyCols.map(col) ++
           payloadCols.filterNot(keyCols.contains)
-            .map(c => lit(null).cast(colType(spark, sfDir, c)).as(c))): _*)
+            .map(c => lit(null).cast(schema(c).dataType).as(c))): _*)
       .withColumn(OpCol, lit("D"))
       .withColumn(SeqCol, k * 10 + 2)
-
-  private def colType(spark: SparkSession, sfDir: String,
-      c: String): org.apache.spark.sql.types.DataType =
-    orders(spark, sfDir).schema(c).dataType
+  }
 
   /** Full I/U/D stream. */
   def full(spark: SparkSession, sfDir: String): DataFrame =

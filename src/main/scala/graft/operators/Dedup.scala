@@ -10,25 +10,29 @@ import org.apache.spark.sql.functions._
   * Scale design (the 100 TB story):
   *   - Exact dedup is one hash-shuffle on a 32-char fingerprint — the
   *     cheapest possible key, no document text moves through the shuffle.
-  *   - Pairwise n-gram Jaccard ([[ngramJaccardPairs]]) is the exact
-  *     quadratic baseline; its inverted-index join explodes on frequent
-  *     shingles, so it caps per-shingle posting lists ([[maxShingleDf]]) —
-  *     a standard prefix-filtering guard. Use it to VERIFY candidates,
-  *     not to generate them, beyond ~10^6 docs.
-  *   - MinHash LSH ([[minhashCandidates]]) is the scale path: cost is
-  *     linear in corpus size (k hashes per doc), candidate generation is
-  *     a self-equi-join on (band, bandKey) — Spark shuffles both sides on
-  *     the band key, so only genuinely colliding docs ever meet. False
-  *     positives are then verified with exact Jaccard on the (small)
-  *     candidate set.
-  *   - SimHash gives a single 64-bit signature per doc; near-dup pairs
-  *     are signatures within Hamming distance d. At scale the pair join
-  *     uses the rotation trick (d+1 key blocks); here the corpus-sized
-  *     cross join is kept for the small-SF oracle and the block-key path
-  *     is exposed via [[simhashBlockKeys]].
+  *   - n-gram Jaccard ([[ngramJaccardPairs]]) is EXACT pairwise dedup
+  *     made tractable by prefix filtering: under a global ordering of
+  *     shingles (here: by 60-bit hash value), two sets with Jaccard ≥ t
+  *     must share an element within each other's first
+  *     ⌊(1−t)·|A|⌋+1 shingles — so only the prefix is inverted-indexed,
+  *     shrinking both the posting lists and the candidate-pair count by
+  *     ~1/(1−t)² while keeping recall = 1 (AllPairs/PPJoin family,
+  *     SNIPPETS.md). Verification runs a sorted-merge intersection on the
+  *     pre-sorted hash arrays — a native codegen'd expression, no per-row
+  *     allocation.
+  *   - MinHash LSH ([[minhashCandidates]]) is the approximate scale path:
+  *     one md5 per shingle, then a k-wide signature from an LCG hash
+  *     family in a single fused pass ([[graft.functions.expr.MinHashSig]]),
+  *     banded into an equi-join — linear cost, one shuffle on band keys.
+  *   - SimHash gives one 64-bit signature per doc in one fused pass
+  *     ([[graft.functions.expr.SimHash60]]); near-dup pairs join on
+  *     pigeonhole block keys ([[simhashPairsBlocked]]) instead of a cross
+  *     join.
   *
-  * All hashing is md5-based ([[graft.functions.TextFunctions.hash60]]) so
-  * an external SQL oracle reproduces every signature bit-for-bit.
+  * All hashing is md5-based ([[graft.functions.TextFunctions.hash60]]) +
+  * integer arithmetic so an external SQL oracle reproduces every
+  * signature bit-for-bit. Requires [[graft.GraftExtensions]] registered
+  * on the session (native expressions).
   */
 object Dedup {
 
@@ -41,62 +45,79 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("_fp")
 
-  /** Per-document distinct n-gram shingle sets (cached shape shared by the
-    * Jaccard and MinHash paths). */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+  /** Per-document sorted 60-bit hash sets of the distinct n-gram
+    * shingles — the shared basis of the Jaccard and MinHash paths (one
+    * md5 pass per shingle, total). Sets of hashes stand in for sets of
+    * shingles (60-bit collisions are negligible and the SQL oracle
+    * replays the identical hashing, so results stay comparable). */
+  def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), n).as("sh"))
+      call_function("hashed_shingles", tokens(col(textCol)), lit(n))
+        .as("hs"))
+      .withColumn("n_sh", size(col("hs")))
+      .filter(col("n_sh") > 0)
 
-  /** Exact pairwise n-gram Jaccard ≥ `threshold` via an inverted-index
-    * self-join on shingles. `maxShingleDf` drops shingles whose posting
-    * list exceeds the cap (stopword-like shingles that generate quadratic
-    * candidate blowup while carrying no discriminative signal). */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    var posting = sets.select(col("doc_id"), explode(col("sh")).as("g"))
-    if (maxShingleDf != Int.MaxValue) {
-      val rare = posting.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDf).select("g")
-      posting = posting.join(rare, Seq("g"))
-    }
-    val common = posting.as("x")
-      .join(posting.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "a")
-        .withColumnRenamed("n_sh", "na"), Seq("a"))
-      .join(sizes.withColumnRenamed("doc_id", "b")
-        .withColumnRenamed("n_sh", "nb"), Seq("b"))
+  /** The declarative formulation of [[hashedShingleSets]]'s hash column —
+    * bit-identical; kept as the native expression's cross-check. */
+  def hashedShinglesDeclarative(text: Column, n: Int): Column =
+    array_sort(transform(shingles(text, n), s => hash60(s)))
+
+  private def intersectCount(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
+
+  private def verifiedPairs(cands: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(sets.select(col("doc_id").as("a"), col("hs").as("hsa"),
+        col("n_sh").as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("hs").as("hsb"),
+        col("n_sh").as("nb")), Seq("b"))
+      .withColumn("common", intersectCount(col("hsa"), col("hsb")))
       .withColumn("jaccard",
         col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+
+  /** Exact pairwise n-gram Jaccard ≥ `threshold` via prefix filtering:
+    * index only each doc's ⌊(1−t)·|A|⌋+1 smallest hashes; any pair at or
+    * above the threshold is guaranteed to collide on the prefix index
+    * (recall 1), then exact Jaccard verifies on the full sorted sets. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // the sets feed the posting index AND both verify joins — persist so
+    // the shingle+hash pass runs once (spills to disk if too large)
+    val sets = hashedShingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixLen =
+      (floor(lit(1.0 - threshold) * col("n_sh")) + 1).cast("int")
+    val posting = sets.select(col("doc_id"),
+      explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
+    val cands = posting.as("x")
+      .join(posting.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifiedPairs(cands, sets, threshold)
   }
 
-  /** MinHash signature: array of k minima, sig[i] = min over shingles of
-    * h_i(shingle). Linear in corpus size; no shuffle. */
-  def minhashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(sh, s => hash60Seeded(i, s)))): _*)
-
-  /** LSH candidate pairs: split the k-wide signature into `bands` bands of
-    * k/bands rows; docs agreeing on any full band collide. Returns
-    * distinct (a, b) with a < b. The join key is (band index, joined band
-    * values) — one shuffle, no quadratic scan. */
+  /** LSH candidate pairs: split the k-wide MinHash signature into `bands`
+    * bands of k/bands rows; docs agreeing on any full band collide.
+    * Returns distinct (a, b) with a < b. The join key is (band index,
+    * joined band values) — one shuffle, no quadratic scan. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    minhashCandidatesFromSets(
+      hashedShingleSets(docs, idCol, textCol, n), k, bands)
+  }
+
+  private def minhashCandidatesFromSets(sets: DataFrame, k: Int,
+      bands: Int): DataFrame = {
     val r = k / bands
-    val sets = shingleSets(docs, idCol, textCol, n)
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sets.select(
+    val sigs = sets.withColumn("sig",
+      call_function("minhash_sig", col("hs"), lit(k)))
+    val banded = sigs.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -115,28 +136,24 @@ object Dedup {
 
   /** MinHash LSH dedup end-to-end: LSH candidates verified with exact
     * Jaccard (computed only for colliding pairs — the candidate set is
-    * tiny relative to the corpus, so the verify join broadcasts). */
+    * tiny relative to the corpus). */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, n, k, bands)
-    val sets = shingleSets(docs, idCol, textCol, n)
-    val withSets = cands
-      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
-    withSets
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", col("common") /
-        (size(col("sha")) + size(col("shb")) - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+    val sets = hashedShingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifiedPairs(minhashCandidatesFromSets(sets, k, bands), sets,
+      threshold)
   }
 
-  /** 60-bit SimHash over whitespace tokens (frequency-weighted: each token
-    * occurrence votes ±1 per bit; bit j of the signature is 1 iff the vote
-    * sum is positive). Computed without explode: one aggregate expression
-    * per bit over the token hash array — linear, no shuffle. */
-  def simhash(text: Column, bits: Int = 60): Column = {
+  /** 60-bit SimHash over whitespace tokens, one fused native pass
+    * ([[graft.functions.expr.SimHash60]]). */
+  def simhash(text: Column): Column =
+    call_function("simhash60", tokens(text))
+
+  /** The declarative formulation (60 aggregate folds) — bit-identical to
+    * [[simhash]]; kept as the cross-check for the native expression. */
+  def simhashDeclarative(text: Column, bits: Int = 60): Column = {
     val hashes = transform(tokens(text), t => hash60(t))
     val bitCols = (0 until bits).map { j =>
       val votes = aggregate(hashes, lit(0L),
@@ -148,8 +165,8 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`. Small-SF
-    * shape: corpus self-join (the oracle path). For scale, generate
-    * candidates through [[simhashBlockKeys]] and verify only collisions. */
+    * shape: corpus self-join (the oracle path). For scale, use
+    * [[simhashPairsBlocked]]. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val sigs = docs.select(col(idCol).as("doc_id"),

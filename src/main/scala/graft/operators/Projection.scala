@@ -35,4 +35,18 @@ object Projection {
   /** Apply a rule's projection to a DataFrame. */
   def apply(rule: Rule)(df: DataFrame): DataFrame =
     df.select(columns(rule, df.columns.toSeq): _*)
+
+  /** S5: when a rule has no explicit filter, the sink table's own columns
+    * define the default projection (reference queries system.columns,
+    * river/river.go:293-312). Sink names are matched after rename, so a
+    * renamed source column is kept iff its sink-side name exists; an
+    * explicit rule filter takes precedence. */
+  def forSink(rule: Rule, sinkCols: Seq[String])(df: DataFrame): DataFrame = {
+    val sinkSet = sinkCols.toSet
+    val cols = df.columns.toSeq
+      .filter(rule.passesFilter)
+      .filter(src => rule.filter.nonEmpty ||
+        sinkSet.contains(rule.mappedField(src)._1))
+    df.select(columns(rule, cols): _*)
+  }
 }

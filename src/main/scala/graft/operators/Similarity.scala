@@ -60,9 +60,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       roundTo: Int = 4, native: Boolean = false): DataFrame = {
+    // cast to double at the leaves (once per row, not once per pair) and
+    // split the corpus scan across all cores: the nested-loop join's
+    // parallelism is the streamed side's partition count, and a small
+    // parquet corpus arrives as a single partition
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv")).repartition(par)
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
         round(cosineBy(native)(col("qv"), col("cv")), roundTo))
@@ -81,8 +87,11 @@ object Similarity {
   def cosinePairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       roundTo: Int = 4, native: Boolean = false): DataFrame = {
-    val a = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val a = corpus.select(col(idCol).as("a"),
+      col(vecCol).cast("array<double>").as("va")).repartition(par)
+    val b = corpus.select(col(idCol).as("b"),
+      col(vecCol).cast("array<double>").as("vb"))
     a.join(b, col("a") < col("b"))
       .withColumn("sim",
         round(cosineBy(native)(col("va"), col("vb")), roundTo))
@@ -135,12 +144,17 @@ object Similarity {
       array_distinct(array(flips.map(f =>
         b.bitwiseXOR(f)): _*))
     }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      bucketId(col(vecCol), planes).as("qb"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"), col("qv"),
+        bucketId(col("qv"), planes).as("qb"))
       .select(col("query_id"), col("qv"),
         explode(probes(col("qb"))).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      bucketId(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv")).repartition(par)
+      .select(col("neighbor_id"), col("cv"),
+        bucketId(col("cv"), planes).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))

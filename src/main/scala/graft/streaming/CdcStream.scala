@@ -108,7 +108,9 @@ object CdcStream {
     var reader = spark.readStream.schema(changeSchema)
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n))
-    reader.parquet(changesDir)
+    val guarded = Observability.withOpMetrics(
+      CdcMerge.requireKeys(reader.parquet(changesDir), keyCols))
+    guarded
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.model.ChangeEvent
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** S11: the reference's `/stat` endpoint — synced-position vs master
+  * position plus running I/U/D counters (reference: river/status.go:24-68,
+  * counters bumped at river/sync.go:202-234). On Spark the same numbers
+  * come from `observe` metrics (computed inside the query plan, no extra
+  * pass) surfaced through a StreamingQueryListener; positions are the
+  * streaming progress's offsets.
+  */
+object Observability {
+  import ChangeEvent.{OpCol, OpDelete, OpInsert, OpUpdate}
+
+  val MetricsName = "graft_cdc"
+
+  /** Attach I/U/D counters to a change DataFrame; zero extra passes —
+    * the counts piggyback on whatever action consumes the frame. */
+  def withOpMetrics(changes: DataFrame): DataFrame =
+    changes.observe(MetricsName,
+      count(when(col(OpCol) === OpInsert, 1)).as("inserts"),
+      count(when(col(OpCol) === OpUpdate, 1)).as("updates"),
+      count(when(col(OpCol) === OpDelete, 1)).as("deletes"),
+      count(lit(1)).as("events"))
+
+  /** Accumulates observed I/U/D totals across micro-batches and exposes
+    * the latest progress — the data behind a /stat endpoint. */
+  final class CdcMetricsListener extends StreamingQueryListener {
+    val inserts = new AtomicLong
+    val updates = new AtomicLong
+    val deletes = new AtomicLong
+    val events = new AtomicLong
+    @volatile var lastProgressJson: String = ""
+
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      lastProgressJson = e.progress.json
+      val metrics = e.progress.observedMetrics
+      if (metrics.containsKey(MetricsName)) {
+        val row = metrics.get(MetricsName)
+        inserts.addAndGet(row.getAs[Long]("inserts"))
+        updates.addAndGet(row.getAs[Long]("updates"))
+        deletes.addAndGet(row.getAs[Long]("deletes"))
+        events.addAndGet(row.getAs[Long]("events"))
+      }
+    }
+
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+    /** The reference's plaintext /stat body shape
+      * (river/status.go:39-46). */
+    def statReport: String =
+      s"""insert_num: ${inserts.get}
+         |update_num: ${updates.get}
+         |delete_num: ${deletes.get}
+         |events: ${events.get}""".stripMargin
+  }
+}

@@ -92,6 +92,37 @@ class CdcMergeSpec extends AnyFunSuite {
     assert(got == Map(1 -> "c2", 2 -> "", 3 -> "c1"))
   }
 
+  test("PK-change update becomes delete(old-key) + insert(new-key)") {
+    // key 1 renamed to key 9 (PK change); key 2 updated in place
+    val updates = Seq(
+      ((1, "a"), (9, "a2"), 100L),
+      ((2, "b"), (2, "b2"), 101L)
+    ).toDF("before", "after", "_seq")
+      .select(
+        $"before".cast("struct<k:int,v:string>").as("before"),
+        $"after".cast("struct<k:int,v:string>").as("after"),
+        $"_seq")
+    val events = CdcMerge.normalizeUpdates(updates, Seq("k"), Seq("k", "v"))
+    val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val got = CdcMerge.applyChanges(target, events, Seq("k"))
+      .as[(Int, String)].collect().toMap
+    // old key 1 deleted, new key 9 inserted, key 2 updated, key 3 intact
+    assert(got == Map(9 -> "a2", 2 -> "b2", 3 -> "c"))
+  }
+
+  test("composite primary keys merge on all key columns") {
+    val target = Seq((1, "x", "v1"), (1, "y", "v2"), (2, "x", "v3"))
+      .toDF("k1", "k2", "v")
+    val changes = Seq(
+      (1, "x", "v1new", "U", 10L),
+      (2, "x", null, "D", 11L),
+      (2, "y", "v4", "I", 12L)
+    ).toDF("k1", "k2", "v", "_op", "_seq")
+    val got = CdcMerge.applyChanges(target, changes, Seq("k1", "k2"))
+      .as[(Int, String, String)].collect().toSet
+    assert(got == Set((1, "x", "v1new"), (1, "y", "v2"), (2, "y", "v4")))
+  }
+
   test("opCounts matches stream composition") {
     val changes = Seq(("I", 1L), ("I", 2L), ("U", 3L), ("D", 4L))
       .toDF("_op", "_seq").withColumn("k", lit(1))

@@ -54,6 +54,30 @@ class DedupSpec extends AnyFunSuite {
     assert(naive.exists { case (a, b, d) => a == 0L && b == 1L && d == 0 })
   }
 
+  test("native hashed_shingles is bit-identical to the declarative chain") {
+    import org.apache.spark.sql.functions.{col, call_function, lit}
+    import graft.functions.TextFunctions
+    val docs = spark.read
+      .parquet(s"${graft.TestSpark.Sf0001}/documents.parquet")
+    val mismatches = docs.select(
+      call_function("hashed_shingles",
+        TextFunctions.tokens(col("text")), lit(3)).as("a"),
+      Dedup.hashedShinglesDeclarative(col("text"), 3).as("b"))
+      .filter("a <> b").count()
+    assert(mismatches == 0)
+  }
+
+  test("native simhash60 is bit-identical to the declarative formulation") {
+    val docs = spark.read
+      .parquet(s"${graft.TestSpark.Sf0001}/documents.parquet")
+    val mismatches = docs.select(
+      Dedup.simhash(org.apache.spark.sql.functions.col("text")).as("a"),
+      Dedup.simhashDeclarative(
+        org.apache.spark.sql.functions.col("text")).as("b"))
+      .filter("a <> b").count()
+    assert(mismatches == 0)
+  }
+
   test("shingles of short docs are empty, not an error") {
     val tiny = Seq((0L, "one two")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(tiny, "doc_id", "text").count() == 0)

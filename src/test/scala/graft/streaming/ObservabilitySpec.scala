@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.operators.ChangeFeed
+import org.scalatest.funsuite.AnyFunSuite
+
+class ObservabilitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  test("streaming I/U/D counters match the feed composition (S11)") {
+    val work = Files.createTempDirectory("graft_obs_").toString
+    val feed = ChangeFeed.full(spark, TestSpark.Sf0001)
+    feed.write.parquet(s"$work/changes")
+    val listener = new Observability.CdcMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val q = CdcStream.start(spark, s"$work/changes", feed.schema,
+        s"$work/target", s"$work/ckpt", ChangeFeed.keyCols)
+      q.awaitTermination()
+      // progress events are delivered asynchronously after termination
+      val deadline = System.currentTimeMillis() + 30000
+      while (listener.events.get == 0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val want = feed.groupBy("_op").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(listener.inserts.get == want.getOrElse("I", 0L))
+      assert(listener.updates.get == want.getOrElse("U", 0L))
+      assert(listener.deletes.get == want.getOrElse("D", 0L))
+      assert(listener.statReport.contains("insert_num"))
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("null primary key aborts the stream (P7 hard error)") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_pk_").toString
+    Seq((Some(1), "a", "I", 1L), (None, "b", "I", 2L))
+      .toDF("k", "v", "_op", "_seq")
+      .write.parquet(s"$work/changes")
+    val schema = Seq((Some(1), "a", "I", 1L))
+      .toDF("k", "v", "_op", "_seq").schema
+    val ex = intercept[Exception] {
+      CdcStream.replayToCompletion(spark, s"$work/changes", schema,
+        s"$work/target", s"$work/ckpt", Seq("k"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null primary key")))
+  }
+}
