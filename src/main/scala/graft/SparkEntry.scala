@@ -212,6 +212,17 @@ object SparkEntry {
       maxFilesPerTrigger = Some(1))
   }
 
+  private def eventSliding(s: SparkSession, dir: String): DataFrame =
+    streaming.EventTimeWindows.sliding(events(s, dir), "ts",
+      "2 hours", "1 hour", Seq("event_type"),
+      Seq(count(lit(1)).as("n")))
+      .select(col("win_start"), col("event_type"), col("n"))
+
+  private def eventSessions(s: SparkSession, dir: String): DataFrame =
+    streaming.EventTimeWindows.sessions(events(s, dir), "ts",
+      "30 minutes", Seq("user_id"), Seq(count(lit(1)).as("n")))
+      .select(col("user_id"), col("win_start"), col("n"))
+
   // ------------------------------------------- text analysis (SURVEY §7.9)
 
   private def textTokens(s: SparkSession, dir: String): DataFrame =
@@ -311,6 +322,8 @@ object SparkEntry {
     "q3_join" -> (q3Join _),
     "topk_per_group" -> (topkPerGroup _),
     "event_windows" -> (eventWindows _),
+    "event_sliding" -> (eventSliding _),
+    "event_sessions" -> (eventSessions _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_quality" -> (textQuality _),
@@ -455,6 +468,31 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "event_sliding" ->
+      """SELECT win_start, event_type, count(*) AS n
+        |FROM (SELECT event_type,
+        |        unnest([date_trunc('hour', ts),
+        |                date_trunc('hour', ts) - INTERVAL 1 HOUR])
+        |          AS win_start
+        |      FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+    "event_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events)
+        |, m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM o)
+        |, s AS (
+        |  SELECT user_id, ts, sum(ns) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS win_start, count(*) AS n
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0

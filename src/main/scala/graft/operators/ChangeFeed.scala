@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.model.ChangeEvent
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic synthetic CDC feeds over the driver testdata.
@@ -63,11 +63,34 @@ object ChangeFeed {
       .withColumn(SeqCol, k * 10 + 2)
   }
 
-  /** Full I/U/D stream. */
-  def full(spark: SparkSession, sfDir: String): DataFrame =
-    inserts(spark, sfDir)
-      .unionByName(updates(spark, sfDir))
-      .unionByName(deletes(spark, sfDir))
+  /** Full I/U/D stream — identical rows to
+    * inserts ∪ updates ∪ deletes, but generated from ONE scan of the
+    * source: each order row explodes into its 1-3 events (the union form
+    * scans the parquet three times). */
+  def full(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = orders(spark, sfDir)
+    val types = base.schema
+    def ev(op: String, seqOff: Int, cols: Seq[Column]): Column =
+      struct((cols :+ lit(op).as(OpCol) :+ (k * 10 + seqOff).as(SeqCol)): _*)
+    val insertCols = payloadCols.map(col)
+    val updateCols = payloadCols.map {
+      case "o_totalprice" => (col("o_totalprice") + lit(1000.0))
+        .as("o_totalprice")
+      case "o_orderstatus" => when(k % 2 === 1, lit("U"))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus")
+      case c => col(c)
+    }
+    val deleteCols = payloadCols.map { c =>
+      if (keyCols.contains(c)) col(c)
+      else lit(null).cast(types(c).dataType).as(c)
+    }
+    base.select(explode(filter(array(
+      ev("I", 0, insertCols),
+      when(k % 7 === 0, ev("U", 1, updateCols)),
+      when(k % 11 === 0, ev("D", 2, deleteCols))),
+      e => e.isNotNull)).as("e"))
+      .select(col("e.*"))
+  }
 
   /** Update events with both row images (the binlog's before/after pair,
     * reference: river/sync.go:214-240), for the changed-cols operator. */
