@@ -223,6 +223,19 @@ object SparkEntry {
       "30 minutes", Seq("user_id"), Seq(count(lit(1)).as("n")))
       .select(col("user_id"), col("win_start"), col("n"))
 
+  /** The generic envelope path end-to-end (SURVEY §1.2): string-encoded
+    * multi-table change stream → registry cast → LWW. Must agree with the
+    * typed path (cdc_lww) exactly — same oracle. */
+  private def envelopeLww(s: SparkSession, dir: String): DataFrame = {
+    val cat = new graft.model.Catalog()
+    cat.register("tpch", "orders", graft.model.TableDef(
+      ChangeFeed.orders(s, dir).schema, ChangeFeed.keyCols))
+    val rule = Rule("tpch", "orders", "sink", "orders")
+    val typed = Envelope.route(
+      ChangeFeed.fullEnvelope(s, dir), Seq(rule), cat)(("tpch", "orders"))
+    CdcMerge.lastWriteWins(typed, ChangeFeed.keyCols)
+  }
+
   // ------------------------------------------- text analysis (SURVEY §7.9)
 
   private def textTokens(s: SparkSession, dir: String): DataFrame =
@@ -310,6 +323,7 @@ object SparkEntry {
     "cdc_changed_cols" -> (cdcChangedCols _),
     "cdc_counters" -> (cdcCounters _),
     "cdc_stream_replay" -> (cdcStreamReplay _),
+    "envelope_lww" -> (envelopeLww _),
     "route_filter" -> (routeFilter _),
     "type_enum" -> (typeEnum _),
     "type_set" -> (typeSet _),
@@ -388,6 +402,7 @@ object SparkEntry {
          |FROM orders""".stripMargin,
     "cdc_lww" -> lwwOracleSql,
     "cdc_stream_replay" -> lwwOracleSql,
+    "envelope_lww" -> lwwOracleSql,
     "cdc_changed_cols" ->
       """SELECT o_orderkey, concat_ws(',',
         |  CASE WHEN o_orderkey % 2 = 1 THEN 'o_orderstatus' END,

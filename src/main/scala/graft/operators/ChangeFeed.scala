@@ -92,6 +92,26 @@ object ChangeFeed {
       .select(col("e.*"))
   }
 
+  /** The same full feed in generic-envelope form (string-encoded values,
+    * SURVEY §1.2): one untyped stream as the binlog reader would emit it,
+    * for exercising the envelope-then-cast path end-to-end. */
+  def fullEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = full(spark, sfDir)
+    val valueCols = payloadCols.flatMap(c =>
+      Seq(lit(c), col(c).cast("string")))
+    val keyPairs = keyCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    f.select(
+      col(SeqCol).as("seq"),
+      col(SeqCol).as("tsMs"),
+      lit("tpch").as("schema"),
+      lit("orders").as("table"),
+      col(OpCol).as("op"),
+      map(keyPairs: _*).as("key"),
+      lit(null).cast("map<string,string>").as("before"),
+      when(col(OpCol) =!= "D", map(valueCols: _*))
+        .otherwise(lit(null).cast("map<string,string>")).as("after"))
+  }
+
   /** Update events with both row images (the binlog's before/after pair,
     * reference: river/sync.go:214-240), for the changed-cols operator. */
   def updatePairs(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.config.Rule
+import graft.model.{Catalog, ChangeEvent, TableDef}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The generic change-event envelope path (SURVEY §1.2): schemas are
+  * runtime-discovered, so a single untyped stream of [[ChangeEvent]]s
+  * (string-encoded values in `before`/`after` maps, exactly the
+  * reference's `map[string]interface{}` request shape,
+  * clickhouse/client.go:62-70) carries EVERY table; per-table typed
+  * DataFrames are projected out by casting against the registry schema at
+  * plan-build time.
+  *
+  * This is the engine's answer to the reference's interpretive per-row
+  * rule application (river/sync.go:334-383): the rule + TableDef compile
+  * once into a `select` of `after[col] :: type` casts — whole-stage
+  * codegen'd, re-compiled only when the registry refreshes (ST6).
+  */
+object Envelope {
+  import ChangeEvent.{OpCol, SeqCol}
+
+  /** Route predicate (P6): keep one table's events; unruled tables are
+    * dropped by simply never being projected. */
+  def forTable(events: DataFrame, schema: String, table: String): DataFrame =
+    events.filter(col("schema") === schema && col("table") === table)
+
+  /** Typed after-image projection: envelope → the table's own columns
+    * (rule filter + rename applied, values cast from their string
+    * encoding to the registry types). Delete events keep key columns
+    * (from `key`) and null payloads, ready for [[CdcMerge]]. */
+  def toTyped(events: DataFrame, defn: TableDef, rule: Rule): DataFrame = {
+    val cols: Seq[Column] = defn.schema.fields.toSeq
+      .filter(f => rule.passesFilter(f.name))
+      .map { f =>
+        val (sinkName, modifier) = rule.mappedField(f.name)
+        val raw =
+          if (defn.pkColumns.contains(f.name)) {
+            // keys ride in `key` for every op (deletes have no after)
+            coalesce(element_at(col("after"), f.name),
+              element_at(col("key"), f.name))
+          } else element_at(col("after"), f.name)
+        val typed = modifier match {
+          case Some("list") => graft.functions.TypeNorm.csvList(raw)
+          case Some("date") => graft.functions.TypeNorm.unixSecondsToTs(raw)
+          case _ => raw.cast(f.dataType)
+        }
+        typed.as(sinkName)
+      }
+    events.select(cols :+ col("op").as(OpCol) :+ col("seq").as(SeqCol): _*)
+  }
+
+  /** Full route: envelope stream × config rules × catalog → one typed,
+    * merge-ready DataFrame per ruled (schema, table). */
+  def route(events: DataFrame, rules: Seq[Rule],
+      catalog: Catalog): Map[(String, String), DataFrame] =
+    rules.flatMap { r =>
+      catalog.get(r.sourceSchema, r.sourceTable).map { defn =>
+        (r.sourceSchema, r.sourceTable) ->
+          toTyped(forTable(events, r.sourceSchema, r.sourceTable), defn, r)
+      }
+    }.toMap
+}
