@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.config.SyncConfig
+import graft.model.{Catalog, ChangeEvent}
+import graft.operators.Envelope
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's full topology as ONE streaming query: a single
+  * change-log stream carrying every table's events, routed per micro-batch
+  * through the rule set into per-table MERGE targets.
+  *
+  * Reference shape: one binlog reader → rule lookup per event → per-table
+  * request buffers → bulk apply (river/sync.go:72-167). Here: one file
+  * source over the envelope log → [[Envelope.route]] (filter + cast +
+  * rename compiled per rule) → [[CdcStream.mergeBatch]] per sink table,
+  * all inside one `foreachBatch`, so the batch's offset range commits
+  * atomically for every table — the reference's single position file
+  * covering all tables (river/master.go) maps to the one checkpoint.
+  *
+  * Config mapping (reference etc/river.toml): `bulk_size` →
+  * `maxFilesPerTrigger` (batch size cap), `flush_bulk_time` →
+  * `Trigger.ProcessingTime`, `-update`/`-delete` ignore flags → dropped
+  * ops, `skip_no_pk_table` → Catalog registration policy.
+  *
+  * Scale: the routed projections are narrow selects off the shared
+  * batch — Spark computes the batch scan once (persisted per batch), and
+  * each table's merge shuffles only its own events on its own keys.
+  */
+object CdcPipeline {
+
+  /** Target directory for a rule's sink table. */
+  def targetDir(root: String, sinkSchema: String, sinkTable: String): String =
+    s"$root/$sinkSchema.$sinkTable"
+
+  def start(spark: SparkSession, changesDir: String, cfg: SyncConfig,
+      catalog: Catalog, targetRoot: String, checkpointDir: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val t = trigger.getOrElse(
+      if (cfg.flushIntervalMs > 0) Trigger.ProcessingTime(cfg.flushIntervalMs)
+      else Trigger.AvailableNow())
+    spark.readStream
+      .schema(ChangeEvent.envelopeSchema)
+      .option("maxFilesPerTrigger", math.max(1, cfg.bulkSize / 128))
+      .parquet(changesDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          Envelope.route(batch, cfg.rules, catalog).foreach {
+            case ((srcSchema, srcTable), typed) =>
+              val rule = cfg.ruleFor(srcSchema, srcTable).get
+              val defn = catalog.get(srcSchema, srcTable).get
+              // key columns carry their SINK names after the projection
+              val sinkKeys = defn.pkColumns.map(rule.mappedField(_)._1)
+              // skip tables this batch doesn't touch: no state rewrite
+              if (!typed.isEmpty) {
+                CdcStream.mergeBatch(typed, batchId,
+                  targetDir(targetRoot, rule.sinkSchema, rule.sinkTable),
+                  sinkKeys, cfg.ignoreUpdates, cfg.ignoreDeletes)
+              }
+          }
+        } finally batch.unpersist()
+      }
+      .trigger(t)
+      .start()
+  }
+
+  /** Drain everything currently in the log and return each sink table's
+    * live view. */
+  def replayToCompletion(spark: SparkSession, changesDir: String,
+      cfg: SyncConfig, catalog: Catalog, targetRoot: String,
+      checkpointDir: String): Map[(String, String), DataFrame] = {
+    val q = start(spark, changesDir, cfg, catalog, targetRoot,
+      checkpointDir, trigger = Some(Trigger.AvailableNow()))
+    q.awaitTermination()
+    cfg.rules.flatMap { r =>
+      catalog.get(r.sourceSchema, r.sourceTable).map { defn =>
+        val rule = r
+        val sample = Envelope.toTyped(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            ChangeEvent.envelopeSchema), defn, rule)
+        (r.sinkSchema, r.sinkTable) -> CdcStream.currentView(spark,
+          targetDir(targetRoot, r.sinkSchema, r.sinkTable), sample.schema)
+      }
+    }.toMap
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.config.{Rule, SyncConfig}
+import graft.model.{Catalog, TableDef}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One multi-table envelope stream → per-table merge targets — the
+  * reference's whole topology in a single streaming query. */
+class CdcPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def envelope(rows: (Long, String, String, String,
+      Map[String, String], Map[String, String])*): DataFrame =
+    rows.toDF("seq", "schema", "table", "op", "key", "after")
+      .withColumn("tsMs", $"seq")
+      .withColumn("before",
+        org.apache.spark.sql.functions.lit(null)
+          .cast("map<string,string>"))
+      .select("seq", "tsMs", "schema", "table", "op", "key", "before",
+        "after")
+
+  test("two tables, one stream: routed merges + rename + unruled drop") {
+    val work = Files.createTempDirectory("graft_pipe_").toString
+    val cat = new Catalog()
+    cat.register("db", "adv", TableDef(StructType(Seq(
+      StructField("id", IntegerType), StructField("title", StringType))),
+      Seq("id")))
+    cat.register("db", "usr", TableDef(StructType(Seq(
+      StructField("uid", LongType), StructField("name", StringType))),
+      Seq("uid")))
+    val cfg = SyncConfig(rules = Seq(
+      Rule("db", "adv", "sink", "adv_t",
+        fieldMapping = Map("title" -> "es_title")),
+      Rule("db", "usr", "sink", "usr_t")),
+      flushIntervalMs = 0) // AvailableNow
+
+    envelope(
+      (1L, "db", "adv", "I", Map("id" -> "1"),
+        Map("id" -> "1", "title" -> "t1")),
+      (2L, "db", "usr", "I", Map("uid" -> "7"),
+        Map("uid" -> "7", "name" -> "n7")),
+      (3L, "db", "adv", "U", Map("id" -> "1"),
+        Map("id" -> "1", "title" -> "t1b")),
+      (4L, "db", "ghost", "I", Map("id" -> "9"), Map("id" -> "9")),
+      (5L, "db", "usr", "D", Map("uid" -> "7"), null),
+      (6L, "db", "usr", "I", Map("uid" -> "8"),
+        Map("uid" -> "8", "name" -> "n8")))
+      .write.parquet(s"$work/changes")
+
+    val views = CdcPipeline.replayToCompletion(spark, s"$work/changes",
+      cfg, cat, s"$work/targets", s"$work/ckpt")
+    assert(views.keySet == Set(("sink", "adv_t"), ("sink", "usr_t")))
+    val adv = views(("sink", "adv_t"))
+    assert(adv.columns.toSeq == Seq("id", "es_title"))
+    assert(adv.as[(Int, String)].collect().toSet == Set((1, "t1b")))
+    val usr = views(("sink", "usr_t")).as[(Long, String)].collect().toSet
+    assert(usr == Set((8L, "n8"))) // uid 7 deleted
+    // the unruled 'ghost' table produced no target
+    assert(!new java.io.File(s"$work/targets/sink.ghost").exists())
+  }
+
+  test("resume: a second drain with the same checkpoint is incremental") {
+    val work = Files.createTempDirectory("graft_pipe2_").toString
+    val cat = new Catalog()
+    cat.register("db", "adv", TableDef(StructType(Seq(
+      StructField("id", IntegerType), StructField("title", StringType))),
+      Seq("id")))
+    val cfg = SyncConfig(rules = Seq(Rule("db", "adv", "sink", "adv_t")),
+      flushIntervalMs = 0)
+    envelope((1L, "db", "adv", "I", Map("id" -> "1"),
+      Map("id" -> "1", "title" -> "a")))
+      .write.parquet(s"$work/changes")
+    CdcPipeline.replayToCompletion(spark, s"$work/changes", cfg, cat,
+      s"$work/targets", s"$work/ckpt")
+    envelope((2L, "db", "adv", "U", Map("id" -> "1"),
+      Map("id" -> "1", "title" -> "b")))
+      .write.mode("append").parquet(s"$work/changes")
+    val views = CdcPipeline.replayToCompletion(spark, s"$work/changes",
+      cfg, cat, s"$work/targets", s"$work/ckpt")
+    assert(views(("sink", "adv_t")).as[(Int, String)].collect().toSet ==
+      Set((1, "b")))
+  }
+}
