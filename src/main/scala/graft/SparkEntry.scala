@@ -299,6 +299,14 @@ object SparkEntry {
       bits = 8, probeDist = 1, native = true)
   }
 
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    // approximate (k-means buckets): rows-only check; equivalence at
+    // nprobe = nlist and recall bounds are asserted in SimilaritySpec
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+      nlist = 16, nprobe = 4, native = true)
+  }
+
   // ------------------------------------------- multimodal (SURVEY §7.9)
 
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -349,6 +357,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "multimodal_meta" -> (multimodalMeta _),
     "frame_sample" -> (frameSample _))
 

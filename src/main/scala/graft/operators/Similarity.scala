@@ -124,6 +124,83 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** K-means centroids for IVF, trained driver-side over DataFrame
+    * passes: deterministic seeding (lowest-id vectors), element-wise mean
+    * via posexplode + groupBy per iteration. k×dim doubles come back to
+    * the driver each round — trivially small; the per-row assignment work
+    * is the distributed part. */
+  def kmeansCentroids(corpus: DataFrame, dim: Int, k: Int = 16,
+      iters: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val vecs = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("v"))
+    var cents: Array[Array[Double]] = vecs.orderBy(col(idCol)).limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("c", nearestCentroid(col("v"), cents))
+      val means = assigned
+        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+    }
+    cents
+  }
+
+  /** Index of the max-cosine centroid for a vector (centroids ride as
+    * plan literals, so every executor sees identical values). */
+  def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, array(c.map(lit): _*)).as("s"),
+        lit(i).as("i"))
+    }
+    array_max(array(scored: _*)).getField("i")
+  }
+
+  /** IVF top-k: corpus vectors live in their nearest-centroid bucket;
+    * a query probes its `nprobe` closest centroids and ranks only those
+    * buckets' vectors. `nprobe = nlist` provably equals brute force
+    * (every bucket probed); smaller nprobe trades recall for a
+    * 1/(nlist/nprobe) cut in comparisons. The candidate join is an
+    * equi-join on bucket id — same shuffle shape as the LSH path, but
+    * buckets adapt to the data distribution instead of random planes. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 4, native: Boolean = false): DataFrame = {
+    val cents = kmeansCentroids(corpus, dim, nlist, idCol = idCol,
+      vecCol = vecCol)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv")).repartition(par)
+      .withColumn("bucket", nearestCentroid(col("cv"), cents))
+    // query side: rank all centroids, keep the nprobe closest
+    val probeScores = cents.zipWithIndex.map { case (cent, i) =>
+      struct(cosine(col("qv"), array(cent.map(lit): _*)).as("s"),
+        lit(i).as("i"))
+    }
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("probe",
+        slice(reverse(array_sort(array(probeScores: _*))), 1, nprobe))
+      .select(col("query_id"), col("qv"),
+        explode(col("probe").getField("i")).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        round(cosineBy(native)(col("qv"), col("cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH with multi-probe: a
     * corpus vector is a candidate for a query if their buckets differ in
     * at most `probeDist` bits. The candidate join runs on exploded

@@ -66,6 +66,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("ivfTopK with nprobe = nlist equals brute force") {
+    val queries = embeddings.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, k = 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(embeddings, queries, k = 3,
+      nlist = 4, nprobe = 4)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(ivf == exact)
+  }
+
+  test("ivfTopK partial probing keeps useful recall") {
+    val queries = embeddings.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(embeddings, queries, k = 5,
+      nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
   test("lshTopK with exhaustive probing equals brute force") {
     val queries = embeddings.filter($"vec_id" < 5)
     val exact = Similarity.bruteForceTopK(embeddings, queries, k = 3)
