@@ -44,11 +44,33 @@ object Envelope {
         val typed = modifier match {
           case Some("list") => graft.functions.TypeNorm.csvList(raw)
           case Some("date") => graft.functions.TypeNorm.unixSecondsToTs(raw)
-          case _ => raw.cast(f.dataType)
+          case _ => normalize(raw, f)
         }
         typed.as(sinkName)
       }
     events.select(cols :+ col("op").as(OpCol) :+ col("seq").as(SeqCol): _*)
+  }
+
+  /** MySQL wire-value normalization driven by the field's
+    * [[graft.functions.TypeMapper]] metadata — the engine-side
+    * `makeReqColumnData` (reference: river/sync.go:242-315): ENUM binlog
+    * index → label, SET bitmask → joined members, BIT dump-string → 0/1,
+    * zero dates → NULL. Fields without MySQL metadata take a plain cast.
+    */
+  private def normalize(raw: Column,
+      f: org.apache.spark.sql.types.StructField): Column = {
+    import graft.functions.{TypeMapper, TypeNorm}
+    if (!f.metadata.contains(TypeMapper.MysqlTypeKey)) raw.cast(f.dataType)
+    else f.metadata.getString(TypeMapper.MysqlTypeKey) match {
+      case "enum" => TypeNorm.enumLabel(raw.cast("long"),
+        f.metadata.getStringArray(TypeMapper.EnumValuesKey).toSeq)
+      case "set" => TypeNorm.setLabels(raw.cast("long"),
+        f.metadata.getStringArray(TypeMapper.SetValuesKey).toSeq)
+      case "bit" => TypeNorm.bitToLong(raw)
+      case "date" => TypeNorm.mysqlDate(raw)
+      case "datetime" => TypeNorm.mysqlDateTime(raw)
+      case _ => raw.cast(f.dataType) // json et al stay dynamic
+    }
   }
 
   /** Full route: envelope stream × config rules × catalog → one typed,
