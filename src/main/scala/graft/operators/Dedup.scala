@@ -85,10 +85,11 @@ object Dedup {
     * (recall 1), then exact Jaccard verifies on the full sorted sets. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // the sets feed the posting index AND both verify joins — persist so
-    // the shingle+hash pass runs once (spills to disk if too large)
+    // the sets feed the posting index AND both verify joins; the shared
+    // pass is one fused native kernel, so recomputation is cheaper than
+    // holding cache blocks for the job's lifetime (callers running many
+    // dedup jobs in one session may persist docs themselves)
     val sets = hashedShingleSets(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen =
       (floor(lit(1.0 - threshold) * col("n_sh")) + 1).cast("int")
     val posting = sets.select(col("doc_id"),
@@ -141,7 +142,6 @@ object Dedup {
       n: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val sets = hashedShingleSets(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifiedPairs(minhashCandidatesFromSets(sets, k, bands), sets,
       threshold)
   }

@@ -130,7 +130,7 @@ object Similarity {
     * the driver each round — trivially small; the per-row assignment work
     * is the distributed part. */
   def kmeansCentroids(corpus: DataFrame, dim: Int, k: Int = 16,
-      iters: Int = 5, idCol: String = "vec_id",
+      iters: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[Array[Double]] = {
     val vecs = corpus.select(col(idCol),
       col(vecCol).cast("array<double>").as("v"))
