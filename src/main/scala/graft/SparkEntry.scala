@@ -178,6 +178,28 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
 
+  private def sinkDefaultFilter(s: SparkSession, dir: String): DataFrame = {
+    // S5: rule without a filter — the sink table's columns (post-rename)
+    // define the projection
+    val rule = Rule("tpch", "customer", "sink", "customer_slim",
+      fieldMapping = Map("c_name" -> "cust_name"))
+    Projection.forSink(rule, Seq("c_custkey", "cust_name"))(
+      t(s, dir, "customer"))
+  }
+
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    // semi/anti join surface: customers that never ordered
+    t(s, dir, "customer").join(t(s, dir, "orders"),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    // multi-level aggregation surface: rollup with exact decimal sums
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .as("sum_qty"), count(lit(1)).as("n"))
+
   private def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -342,6 +364,9 @@ object SparkEntry {
     "type_json" -> (typeJson _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_rollup" -> (qRollup _),
+    "sink_default_filter" -> (sinkDefaultFilter _),
     "topk_per_group" -> (topkPerGroup _),
     "event_windows" -> (eventWindows _),
     "event_sliding" -> (eventSliding _),
@@ -480,6 +505,20 @@ object SparkEntry {
         |  AND o_orderkey = l_orderkey
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+        .stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+        .stripMargin,
+    "sink_default_filter" ->
+      "SELECT c_custkey, c_name AS cust_name FROM customer",
     "topk_per_group" ->
       """SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
         |  SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (
