@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.operators.CdcMerge
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Partition-scoped CDC state: the 100 TB answer to "a micro-batch must
+  * not rewrite the whole target".
+  *
+  * Layout: `targetDir/bucket=<b>/v=<batchId>/` — state is hash-bucketed
+  * by primary key (`pmod(hash(keys), nBuckets)`), each bucket versioned
+  * independently. A micro-batch:
+  *
+  *   1. computes the buckets its keys touch (distinct over the batch —
+  *      tiny),
+  *   2. reads ONLY those buckets' latest state,
+  *   3. merges (same latest-by-`_seq` collapse as the flat path) and
+  *      writes all touched buckets in ONE partitioned job,
+  *   4. promotes each staged bucket dir to `bucket=b/v=<batchId>` with a
+  *      rename + `_GRAFT_OK` marker.
+  *
+  * Untouched buckets are never read or written, so per-batch cost scales
+  * with the batch's key spread, not the table size. Replaying a batch
+  * after a crash re-stages and re-promotes the same versions from the
+  * same pre-batch state — idempotent, like the flat versioned layout
+  * (readers only trust marker-complete versions). Bucket count is fixed
+  * at table creation (a resize is a rewrite — same rule as any hash
+  * layout).
+  */
+object BucketedState {
+  import graft.model.ChangeEvent.{OpCol, SeqCol, OpDelete}
+
+  private val Marker = "_GRAFT_OK"
+  private val BucketTag = "_gb" // staging partition column
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bucketExpr(keyCols: Seq[String], nBuckets: Int) =
+    pmod(hash(keyCols.map(col): _*), lit(nBuckets))
+
+  /** Latest marker-complete version of one bucket, optionally below a
+    * replay horizon. */
+  private def latestVersion(spark: SparkSession, targetDir: String,
+      bucket: Int, beforeBatch: Option[Long]): Option[Long] = {
+    val dir = new Path(s"$targetDir/bucket=$bucket")
+    val f = fs(spark, targetDir)
+    if (!f.exists(dir)) None
+    else {
+      val vs = f.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .filter(s => f.exists(new Path(s.getPath, Marker)))
+        .map(_.getPath.getName.stripPrefix("v=").toLong)
+        .sorted
+      beforeBatch.map(b => vs.filter(_ < b)).getOrElse(vs).lastOption
+    }
+  }
+
+  /** State of the given buckets (payload + meta columns, no bucket
+    * column — it is derivable from the keys). */
+  def readBuckets(spark: SparkSession, targetDir: String,
+      stateSchema: StructType, buckets: Seq[Int],
+      beforeBatch: Option[Long] = None): DataFrame = {
+    val paths = buckets.flatMap(b =>
+      latestVersion(spark, targetDir, b, beforeBatch)
+        .map(v => s"$targetDir/bucket=$b/v=$v"))
+    if (paths.isEmpty) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+    } else spark.read.schema(stateSchema).parquet(paths: _*)
+  }
+
+  /** Merge one micro-batch; rewrites only the buckets the batch touches. */
+  def mergeBatch(batch: DataFrame, batchId: Long, targetDir: String,
+      keyCols: Seq[String], nBuckets: Int, ignoreUpdates: Boolean = false,
+      ignoreDeletes: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val effective = CdcMerge.filterOps(batch, ignoreUpdates, ignoreDeletes)
+    val touched = effective
+      .select(bucketExpr(keyCols, nBuckets).as(BucketTag))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val state = readBuckets(spark, targetDir, effective.schema,
+      touched.toSeq, beforeBatch = Some(batchId))
+    val staging = s"$targetDir/.staging-v$batchId"
+    CdcMerge.latestByKey(state.unionByName(effective), keyCols)
+      .withColumn(BucketTag, bucketExpr(keyCols, nBuckets))
+      .write.mode("overwrite").partitionBy(BucketTag).parquet(staging)
+    val f = fs(spark, targetDir)
+    touched.foreach { b =>
+      val src = new Path(s"$staging/$BucketTag=$b")
+      val dstDir = new Path(s"$targetDir/bucket=$b")
+      val dst = new Path(dstDir, s"v=$batchId")
+      f.mkdirs(dstDir)
+      if (f.exists(dst)) f.delete(dst, true) // crash-replay leftover
+      if (f.exists(src)) f.rename(src, dst)
+      else f.mkdirs(dst) // touched but merged-empty (cannot happen with
+      // tombstones retained; kept for safety)
+      f.create(new Path(dst, Marker)).close()
+    }
+    f.delete(new Path(staging), true)
+  }
+
+  /** Full state (all buckets' latest complete versions). */
+  def currentState(spark: SparkSession, targetDir: String,
+      stateSchema: StructType, nBuckets: Int): DataFrame =
+    readBuckets(spark, targetDir, stateSchema, 0 until nBuckets)
+
+  /** Live rows only, meta dropped. */
+  def currentView(spark: SparkSession, targetDir: String,
+      stateSchema: StructType, nBuckets: Int): DataFrame =
+    currentState(spark, targetDir, stateSchema, nBuckets)
+      .filter(col(OpCol) =!= OpDelete)
+      .drop(OpCol, SeqCol)
+}

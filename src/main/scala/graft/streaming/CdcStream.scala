@@ -104,7 +104,8 @@ object CdcStream {
       keyCols: Seq[String], ignoreUpdates: Boolean = false,
       ignoreDeletes: Boolean = false,
       maxFilesPerTrigger: Option[Int] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      stateBuckets: Option[Int] = None): StreamingQuery = {
     var reader = spark.readStream.schema(changeSchema)
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n))
@@ -114,8 +115,12 @@ object CdcStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(batch, batchId, targetDir, keyCols, ignoreUpdates,
-          ignoreDeletes)
+        stateBuckets match {
+          case Some(n) => BucketedState.mergeBatch(batch, batchId,
+            targetDir, keyCols, n, ignoreUpdates, ignoreDeletes)
+          case None => mergeBatch(batch, batchId, targetDir, keyCols,
+            ignoreUpdates, ignoreDeletes)
+        }
       }
       .trigger(trigger)
       .start()

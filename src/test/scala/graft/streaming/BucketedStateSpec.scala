@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.operators.{ChangeFeed, CdcMerge}
+import org.scalatest.funsuite.AnyFunSuite
+
+class BucketedStateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val N = 8
+
+  test("bucketed streamed replay equals batch last-write-wins") {
+    val work = Files.createTempDirectory("graft_bstate_").toString
+    val feed = ChangeFeed.full(spark, TestSpark.Sf0001)
+    feed.repartition(3).write.parquet(s"$work/changes")
+    val q = CdcStream.start(spark, s"$work/changes", feed.schema,
+      s"$work/target", s"$work/ckpt", ChangeFeed.keyCols,
+      maxFilesPerTrigger = Some(1), stateBuckets = Some(N))
+    q.awaitTermination()
+    val got = BucketedState.currentView(spark, s"$work/target",
+      feed.schema, N)
+    val want = CdcMerge.lastWriteWins(feed, ChangeFeed.keyCols)
+    assert(got.collect().map(_.toString).sorted.toSeq ==
+      want.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("a one-key batch rewrites exactly one bucket") {
+    val work = Files.createTempDirectory("graft_bstate2_").toString
+    val b0 = Seq((1, "a", "I", 1L), (2, "b", "I", 2L), (3, "c", "I", 3L),
+      (17, "q", "I", 4L)).toDF("k", "v", "_op", "_seq")
+    BucketedState.mergeBatch(b0, 0L, s"$work/t", Seq("k"), N)
+    def versions(b: Int): Set[String] = {
+      val d = new java.io.File(s"$work/t/bucket=$b")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.startsWith("v="))
+        .map(_.getName).toSet
+    }
+    val bucketsAfter0 = (0 until N).filter(versions(_).nonEmpty)
+    // batch 1 touches only key 1
+    val b1 = Seq((1, "a2", "U", 10L)).toDF("k", "v", "_op", "_seq")
+    BucketedState.mergeBatch(b1, 1L, s"$work/t", Seq("k"), N)
+    val gained = (0 until N).filter(b => versions(b).contains("v=1"))
+    assert(gained.size == 1, s"exactly one bucket gains v=1, got $gained")
+    // untouched buckets still only have v=0
+    bucketsAfter0.filterNot(gained.contains).foreach(b =>
+      assert(versions(b) == Set("v=0")))
+    val view = BucketedState.currentView(spark, s"$work/t",
+      b0.schema, N).as[(Int, String)].collect().toMap
+    assert(view == Map(1 -> "a2", 2 -> "b", 3 -> "c", 17 -> "q"))
+  }
+
+  test("re-merging the same batch id is idempotent") {
+    val work = Files.createTempDirectory("graft_bstate3_").toString
+    val b0 = Seq((1, "a", "I", 1L), (2, "b", "I", 2L))
+      .toDF("k", "v", "_op", "_seq")
+    BucketedState.mergeBatch(b0, 0L, s"$work/t", Seq("k"), N)
+    val b1 = Seq((1, null.asInstanceOf[String], "D", 9L))
+      .toDF("k", "v", "_op", "_seq")
+    BucketedState.mergeBatch(b1, 1L, s"$work/t", Seq("k"), N)
+    val once = BucketedState.currentView(spark, s"$work/t", b0.schema, N)
+      .as[(Int, String)].collect().toSet
+    BucketedState.mergeBatch(b1, 1L, s"$work/t", Seq("k"), N) // replay
+    val twice = BucketedState.currentView(spark, s"$work/t", b0.schema, N)
+      .as[(Int, String)].collect().toSet
+    assert(once == twice && once == Set((2, "b")))
+  }
+}
