@@ -75,7 +75,8 @@ object BucketedState {
   /** Merge one micro-batch; rewrites only the buckets the batch touches. */
   def mergeBatch(batch: DataFrame, batchId: Long, targetDir: String,
       keyCols: Seq[String], nBuckets: Int, ignoreUpdates: Boolean = false,
-      ignoreDeletes: Boolean = false): Unit = {
+      ignoreDeletes: Boolean = false,
+      tombstoneHorizon: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val effective = CdcMerge.filterOps(batch, ignoreUpdates, ignoreDeletes)
     val touched = effective
@@ -85,7 +86,13 @@ object BucketedState {
     val state = readBuckets(spark, targetDir, effective.schema,
       touched.toSeq, beforeBatch = Some(batchId))
     val staging = s"$targetDir/.staging-v$batchId"
-    CdcMerge.latestByKey(state.unionByName(effective), keyCols)
+    val merged = CdcMerge.latestByKey(state.unionByName(effective), keyCols)
+    val gced = tombstoneHorizon match {
+      case Some(h) =>
+        merged.filter(!(col(OpCol) === OpDelete && col(SeqCol) <= h))
+      case None => merged
+    }
+    gced
       .withColumn(BucketTag, bucketExpr(keyCols, nBuckets))
       .write.mode("overwrite").partitionBy(BucketTag).parquet(staging)
     val f = fs(spark, targetDir)
@@ -101,6 +108,27 @@ object BucketedState {
       f.create(new Path(dst, Marker)).close()
     }
     f.delete(new Path(staging), true)
+  }
+
+  /** Drop per-bucket versions older than the newest `keep`. */
+  def gcVersions(spark: SparkSession, targetDir: String, nBuckets: Int,
+      keep: Int = 2): Int = {
+    require(keep >= 1)
+    val f = fs(spark, targetDir)
+    (0 until nBuckets).map { b =>
+      val dir = new Path(s"$targetDir/bucket=$b")
+      if (!f.exists(dir)) 0
+      else {
+        val vs = f.listStatus(dir).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+          .map(_.getPath.getName.stripPrefix("v=").toLong)
+          .sorted
+        val doomed = vs.dropRight(keep)
+        doomed.foreach(v => f.delete(new Path(s"$targetDir/bucket=$b/v=$v"),
+          true))
+        doomed.size
+      }
+    }.sum
   }
 
   /** Full state (all buckets' latest complete versions). */

@@ -82,16 +82,41 @@ object CdcStream {
       .drop(OpCol, SeqCol)
 
   /** Merge one micro-batch into the versioned state. Public so batch
-    * backfills can reuse the exact streaming semantics. */
+    * backfills can reuse the exact streaming semantics.
+    *
+    * `tombstoneHorizon`: delete markers whose `_seq` ≤ horizon are
+    * dropped during the merge — safe once the source guarantees no event
+    * at or below that sequence can still arrive (the reference's analog:
+    * ReplacingMergeTree rows collapse for good at OPTIMIZE FINAL). */
   def mergeBatch(batch: DataFrame, batchId: Long, targetDir: String,
       keyCols: Seq[String], ignoreUpdates: Boolean,
-      ignoreDeletes: Boolean): Unit = {
+      ignoreDeletes: Boolean, tombstoneHorizon: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val state = currentState(spark, targetDir, batch.schema,
       beforeBatch = Some(batchId))
     val effective = CdcMerge.filterOps(batch, ignoreUpdates, ignoreDeletes)
-    CdcMerge.latestByKey(state.unionByName(effective), keyCols)
-      .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+    val merged = CdcMerge.latestByKey(state.unionByName(effective), keyCols)
+    val gced = tombstoneHorizon match {
+      case Some(h) =>
+        merged.filter(!(col(OpCol) === OpDelete && col(SeqCol) <= h))
+      case None => merged
+    }
+    gced.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+  }
+
+  /** Drop state versions older than the newest `keep` per target — every
+    * batch writes a full copy, so without GC storage grows linearly in
+    * batch count. `keep >= 2` always leaves the pre-batch state an
+    * in-flight replay would read. */
+  def gcVersions(spark: SparkSession, targetDir: String,
+      keep: Int = 2): Int = {
+    require(keep >= 1)
+    val path = new Path(targetDir)
+    val f = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versions(spark, targetDir)
+    val doomed = vs.dropRight(keep)
+    doomed.foreach(v => f.delete(new Path(s"$targetDir/v=$v"), true))
+    doomed.size
   }
 
   /** Start the streaming apply. The change log is a directory of parquet

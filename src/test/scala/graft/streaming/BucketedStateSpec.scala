@@ -52,6 +52,23 @@ class BucketedStateSpec extends AnyFunSuite {
     assert(view == Map(1 -> "a2", 2 -> "b", 3 -> "c", 17 -> "q"))
   }
 
+  test("per-bucket gcVersions bounds storage, view unchanged") {
+    val work = Files.createTempDirectory("graft_bgc_").toString
+    // key 1 updated three times -> its bucket accrues 3 versions
+    for (i <- 0 until 3) {
+      BucketedState.mergeBatch(
+        Seq((1, s"v$i", if (i == 0) "I" else "U", i.toLong))
+          .toDF("k", "v", "_op", "_seq"),
+        i.toLong, s"$work/t", Seq("k"), N)
+    }
+    val removed = BucketedState.gcVersions(spark, s"$work/t", N, keep = 1)
+    assert(removed == 2)
+    val schema = Seq((1, "x", "I", 1L)).toDF("k", "v", "_op", "_seq").schema
+    val view = BucketedState.currentView(spark, s"$work/t", schema, N)
+      .as[(Int, String)].collect().toMap
+    assert(view == Map(1 -> "v2"))
+  }
+
   test("re-merging the same batch id is idempotent") {
     val work = Files.createTempDirectory("graft_bstate3_").toString
     val b0 = Seq((1, "a", "I", 1L), (2, "b", "I", 2L))

@@ -67,6 +67,41 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(finalView.count() == 0)
   }
 
+  test("tombstone horizon GC removes expired delete markers from state") {
+    val work = tmp()
+    val b0 = Seq((1, "a", "I", 1L), (2, "b", "I", 2L))
+      .toDF("k", "v", "_op", "_seq")
+    CdcStream.mergeBatch(b0, 0L, s"$work/t", Seq("k"), false, false)
+    val b1 = Seq((1, null.asInstanceOf[String], "D", 5L))
+      .toDF("k", "v", "_op", "_seq")
+    CdcStream.mergeBatch(b1, 1L, s"$work/t", Seq("k"), false, false)
+    // tombstone present until the horizon passes its seq
+    assert(CdcStream.currentState(spark, s"$work/t", b0.schema)
+      .count() == 2)
+    val b2 = Seq((3, "c", "I", 10L)).toDF("k", "v", "_op", "_seq")
+    CdcStream.mergeBatch(b2, 2L, s"$work/t", Seq("k"), false, false,
+      tombstoneHorizon = Some(5L))
+    val state = CdcStream.currentState(spark, s"$work/t", b0.schema)
+    assert(state.count() == 2) // keys 2 and 3; tombstone for 1 gone
+    assert(state.filter("_op = 'D'").count() == 0)
+  }
+
+  test("gcVersions keeps the newest versions and the view intact") {
+    val work = tmp()
+    for (i <- 0 until 4) {
+      CdcStream.mergeBatch(
+        Seq((i, s"v$i", "I", i.toLong)).toDF("k", "v", "_op", "_seq"),
+        i.toLong, s"$work/t", Seq("k"), false, false)
+    }
+    val before = new java.io.File(s"$work/t").listFiles()
+      .count(_.getName.startsWith("v="))
+    assert(before == 4)
+    val removed = CdcStream.gcVersions(spark, s"$work/t", keep = 2)
+    assert(removed == 2)
+    val schema = Seq((1, "x", "I", 1L)).toDF("k", "v", "_op", "_seq").schema
+    assert(CdcStream.currentView(spark, s"$work/t", schema).count() == 4)
+  }
+
   test("batch replay is idempotent: re-merging the same batch id is a no-op") {
     val work = tmp()
     val batch = Seq((1, "a", "I", 1L), (2, "b", "I", 2L))
