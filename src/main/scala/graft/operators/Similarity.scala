@@ -117,7 +117,7 @@ object Similarity {
   def bucketId(vec: Column, planes: Array[Array[Double]]): Column = {
     val vd = vec.cast("array<double>")
     planes.zipWithIndex.map { case (p, j) =>
-      val plane = array(p.map(lit): _*)
+      val plane = array(p.toIndexedSeq.map(lit): _*)
       val dot = aggregate(zip_with(vd, plane, (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
@@ -131,9 +131,15 @@ object Similarity {
     * is the distributed part. */
   def kmeansCentroids(corpus: DataFrame, dim: Int, k: Int = 16,
       iters: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Array[Array[Double]] = {
+      vecCol: String = "embedding",
+      trainSample: Int = 2048): Array[Array[Double]] = {
+    // centroid quality needs a representative sample, not the corpus:
+    // cap the training set (deterministically, by id) so training cost
+    // stays constant as the corpus grows — assignment of the full corpus
+    // happens once, in ivfTopK, not per training round
     val vecs = corpus.select(col(idCol),
       col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col(idCol)).limit(trainSample)
     var cents: Array[Array[Double]] = vecs.orderBy(col(idCol)).limit(k)
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
@@ -155,10 +161,10 @@ object Similarity {
     * plan literals, so every executor sees identical values). */
   def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
     val scored = cents.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, array(c.map(lit): _*)).as("s"),
+      struct(cosine(vec, array(c.toIndexedSeq.map(lit): _*)).as("s"),
         lit(i).as("i"))
     }
-    array_max(array(scored: _*)).getField("i")
+    array_max(array(scored.toIndexedSeq: _*)).getField("i")
   }
 
   /** IVF top-k: corpus vectors live in their nearest-centroid bucket;
@@ -180,7 +186,7 @@ object Similarity {
       .withColumn("bucket", nearestCentroid(col("cv"), cents))
     // query side: rank all centroids, keep the nprobe closest
     val probeScores = cents.zipWithIndex.map { case (cent, i) =>
-      struct(cosine(col("qv"), array(cent.map(lit): _*)).as("s"),
+      struct(cosine(col("qv"), array(cent.toIndexedSeq.map(lit): _*)).as("s"),
         lit(i).as("i"))
     }
     val q = queries.select(col(idCol).as("query_id"),

@@ -68,6 +68,31 @@ class CdcMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("scalacheck: lastWriteWins == naive replay over generated streams") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEvs: Gen[List[Ev]] = for {
+      n <- Gen.chooseNum(1, 50)
+      raw <- Gen.listOfN(n, for {
+        op <- Gen.oneOf("I", "U", "D")
+        k <- Gen.chooseNum(0, 7)
+        v <- Gen.stringOfN(4, Gen.alphaChar)
+      } yield (op, k, v))
+    } yield raw.zipWithIndex.map { case ((op, k, v), i) =>
+      Ev(i.toLong, op, k, v)
+    }
+    val prop = Prop.forAll(genEvs) { evs =>
+      val df = evs.map(e => (e.seq, e.op, e.k, e.v))
+        .toDF("seq", "op", "k", "v")
+        .select($"k", $"v", $"op".as("_op"), $"seq".as("_seq"))
+        .repartition(2)
+      CdcMerge.lastWriteWins(df, Seq("k"))
+        .as[(Int, String)].collect().toMap == naiveReplay(evs)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("ignore flags drop ops before merge (reference default posture)") {
     val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val changes = Seq((1, "a2", "U", 10L), (2, null, "D", 11L),
