@@ -200,6 +200,15 @@ object SparkEntry {
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
         .as("sum_qty"), count(lit(1)).as("n"))
 
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    // set-operation surface: nation keys of customers vs suppliers
+    val custN = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+    val suppN = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    custN.intersect(suppN)
+      .withColumn("which", lit("both"))
+      .unionByName(custN.except(suppN).withColumn("which", lit("cust_only")))
+  }
+
   private def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -366,6 +375,7 @@ object SparkEntry {
     "q3_join" -> (q3Join _),
     "q_anti_join" -> (qAntiJoin _),
     "q_rollup" -> (qRollup _),
+    "q_setops" -> (qSetOps _),
     "sink_default_filter" -> (sinkDefaultFilter _),
     "topk_per_group" -> (topkPerGroup _),
     "event_windows" -> (eventWindows _),
@@ -517,6 +527,16 @@ object SparkEntry {
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
         .stripMargin,
+    "q_setops" ->
+      """SELECT nk, 'both' AS which FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nk, 'cust_only' FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey FROM supplier)""".stripMargin,
     "sink_default_filter" ->
       "SELECT c_custkey, c_name AS cust_name FROM customer",
     "topk_per_group" ->
