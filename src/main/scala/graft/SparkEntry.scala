@@ -200,6 +200,23 @@ object SparkEntry {
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
         .as("sum_qty"), count(lit(1)).as("n"))
 
+  private def qDistinct(s: SparkSession, dir: String): DataFrame =
+    // distinct aggregation surface (exact, one extra shuffle stage)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  private def qMedian(s: SparkSession, dir: String): DataFrame =
+    // exact interpolated percentiles (identical linear-interpolation
+    // formula in Spark and DuckDB over the same doubles)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        expr("percentile(l_extendedprice, array(0.25, 0.75))")
+          .as("price_quartiles"))
+
   private def qSetOps(s: SparkSession, dir: String): DataFrame = {
     // set-operation surface: nation keys of customers vs suppliers
     val custN = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -376,6 +393,8 @@ object SparkEntry {
     "q_anti_join" -> (qAntiJoin _),
     "q_rollup" -> (qRollup _),
     "q_setops" -> (qSetOps _),
+    "q_distinct" -> (qDistinct _),
+    "q_median" -> (qMedian _),
     "sink_default_filter" -> (sinkDefaultFilter _),
     "topk_per_group" -> (topkPerGroup _),
     "event_windows" -> (eventWindows _),
@@ -527,6 +546,18 @@ object SparkEntry {
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
         .stripMargin,
+    "q_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_median" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS med_qty,
+        | quantile_cont(l_extendedprice, [0.25, 0.75])
+        |   AS price_quartiles
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_setops" ->
       """SELECT nk, 'both' AS which FROM (
         |  SELECT c_nationkey AS nk FROM customer
