@@ -23,9 +23,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1))).map {
       case (name, fn) =>
-        // min of two runs: the shared-host VM shows ~2x run-to-run
-        // noise; the min is the least-interfered measurement
-        val dt = (0 until 2).map { _ =>
+        // min of three runs: the shared-host VM shows bursty multi-second
+        // steal stalls; the min is the least-interfered measurement
+        val dt = (0 until 3).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case _: Throwable => -1L }
