@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamJoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def collectStream(df: DataFrame, ckpt: String,
+      project: Row => String): Seq[String] = {
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => out.add(project(r)))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    out.asScala.toSeq.sorted
+  }
+
+  test("stream-static join enriches per micro-batch") {
+    val work = Files.createTempDirectory("graft_ssj_").toString
+    val events = Seq((1, "click"), (2, "view"), (3, "click"))
+      .toDF("uid", "etype")
+    events.write.parquet(s"$work/ev")
+    val dim = Seq((1, "alice"), (2, "bob")).toDF("uid", "name")
+    val joined = StreamJoins.streamStatic(
+      spark.readStream.schema(events.schema).parquet(s"$work/ev"),
+      dim, Seq("uid"))
+    val got = collectStream(joined, s"$work/ckpt",
+      r => s"${r.getInt(0)}:${r.getString(1)}:${r.getString(2)}")
+    assert(got == Seq("1:click:alice", "2:view:bob")) // uid 3 unmatched
+  }
+
+  test("stream-stream interval join matches within the window only") {
+    val work = Files.createTempDirectory("graft_ss2_").toString
+    def ts(s: String) = s"2024-01-01 $s"
+    val clicks = Seq((1, ts("10:00:00")), (2, ts("10:00:00")))
+      .toDF("uid", "tss")
+      .select($"uid", to_timestamp($"tss").as("cts"))
+    val buys = Seq(
+      (1, ts("10:05:00")), // within 10 min of click -> match
+      (2, ts("10:30:00")), // too late -> no match
+      (3, ts("10:01:00"))) // no click at all
+      .toDF("uid", "tss")
+      .select($"uid", to_timestamp($"tss").as("bts"))
+    clicks.write.parquet(s"$work/clicks")
+    buys.write.parquet(s"$work/buys")
+    val joined = StreamJoins.streamStreamInterval(
+      spark.readStream.schema(clicks.schema).parquet(s"$work/clicks"),
+      spark.readStream.schema(buys.schema).parquet(s"$work/buys"),
+      Seq("uid"), "cts", "bts", within = "10 MINUTES", delay = "1 hour")
+    val got = collectStream(joined.select(col("l.uid")), s"$work/ckpt",
+      r => r.getInt(0).toString)
+    assert(got == Seq("1"))
+  }
+}
