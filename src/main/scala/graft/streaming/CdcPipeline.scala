@@ -48,19 +48,30 @@ object CdcPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          Envelope.route(batch, cfg.rules, catalog).foreach {
-            case ((srcSchema, srcTable), typed) =>
-              val rule = cfg.ruleFor(srcSchema, srcTable).get
-              val defn = catalog.get(srcSchema, srcTable).get
-              // key columns carry their SINK names after the projection
-              val sinkKeys = defn.pkColumns.map(rule.mappedField(_)._1)
-              // skip tables this batch doesn't touch: no state rewrite
-              if (!typed.isEmpty) {
-                CdcStream.mergeBatch(typed, batchId,
-                  targetDir(targetRoot, rule.sinkSchema, rule.sinkTable),
-                  sinkKeys, cfg.ignoreUpdates, cfg.ignoreDeletes)
+          // per-table merges are independent (disjoint targets); run
+          // them as concurrent Spark jobs so one batch's wall time is
+          // max(table merge), not sum — the reference's `thread` pool
+          // knob (etc/river.toml:15) without the shared-buffer locking
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val merges = Envelope.route(batch, cfg.rules, catalog).toSeq
+            .map { case ((srcSchema, srcTable), typed) =>
+              Future {
+                val rule = cfg.ruleFor(srcSchema, srcTable).get
+                val defn = catalog.get(srcSchema, srcTable).get
+                // key columns carry their SINK names post-projection
+                val sinkKeys = defn.pkColumns.map(rule.mappedField(_)._1)
+                // skip tables this batch doesn't touch
+                if (!typed.isEmpty) {
+                  CdcStream.mergeBatch(typed, batchId,
+                    targetDir(targetRoot, rule.sinkSchema, rule.sinkTable),
+                    sinkKeys, cfg.ignoreUpdates, cfg.ignoreDeletes)
+                }
               }
-          }
+            }
+          Await.result(Future.sequence(merges), Duration.Inf)
+          ()
         } finally batch.unpersist()
       }
       .trigger(t)
