@@ -303,6 +303,18 @@ object SparkEntry {
       TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
       TextFunctions.qualityScore(col("text")).as("quality"))
 
+  private def textVocab(s: SparkSession, dir: String): DataFrame =
+    TextFunctions.vocabulary(t(s, dir, "documents"), "text")
+
+  private def textTfidf(s: SparkSession, dir: String): DataFrame =
+    // top term per doc by tf-idf (rounded), deterministic tiebreak
+    TextFunctions.tfidf(t(s, dir, "documents"), "doc_id", "text")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("token"), col("tf"), col("tfidf"))
+
   private def textLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextFunctions.langId(col("text")).as("lang_pred"))
@@ -404,6 +416,8 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
+    "text_vocab" -> (textVocab _),
+    "text_tfidf" -> (textTfidf _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -659,6 +673,39 @@ object SparkEntry {
          |     [$stopwordsSqlList], t))) / len(toks) END) >= 0.02
          |   THEN 'en' ELSE 'und' END AS lang_pred
          |FROM d""".stripMargin,
+    "text_vocab" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |SELECT token, count(*) AS doc_freq
+        |FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM d)
+        |GROUP BY token""".stripMargin,
+    "text_tfidf" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |, tfc AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+        |  GROUP BY 1, 2)
+        |, dfc AS (
+        |  SELECT token, count(*) AS doc_freq
+        |  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token
+        |        FROM d)
+        |  GROUP BY 1)
+        |, nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |, s AS (
+        |  SELECT doc_id, token, tf,
+        |    round(tf * ln(nn.n / doc_freq), 6) AS tfidf
+        |  FROM tfc JOIN dfc USING (token) CROSS JOIN nn)
+        |SELECT doc_id, token, tf, tfidf FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+        |  FROM s) WHERE rk = 1""".stripMargin,
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT * FROM documents UNION ALL SELECT * FROM documents)

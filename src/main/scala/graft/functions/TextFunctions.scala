@@ -96,6 +96,33 @@ object TextFunctions {
       .otherwise(size(array_distinct(toks)) / size(toks))
   }
 
+  /** Corpus vocabulary: token → document frequency + total occurrences,
+    * the input to tokenizer training / rare-word filtering. One explode +
+    * one aggregation — shuffles on the token, scales with corpus size. */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(array_distinct(tokens(col(textCol)))).as("token"),
+        lit(1L).as("df"))
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+
+  /** TF-IDF scores per (doc, token): tf = in-doc count, idf =
+    * ln(N / df). Natural log on both engines is libm double math —
+    * oracle comparisons round the score. */
+  def tfidf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = vocabulary(docs, textCol)
+    tf.join(df, Seq("token"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("doc_freq")), 6))
+      .select(col("doc_id"), col("token"), col("tf"), col("tfidf"))
+  }
+
   /** Composite quality score in [0,1]: mean of three bounded signals —
     * length (saturating at 200 tokens), lexical diversity, alpha ratio.
     * The blend is illustrative; each signal is independently exposed. */
