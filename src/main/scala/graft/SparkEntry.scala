@@ -315,6 +315,10 @@ object SparkEntry {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("token"), col("tf"), col("tfidf"))
 
+  private def textChunks(s: SparkSession, dir: String): DataFrame =
+    Chunking.tokenWindows(t(s, dir, "documents"), "doc_id", "text",
+      size = 64, stride = 48)
+
   private def textLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextFunctions.langId(col("text")).as("lang_pred"))
@@ -417,6 +421,7 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_vocab" -> (textVocab _),
+    "text_chunks" -> (textChunks _),
     "text_tfidf" -> (textTfidf _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
@@ -673,6 +678,27 @@ object SparkEntry {
          |     [$stopwordsSqlList], t))) / len(toks) END) >= 0.02
          |   THEN 'en' ELSE 'und' END AS lang_pred
          |FROM d""".stripMargin,
+    "text_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |, nd AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0)
+        |, c AS (
+        |  SELECT doc_id, toks,
+        |    CAST(ceil(greatest(n - 64, 0) / 48.0) AS INT) + 1 AS n_chunks
+        |  FROM nd)
+        |, e AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ')
+        |    AS chunk_text,
+        |  len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS n_tokens
+        |FROM e""".stripMargin,
     "text_vocab" ->
       """WITH d AS (
         |  SELECT doc_id,

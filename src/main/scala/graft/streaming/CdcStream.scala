@@ -151,6 +151,25 @@ object CdcStream {
       .start()
   }
 
+  /** Bootstrap hand-off (SURVEY §3.2): load a snapshot as the state's
+    * version 0 — every row an insert at `snapshotSeq` — then start the
+    * change stream on top. The reference replays a mysqldump as insert
+    * events and tails the binlog from the dump's recorded position
+    * (river/river.go:111-145); here the snapshot is one batch write and
+    * the stream's checkpoint begins empty, so only post-snapshot change
+    * files are merged. `snapshotSeq` must sit below every change event's
+    * `_seq` so late replays of pre-snapshot events lose to snapshot rows
+    * they already contain. */
+  def bootstrap(snapshot: DataFrame, targetDir: String,
+      snapshotSeq: Long = 0L): Unit = {
+    // version -1: streaming batch ids start at 0 and must not collide
+    // with (or fail to see) the snapshot state
+    snapshot
+      .withColumn(OpCol, lit(ChangeEvent.OpInsert))
+      .withColumn(SeqCol, lit(snapshotSeq))
+      .write.mode("overwrite").parquet(s"$targetDir/v=-1")
+  }
+
   /** Run the stream to completion over everything currently in the change
     * log and return the final user-facing table. */
   def replayToCompletion(spark: SparkSession, changesDir: String,

@@ -67,6 +67,20 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(finalView.count() == 0)
   }
 
+  test("bootstrap: snapshot becomes state v=-1, stream merges on top") {
+    val work = tmp()
+    val snapshot = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    CdcStream.bootstrap(snapshot, s"$work/target")
+    val changes = Seq((1, "a2", "U", 10L),
+      (2, null.asInstanceOf[String], "D", 11L),
+      (3, "c", "I", 12L)).toDF("k", "v", "_op", "_seq")
+    changes.write.parquet(s"$work/changes")
+    val got = CdcStream.replayToCompletion(spark, s"$work/changes",
+      changes.schema, s"$work/target", s"$work/ckpt", Seq("k"))
+      .as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "a2", 3 -> "c")) // 2 deleted, snapshot merged
+  }
+
   test("tombstone horizon GC removes expired delete markers from state") {
     val work = tmp()
     val b0 = Seq((1, "a", "I", 1L), (2, "b", "I", 2L))
