@@ -379,6 +379,18 @@ object SparkEntry {
       .select(col("doc_id"), col("mime"), col("width"), col("height"),
         col("n_frames"), col("n_bytes"))
 
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.featureHistogram(
+      Multimodal.attachPayload(t(s, dir, "documents")))
+      .select(col("doc_id"), col("byte_hist"))
+
+  private def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(
+      Multimodal.decodeMeta(Multimodal.attachPayload(
+        t(s, dir, "documents"))), maxDim = 448)
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"))
+
   private def frameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.decodeMeta(Multimodal.attachPayload(
@@ -432,6 +444,8 @@ object SparkEntry {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_resize" -> (multimodalResize _),
     "frame_sample" -> (frameSample _))
 
   /** Last-write-wins replay of the synthetic I/U/D feed — the oracle for
@@ -816,6 +830,29 @@ object SparkEntry {
         | CAST(strlen(text) % 480 + 1 AS INT) AS height,
         | CAST(strlen(text) % 16 + 1 AS INT) AS n_frames,
         | CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id,
+        | list_transform(generate_series(0, 15),
+        |   b -> len(list_filter(string_split(text, ''),
+        |            c -> ascii(c) // 16 = b))) AS byte_hist
+        |FROM documents""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        | CAST(strlen(text) % 640 + 1 AS INT) AS width,
+        | CAST(strlen(text) % 480 + 1 AS INT) AS height,
+        | CASE WHEN greatest(strlen(text) % 640 + 1,
+        |                    strlen(text) % 480 + 1) <= 448
+        |      THEN CAST(strlen(text) % 640 + 1 AS INT)
+        |      ELSE CAST(floor((strlen(text) % 640 + 1) * 448
+        |        / greatest(strlen(text) % 640 + 1,
+        |                   strlen(text) % 480 + 1)) AS INT) END AS out_w,
+        | CASE WHEN greatest(strlen(text) % 640 + 1,
+        |                    strlen(text) % 480 + 1) <= 448
+        |      THEN CAST(strlen(text) % 480 + 1 AS INT)
+        |      ELSE CAST(floor((strlen(text) % 480 + 1) * 448
+        |        / greatest(strlen(text) % 640 + 1,
+        |                   strlen(text) % 480 + 1)) AS INT) END AS out_h
         |FROM documents""".stripMargin,
     "frame_sample" ->
       """SELECT doc_id,

