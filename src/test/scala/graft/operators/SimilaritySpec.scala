@@ -91,6 +91,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("quantized scan + exact rescore: recall@3 >= 0.9 vs brute force") {
+    val queries = embeddings.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, k = 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(embeddings, queries, k = 3,
+      rescore = 9)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("quantized rescore with rescore = corpus equals brute force") {
+    val queries = embeddings.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val quant = Similarity.quantizedTopK(embeddings, queries, k = 3,
+      rescore = 100000)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(quant == exact)
+  }
+
   test("lshTopK with exhaustive probing equals brute force") {
     val queries = embeddings.filter($"vec_id" < 5)
     val exact = Similarity.bruteForceTopK(embeddings, queries, k = 3)
