@@ -39,10 +39,11 @@ object CdcPipeline {
     val t = trigger.getOrElse(
       if (cfg.flushIntervalMs > 0) Trigger.ProcessingTime(cfg.flushIntervalMs)
       else Trigger.AvailableNow())
-    spark.readStream
-      .schema(ChangeEvent.envelopeSchema)
-      .option("maxFilesPerTrigger", math.max(1, cfg.bulkSize / 128))
-      .parquet(changesDir)
+    Observability.withEnvelopeMetrics(
+      spark.readStream
+        .schema(ChangeEvent.envelopeSchema)
+        .option("maxFilesPerTrigger", math.max(1, cfg.bulkSize / 128))
+        .parquet(changesDir))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -28,6 +28,15 @@ object Observability {
       count(when(col(OpCol) === OpDelete, 1)).as("deletes"),
       count(lit(1)).as("events"))
 
+  /** Same counters for the generic envelope stream (whose op column is
+    * the envelope's own `op`, not the typed `_op`). */
+  def withEnvelopeMetrics(events: DataFrame): DataFrame =
+    events.observe(MetricsName,
+      count(when(col("op") === OpInsert, 1)).as("inserts"),
+      count(when(col("op") === OpUpdate, 1)).as("updates"),
+      count(when(col("op") === OpDelete, 1)).as("deletes"),
+      count(lit(1)).as("events"))
+
   /** Accumulates observed I/U/D totals across micro-batches and exposes
     * the latest progress — the data behind a /stat endpoint. */
   final class CdcMetricsListener extends StreamingQueryListener {
