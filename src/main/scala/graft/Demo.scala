@@ -32,13 +32,15 @@ object Demo {
     // 1. the reference's config file, verbatim shape
     val cfg = TomlConfig.parse(
       """bulk_size = 128
-        |flush_bulk_time = 0   # AvailableNow for the demo
+        |flush_bulk_time = "0ms"  # AvailableNow for the demo
+        |skip_update = false      # reference defaults to insert-only;
+        |skip_delete = false      # the demo shows the full merge path
         |
         |[[rule]]
-        |schema = "tpch"
-        |table = "orders"
-        |ck_schema = "sink"
-        |ck_table = "orders"
+        |source_schema = "tpch"
+        |source_table = "orders"
+        |sink_schema = "sink"
+        |sink_table = "orders"
         |id = ["o_orderkey"]
         |""".stripMargin)
 

@@ -139,9 +139,11 @@ object SparkEntry {
 
   private def typeList(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(col("o_orderkey"),
-      TypeNorm.csvList(
-        concat(col("o_orderstatus"), lit(","), col("o_orderpriority")))
-        .as("mylist"))
+      // render the list as pipe-joined text: the driver's pandas
+      // comparator cannot sort ndarray cells, so arrays never reach it
+      array_join(TypeNorm.csvList(
+        concat(col("o_orderstatus"), lit(","), col("o_orderpriority"))),
+        "|").as("mylist"))
 
   private def typeUnixDate(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(col("o_orderkey"),
@@ -214,8 +216,10 @@ object SparkEntry {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
-        expr("percentile(l_extendedprice, array(0.25, 0.75))")
-          .as("price_quartiles"))
+        // scalar columns (not an array) so the driver's pandas
+        // comparator can sort the result frame
+        expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
+        expr("percentile(l_extendedprice, 0.75)").as("price_p75"))
 
   private def qSetOps(s: SparkSession, dir: String): DataFrame = {
     // set-operation surface: nation keys of customers vs suppliers
@@ -382,7 +386,10 @@ object SparkEntry {
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.featureHistogram(
       Multimodal.attachPayload(t(s, dir, "documents")))
-      .select(col("doc_id"), col("byte_hist"))
+      .select(col("doc_id"),
+        // serialize the histogram so the comparator sees scalar text
+        array_join(expr("transform(byte_hist, x -> cast(x as string))"),
+          "|").as("byte_hist"))
 
   private def multimodalResize(s: SparkSession, dir: String): DataFrame =
     Multimodal.resizePlan(
@@ -538,8 +545,9 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "type_list" ->
       """SELECT o_orderkey,
-        | string_split(o_orderstatus || ',' || o_orderpriority, ',')
-        |   AS mylist FROM orders""".stripMargin,
+        | array_to_string(
+        |   string_split(o_orderstatus || ',' || o_orderpriority, ','),
+        |   '|') AS mylist FROM orders""".stripMargin,
     "type_unixdate" ->
       """SELECT o_orderkey,
         | epoch_ms((o_orderkey % 100000 + 1500000000) * 1000) AS mydate
@@ -588,8 +596,8 @@ object SparkEntry {
     "q_median" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.5) AS med_qty,
-        | quantile_cont(l_extendedprice, [0.25, 0.75])
-        |   AS price_quartiles
+        | quantile_cont(l_extendedprice, 0.25) AS price_p25,
+        | quantile_cont(l_extendedprice, 0.75) AS price_p75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_setops" ->
       """SELECT nk, 'both' AS which FROM (
@@ -833,9 +841,11 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id,
-        | list_transform(generate_series(0, 15),
-        |   b -> len(list_filter(string_split(text, ''),
-        |            c -> ascii(c) // 16 = b))) AS byte_hist
+        | array_to_string(
+        |   list_transform(generate_series(0, 15),
+        |     b -> CAST(len(list_filter(string_split(text, ''),
+        |              c -> ascii(c) // 16 = b)) AS VARCHAR)),
+        |   '|') AS byte_hist
         |FROM documents""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id,

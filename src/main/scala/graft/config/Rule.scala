@@ -84,11 +84,12 @@ object Rule {
 final case class SyncConfig(
     rules: Seq[Rule],
     /** Drop update events before the sink (reference `-update` flag,
-      * default true = ignore; clickhouse/client.go:273-275). */
-    ignoreUpdates: Boolean = false,
+      * default true = ignore; clickhouse/client.go:273-275). Defaults
+      * true to match the reference's insert-only production posture. */
+    ignoreUpdates: Boolean = true,
     /** Drop delete events before the sink (reference `-delete` flag,
       * default true = ignore; clickhouse/client.go:252-254). */
-    ignoreDeletes: Boolean = false,
+    ignoreDeletes: Boolean = true,
     /** Reject tables without a PK unless set
       * (reference: river/river.go:283-291, river/config.go:50). */
     skipNoPkTable: Boolean = false,

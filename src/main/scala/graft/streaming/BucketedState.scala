@@ -110,7 +110,13 @@ object BucketedState {
     f.delete(new Path(staging), true)
   }
 
-  /** Drop per-bucket versions older than the newest `keep`. */
+  /** Drop per-bucket versions older than the newest `keep`
+    * marker-complete versions. Mirrors `latestVersion`'s marker filter:
+    * an unmarked directory (crash between rename and marker creation) is
+    * garbage to delete, never a version to retain — otherwise a crash
+    * leftover could count toward `keep` and push out the newest version
+    * a reader actually trusts.
+    */
   def gcVersions(spark: SparkSession, targetDir: String, nBuckets: Int,
       keep: Int = 2): Int = {
     require(keep >= 1)
@@ -119,11 +125,16 @@ object BucketedState {
       val dir = new Path(s"$targetDir/bucket=$b")
       if (!f.exists(dir)) 0
       else {
-        val vs = f.listStatus(dir).toSeq
+        val (complete, unmarked) = f.listStatus(dir).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
           .map(_.getPath.getName.stripPrefix("v=").toLong)
           .sorted
-        val doomed = vs.dropRight(keep)
+          .partition(v => f.exists(new Path(s"$targetDir/bucket=$b/v=$v",
+            Marker)))
+        // an unmarked version newer than every complete one may be a
+        // rename mid-flight from a live writer — leave it alone
+        val doomed = complete.dropRight(keep) ++
+          unmarked.filter(v => complete.lastOption.exists(v < _))
         doomed.foreach(v => f.delete(new Path(s"$targetDir/bucket=$b/v=$v"),
           true))
         doomed.size

@@ -9,9 +9,9 @@ class TomlConfigSpec extends AnyFunSuite {
       """# reference-style config
         |my_addr = "127.0.0.1:3306"  # ignored connection key
         |bulk_size = 64
-        |flush_bulk_time = 1
+        |flush_bulk_time = "1ms"
         |skip_no_pk_table = true
-        |skip_delete = true
+        |skip_update = false
         |
         |[[source]]
         |schema = "test"
@@ -38,7 +38,7 @@ class TomlConfigSpec extends AnyFunSuite {
     assert(cfg.bulkSize == 64)
     assert(cfg.flushIntervalMs == 1L)
     assert(cfg.skipNoPkTable)
-    assert(cfg.ignoreDeletes && !cfg.ignoreUpdates)
+    assert(cfg.ignoreDeletes && !cfg.ignoreUpdates) // delete by default
     assert(cfg.rules.size == 2)
     val r1 = cfg.ruleFor("test", "t1").get
     assert(r1.sinkTable == "t1_sink")
@@ -55,7 +55,58 @@ class TomlConfigSpec extends AnyFunSuite {
     val cfg = TomlConfig.parse("")
     assert(cfg.bulkSize == 128) // river/sync.go:117-120
     assert(cfg.flushIntervalMs == 200L) // river/sync.go:122-125
-    assert(!cfg.skipNoPkTable && !cfg.ignoreUpdates && !cfg.ignoreDeletes)
+    assert(!cfg.skipNoPkTable)
+    // -update/-delete CLI flags default true (insert-only posture,
+    // clickhouse/client.go:240-243)
+    assert(cfg.ignoreUpdates && cfg.ignoreDeletes)
+  }
+
+  test("parses the reference's canonical rule key names") {
+    val cfg = TomlConfig.parse(
+      """flush_bulk_time = "200ms"
+        |
+        |[[rule]]
+        |source_schema = "niushop"
+        |source_table = "adv"
+        |sink_schema = "azmbk_com_db"
+        |sink_table = "adv"
+        |""".stripMargin)
+    val r = cfg.ruleFor("niushop", "adv").get
+    assert(r.sinkSchema == "azmbk_com_db" && r.sinkTable == "adv")
+    assert(cfg.flushIntervalMs == 200L)
+  }
+
+  test("duration strings parse like Go time.ParseDuration") {
+    assert(TomlConfig.durationMs("\"1ms\"") == 1L)
+    assert(TomlConfig.durationMs("\"2s\"") == 2000L)
+    assert(TomlConfig.durationMs("\"1m\"") == 60000L)
+    assert(TomlConfig.durationMs("\"500us\"") == 1L) // rounds up
+    assert(TomlConfig.durationMs("250") == 250L) // bare int = millis
+    assert(TomlConfig.durationMs("\"0ms\"") == 0L) // AvailableNow sentinel
+    intercept[IllegalArgumentException](TomlConfig.durationMs("\"oops\""))
+  }
+
+  test("a rule with no source schema/table fails loudly") {
+    val bad =
+      """[[rule]]
+        |sink_schema = "s"
+        |sink_table = "t"
+        |""".stripMargin
+    intercept[IllegalArgumentException](TomlConfig.parse(bad))
+  }
+
+  test("foreign-section keys do not leak into top-level config") {
+    val cfg = TomlConfig.parse(
+      """bulk_size = 32
+        |
+        |[[source]]
+        |schema = "test"
+        |tables = ["t1"]
+        |skip_update = false
+        |""".stripMargin)
+    assert(cfg.bulkSize == 32)
+    // skip_update inside [[source]] must not flip the top-level default
+    assert(cfg.ignoreUpdates)
   }
 
   test("comments inside strings survive") {

@@ -69,6 +69,37 @@ class BucketedStateSpec extends AnyFunSuite {
     assert(view == Map(1 -> "v2"))
   }
 
+  test("gcVersions never deletes the newest marker-complete version") {
+    val work = Files.createTempDirectory("graft_bgc2_").toString
+    for (i <- 0 until 2) {
+      BucketedState.mergeBatch(
+        Seq((1, s"v$i", if (i == 0) "I" else "U", i.toLong))
+          .toDF("k", "v", "_op", "_seq"),
+        i.toLong, s"$work/t", Seq("k"), N)
+    }
+    // find key 1's bucket; fake two crash artifacts:
+    val bucketDir = new java.io.File(s"$work/t").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .find(_.listFiles().nonEmpty).get
+    // (a) v=0 loses its marker — crash between rename and marker: garbage
+    assert(new java.io.File(bucketDir, "v=0/_GRAFT_OK").delete())
+    // (b) unmarked v=5 NEWER than every complete version — possibly a
+    //     live writer mid-promotion: must be left alone
+    assert(new java.io.File(bucketDir, "v=5").mkdir())
+    val removed = BucketedState.gcVersions(spark, s"$work/t", N, keep = 1)
+    // old unmarked v=0 deleted as garbage; v=1 (newest complete) and
+    // v=5 (possible in-flight) retained — before the fix, keep=1 counted
+    // v=5 as the kept version and deleted marker-complete v=1
+    assert(removed == 1)
+    val names = bucketDir.listFiles().map(_.getName).toSet
+    assert(names.contains("v=1") && names.contains("v=5"))
+    assert(!names.contains("v=0"))
+    val schema = Seq((1, "x", "I", 1L)).toDF("k", "v", "_op", "_seq").schema
+    val view = BucketedState.currentView(spark, s"$work/t", schema, N)
+      .as[(Int, String)].collect().toMap
+    assert(view == Map(1 -> "v1")) // readers still see the newest complete
+  }
+
   test("re-merging the same batch id is idempotent") {
     val work = Files.createTempDirectory("graft_bstate3_").toString
     val b0 = Seq((1, "a", "I", 1L), (2, "b", "I", 2L))

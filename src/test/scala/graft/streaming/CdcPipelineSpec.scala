@@ -38,6 +38,7 @@ class CdcPipelineSpec extends AnyFunSuite {
       Rule("db", "adv", "sink", "adv_t",
         fieldMapping = Map("title" -> "es_title")),
       Rule("db", "usr", "sink", "usr_t")),
+      ignoreUpdates = false, ignoreDeletes = false, // full merge path
       flushIntervalMs = 0) // AvailableNow
 
     envelope(
@@ -72,6 +73,7 @@ class CdcPipelineSpec extends AnyFunSuite {
       StructField("id", IntegerType), StructField("title", StringType))),
       Seq("id")))
     val cfg = SyncConfig(rules = Seq(Rule("db", "adv", "sink", "adv_t")),
+      ignoreUpdates = false, ignoreDeletes = false,
       flushIntervalMs = 0)
     envelope((1L, "db", "adv", "I", Map("id" -> "1"),
       Map("id" -> "1", "title" -> "a")))

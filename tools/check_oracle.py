@@ -19,9 +19,19 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
 
+    # The driver sorts RAW values (pandas sort_values), which throws
+    # "unhashable type: numpy.ndarray" on array cells — so array-typed
+    # output columns are a gate failure there. Replicate that here
+    # instead of quietly stringifying them (round-1 lesson: q_median /
+    # type_list / multimodal_features passed locally, failed driver-side).
+    if len(df):
+        for c in df.columns:
+            v = df[c].iloc[0]
+            if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+                raise TypeError(
+                    f"column {c} holds arrays; driver cannot sort these")
+
     def norm(v):
-        if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
-            return "[" + ",".join(norm(x) for x in v) + "]"
         if isinstance(v, bytes):
             return v.hex()
         if isinstance(v, float):
