@@ -113,58 +113,94 @@ object Similarity {
     }
 
   /** Sign-bucket id of a vector under the given hyperplanes: bit j is the
-    * sign of <v, plane_j>. */
+    * sign of <v, plane_j>. The planes ride as ONE `typedlit` 2-D array
+    * literal (a single plan node) — inlining each component as its own
+    * literal made the expression tree thousands of nodes wide, and plan
+    * analysis + codegen dominated runtime on small inputs. */
   def bucketId(vec: Column, planes: Array[Array[Double]]): Column = {
     val vd = vec.cast("array<double>")
-    planes.zipWithIndex.map { case (p, j) =>
-      val plane = array(p.toIndexedSeq.map(lit): _*)
-      val dot = aggregate(zip_with(vd, plane, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val ps = typedlit(planes.map(_.toSeq).toSeq)
+    aggregate(
+      transform(ps, (p, j) => {
+        val dot = aggregate(zip_with(vd, p, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        // SQL-level shiftleft: the Scala helper only takes an Int
+        // literal, but j is the lambda's index column
+        when(dot >= 0, call_function("shiftleft", lit(1L), j))
+          .otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc + x)
   }
 
-  /** K-means centroids for IVF, trained driver-side over DataFrame
-    * passes: deterministic seeding (lowest-id vectors), element-wise mean
-    * via posexplode + groupBy per iteration. k×dim doubles come back to
-    * the driver each round — trivially small; the per-row assignment work
-    * is the distributed part. */
+  /** K-means centroids for IVF. The training set is a bounded,
+    * deterministic sample (lowest `trainSample` ids) — ONE collect of
+    * ~sample×dim doubles — and Lloyd iterations run driver-side in plain
+    * Scala. This is the right split at any corpus size: training cost is
+    * constant (the sample bound), while the expensive step — assigning
+    * the full corpus to buckets — happens exactly once, distributed, in
+    * [[ivfTopK]]. (The previous version ran each training pass as a
+    * Spark job; on small inputs plan analysis dwarfed the arithmetic.)
+    */
   def kmeansCentroids(corpus: DataFrame, dim: Int, k: Int = 16,
       iters: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding",
       trainSample: Int = 2048): Array[Array[Double]] = {
-    // centroid quality needs a representative sample, not the corpus:
-    // cap the training set (deterministically, by id) so training cost
-    // stays constant as the corpus grows — assignment of the full corpus
-    // happens once, in ivfTopK, not per training round
-    val vecs = corpus.select(col(idCol),
-      col(vecCol).cast("array<double>").as("v"))
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .orderBy(col(idCol)).limit(trainSample)
-    var cents: Array[Array[Double]] = vecs.orderBy(col(idCol)).limit(k)
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
+
+    def localCosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // argmax with ties to the HIGHEST index — same winner as the plan's
+    // array_max over struct(sim, index)
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestS = Double.NegativeInfinity
+      for (i <- cs.indices) {
+        val s = localCosine(v, cs(i))
+        if (s >= bestS) { bestS = s; best = i }
+      }
+      best
+    }
+
+    var cents = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {
-      val assigned = vecs.withColumn("c", nearestCentroid(col("v"), cents))
-      val means = assigned
-        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("c", "pos").agg(avg(col("x")).as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach(r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      cents = next
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearest(v, cents)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old // empty cluster keeps its centroid
+        else sums(i).map(_ / counts(i))
+      }
     }
     cents
   }
 
-  /** Index of the max-cosine centroid for a vector (centroids ride as
-    * plan literals, so every executor sees identical values). */
-  def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, array(c.toIndexedSeq.map(lit): _*)).as("s"),
-        lit(i).as("i"))
-    }
-    array_max(array(scored.toIndexedSeq: _*)).getField("i")
+  /** Index of the max-cosine centroid for a vector. Centroids ride as ONE
+    * `typedlit` 2-D literal (identical on every executor and retry);
+    * the argmax is `array_max` over (sim, index) structs built by
+    * `transform`, so the tree stays a handful of nodes at any nlist. */
+  def nearestCentroid(vec: Column, cents: Array[Array[Double]],
+      native: Boolean = false): Column =
+    array_max(centroidScores(vec, cents, native)).getField("i")
+
+  /** (cosine, index) struct per centroid, for argmax / probe ranking. */
+  private def centroidScores(vec: Column, cents: Array[Array[Double]],
+      native: Boolean): Column = {
+    val cs = typedlit(cents.map(_.toSeq).toSeq)
+    transform(cs, (c, i) =>
+      struct(cosineBy(native)(vec, c).as("s"), i.as("i")))
   }
 
   /** IVF top-k: corpus vectors live in their nearest-centroid bucket;
@@ -183,16 +219,12 @@ object Similarity {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv")).repartition(par)
-      .withColumn("bucket", nearestCentroid(col("cv"), cents))
+      .withColumn("bucket", nearestCentroid(col("cv"), cents, native))
     // query side: rank all centroids, keep the nprobe closest
-    val probeScores = cents.zipWithIndex.map { case (cent, i) =>
-      struct(cosine(col("qv"), array(cent.toIndexedSeq.map(lit): _*)).as("s"),
-        lit(i).as("i"))
-    }
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("probe",
-        slice(reverse(array_sort(array(probeScores: _*))), 1, nprobe))
+      .withColumn("probe", slice(reverse(array_sort(
+        centroidScores(col("qv"), cents, native))), 1, nprobe))
       .select(col("query_id"), col("qv"),
         explode(col("probe").getField("i")).as("bucket"))
     val scored = c.join(q, Seq("bucket"))

@@ -90,7 +90,8 @@ object CdcStream {
     * ReplacingMergeTree rows collapse for good at OPTIMIZE FINAL). */
   def mergeBatch(batch: DataFrame, batchId: Long, targetDir: String,
       keyCols: Seq[String], ignoreUpdates: Boolean,
-      ignoreDeletes: Boolean, tombstoneHorizon: Option[Long] = None): Unit = {
+      ignoreDeletes: Boolean, tombstoneHorizon: Option[Long] = None,
+      stateFiles: Int = 8): Unit = {
     val spark = batch.sparkSession
     val state = currentState(spark, targetDir, batch.schema,
       beforeBatch = Some(batchId))
@@ -101,7 +102,13 @@ object CdcStream {
         merged.filter(!(col(OpCol) === OpDelete && col(SeqCol) <= h))
       case None => merged
     }
-    gced.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+    // AQE is off inside foreachBatch, so without this every version is
+    // written as shuffle.partitions tiny files that the next batch must
+    // re-list and re-open. The flat path rewrites full state per batch
+    // by design (the bucketed path is the at-scale layout); `stateFiles`
+    // bounds its version fan-out.
+    gced.coalesce(stateFiles)
+      .write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
   }
 
   /** Drop state versions older than the newest `keep` per target — every
