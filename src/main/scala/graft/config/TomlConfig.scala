@@ -152,5 +152,7 @@ object TomlConfig {
       .filter(_.nonEmpty).map(str).toSeq
   }
 
-  private def bool(v: String): Boolean = v.trim == "true"
+  // unquote first: `skip_update = "true"` (quoted, legal TOML-ish) must
+  // parse as true, not silently as false
+  private def bool(v: String): Boolean = str(v).trim == "true"
 }

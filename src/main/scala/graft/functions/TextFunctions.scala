@@ -111,15 +111,18 @@ object TextFunctions {
     * oracle comparisons round the score. */
   def tfidf(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val n = docs.count()
+    // corpus size as a broadcast 1-row aggregate, NOT an eager count():
+    // an action inside plan-building would scan the corpus an extra time
+    val n = docs.agg(count(lit(1)).cast("double").as("_n_docs"))
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = vocabulary(docs, textCol)
     tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf") * log(lit(n.toDouble) / col("doc_freq")), 6))
+        round(col("tf") * log(col("_n_docs") / col("doc_freq")), 6))
       .select(col("doc_id"), col("token"), col("tf"), col("tfidf"))
   }
 

@@ -51,10 +51,24 @@ object CdcMerge {
 
   /** MERGE a change batch into a target snapshot.
     *
+    * Default (batch) path: the target rides along as op=I rows at
+    * `_seq = Long.MinValue`, unioned with the changes, and ONE
+    * latest-by-key collapse resolves the merge — a single
+    * Exchange + WindowGroupLimit over target+changes, no join. (The
+    * previous anti-join formulation computed the change collapse twice:
+    * two independent window/exchange subtrees that ReuseExchange could
+    * not dedup because their projections differed.)
+    *
+    * Broadcast (micro-batch) path: when the change set is tiny against a
+    * huge target, shuffling the whole target per batch is the wrong
+    * trade; instead anti-join the target against the batch's DISTINCT
+    * keys (broadcast, map-side — a keys-only partial aggregate, not a
+    * second window) and union the collapsed after-images.
+    *
     * @param changes target's columns + `_op` ("I"|"U"|"D") + `_seq` (long)
     * @param broadcastChanges hint the change side for broadcast — right for
     *        streaming micro-batches (small change set vs big target); leave
-    *        false for batch backfills and let AQE pick.
+    *        false for batch backfills so the merge is one shuffle total.
     */
   def applyChanges(
       target: DataFrame,
@@ -65,14 +79,24 @@ object CdcMerge {
       broadcastChanges: Boolean = false): DataFrame = {
     val payloadCols = target.columns.toSeq
     val effective = filterOps(changes, ignoreUpdates, ignoreDeletes)
-    val latest = latestByKey(effective, keyCols)
-    val latestHinted = if (broadcastChanges) broadcast(latest) else latest
-    val survivors = target.join(
-      latestHinted.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val upserts = latest
-      .filter(col(OpCol) =!= OpDelete)
-      .select(payloadCols.map(col): _*)
-    survivors.unionByName(upserts)
+    if (broadcastChanges) {
+      val touchedKeys = effective.select(keyCols.map(col): _*).distinct()
+      val survivors = target.join(
+        broadcast(touchedKeys), keyCols, "left_anti")
+      val upserts = latestByKey(effective, keyCols)
+        .filter(col(OpCol) =!= OpDelete)
+        .select(payloadCols.map(col): _*)
+      survivors.unionByName(upserts)
+    } else {
+      val targetAsChanges = target
+        .withColumn(OpCol, lit(OpInsert))
+        .withColumn(SeqCol, lit(Long.MinValue))
+      val upserts = lastWriteWins(
+        targetAsChanges.unionByName(
+          effective.select((payloadCols :+ OpCol :+ SeqCol).map(col): _*)),
+        keyCols)
+      upserts.select(payloadCols.map(col): _*)
+    }
   }
 
   /** Final state of a change stream applied to an empty target:

@@ -150,6 +150,8 @@ object Similarity {
       .orderBy(col(idCol)).limit(trainSample)
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
+    sample.foreach(v => require(v.length == dim,
+      s"kmeansCentroids: vector of length ${v.length}, expected dim=$dim"))
 
     def localCosine(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -164,7 +166,10 @@ object Similarity {
       var best = 0; var bestS = Double.NegativeInfinity
       for (i <- cs.indices) {
         val s = localCosine(v, cs(i))
-        if (s >= bestS) { bestS = s; best = i }
+        // skip NaN (zero-norm degenerate vectors): plan-side array_max
+        // would rank NaN greatest, driver-side >= would keep index 0 —
+        // neither is a meaningful assignment, so NaN never wins here
+        if (!s.isNaN && s >= bestS) { bestS = s; best = i }
       }
       best
     }
@@ -307,15 +312,16 @@ object Similarity {
       bits: Int = 8, probeDist: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, roundTo: Int = 4, native: Boolean = false): DataFrame = {
+    require(probeDist >= 0 && probeDist <= bits,
+      s"lshTopK: probeDist=$probeDist out of range [0, $bits]")
     val planes = hyperplanes(bits, dim)
-    // query side: explode every bucket within probeDist bit flips
-    val probes: Column => Column = b => {
-      val flips: Seq[Column] = lit(0L) +: (
-        if (probeDist >= 1) (0 until bits).map(j => shiftleft(lit(1L), j))
-        else Seq.empty)
-      array_distinct(array(flips.map(f =>
-        b.bitwiseXOR(f)): _*))
-    }
+    // query side: explode every bucket within probeDist bit flips — ALL
+    // ≤probeDist-sized bit subsets, so probeDist=2 really probes the
+    // 2-bit neighborhood (an earlier version silently degraded to 1)
+    val flipMasks: Seq[Long] = (0 to probeDist).flatMap(d =>
+      (0 until bits).combinations(d).map(_.map(1L << _).sum))
+    val probes: Column => Column = b =>
+      array(flipMasks.map(f => b.bitwiseXOR(lit(f))): _*)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))

@@ -51,6 +51,17 @@ class TomlConfigSpec extends AnyFunSuite {
     assert(r2.filter.isEmpty && r2.fieldMapping.isEmpty)
   }
 
+  test("quoted booleans parse like bare ones") {
+    // `skip_update = "true"` is legal TOML-ish; it must not silently
+    // parse as false
+    val cfg = TomlConfig.parse(
+      """skip_update = "false"
+        |skip_no_pk_table = "true"
+        |""".stripMargin)
+    assert(!cfg.ignoreUpdates)
+    assert(cfg.skipNoPkTable)
+  }
+
   test("defaults match the reference's code defaults") {
     val cfg = TomlConfig.parse("")
     assert(cfg.bulkSize == 128) // river/sync.go:117-120

@@ -93,6 +93,36 @@ class CdcMergeSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("applyChanges batch path is one shuffle (single window collapse)") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val changes = Seq((1, "a2", "U", 10L), (3, "c", "I", 12L))
+      .toDF("k", "v", "_op", "_seq")
+    val plan = CdcMerge.applyChanges(target, changes, Seq("k"))
+      .queryExecution.executedPlan.toString
+    // the merge is a union + ONE latest-by-key collapse: exactly one
+    // key exchange, one WindowGroupLimit pair (partial+final), no join
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("applyChanges broadcast path == batch path (micro-batch shape)") {
+    val target = Seq((1, "a"), (2, "b"), (4, "d")).toDF("k", "v")
+    val changes = Seq((1, "a2", "U", 10L), (2, null, "D", 11L),
+      (3, "c", "I", 12L), (3, "c2", "U", 13L)).toDF("k", "v", "_op", "_seq")
+    val batch = CdcMerge.applyChanges(target, changes, Seq("k"))
+      .as[(Int, String)].collect().toMap
+    val micro = CdcMerge.applyChanges(target, changes, Seq("k"),
+      broadcastChanges = true).as[(Int, String)].collect().toMap
+    assert(batch == micro)
+    assert(batch == Map(1 -> "a2", 3 -> "c2", 4 -> "d"))
+    // the broadcast path must not shuffle the target: its only window
+    // exchange is over the (tiny) change set
+    val plan = CdcMerge.applyChanges(target, changes, Seq("k"),
+      broadcastChanges = true).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("ignore flags drop ops before merge (reference default posture)") {
     val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val changes = Seq((1, "a2", "U", 10L), (2, null, "D", 11L),

@@ -116,6 +116,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(quant == exact)
   }
 
+  test("lshTopK probeDist=2 probes the 2-bit neighborhood (recall >= 1-bit)") {
+    val queries = embeddings.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def recallAt(probeDist: Int): Double = {
+      val approx = Similarity.lshTopK(embeddings, queries, k = 5,
+        bits = 6, probeDist = probeDist)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    // candidate sets are nested (2-bit flips ⊇ 1-bit flips) and ranking
+    // is fully tiebroken, so recall is monotone in probeDist
+    val r1 = recallAt(1)
+    val r2 = recallAt(2)
+    assert(r2 >= r1, s"probeDist=2 recall $r2 < probeDist=1 recall $r1")
+    // and a 2-bit probe must really widen the candidate pool: full-width
+    // probing (probeDist = bits) recovers brute force exactly
+    val allProbes = Similarity.lshTopK(embeddings, queries, k = 5,
+      bits = 3, probeDist = 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val exactK5 = exact
+    assert(allProbes == exactK5)
+  }
+
+  test("lshTopK rejects probeDist out of range") {
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(embeddings, embeddings.limit(1), k = 1,
+        bits = 4, probeDist = 5)
+    }
+  }
+
   test("lshTopK with exhaustive probing equals brute force") {
     val queries = embeddings.filter($"vec_id" < 5)
     val exact = Similarity.bruteForceTopK(embeddings, queries, k = 3)

@@ -26,7 +26,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # type_list / multimodal_features passed locally, failed driver-side).
     if len(df):
         for c in df.columns:
-            v = df[c].iloc[0]
+            # first NON-NULL value: a column whose first cell is null but
+            # holds arrays later would slip past and fail opaquely
+            nonnull = df[c].dropna()
+            if not len(nonnull):
+                continue
+            v = nonnull.iloc[0]
             if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
                 raise TypeError(
                     f"column {c} holds arrays; driver cannot sort these")
