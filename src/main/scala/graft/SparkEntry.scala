@@ -360,16 +360,19 @@ object SparkEntry {
   }
 
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
-    // approximate: no SQL oracle (driver records rows-only); recall vs
-    // brute force is asserted in SimilaritySpec
+    // approximate, but DETERMINISTIC (md5 hyperplanes + sequential
+    // folds), so the DuckDB oracle replays bucket assignment + probe +
+    // cosine exactly; recall vs brute force is asserted in SimilaritySpec
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
       bits = 8, probeDist = 1, native = true)
   }
 
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
-    // approximate (k-means buckets): rows-only check; equivalence at
-    // nprobe = nlist and recall bounds are asserted in SimilaritySpec
+    // approximate (k-means buckets) but deterministic: the bounded
+    // driver-side Lloyd training replays in the oracle as 3 unrolled
+    // CTE iterations; equivalence at nprobe = nlist and recall bounds
+    // are asserted in SimilaritySpec
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
       nlist = 16, nprobe = 4, native = true)
@@ -820,6 +823,8 @@ object SparkEntry {
          |  round(${cosineSql("x.v", "y.v")}, 4) AS sim
          |FROM e x JOIN e y ON x.vec_id < y.vec_id
          |WHERE round(${cosineSql("x.v", "y.v")}, 4) >= 0.45""".stripMargin,
+    "ann_lsh" -> annLshOracle,
+    "ann_ivf" -> annIvfOracle,
     "ann_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -913,15 +918,122 @@ object SparkEntry {
       |    / (ha.n + hb.n - len(list_intersect(ha.hs, hb.hs))) >= 0.8"""
       .stripMargin
 
+  /** DuckDB sequential left-fold sum — mirrors Spark's
+    * `aggregate(terms, 0.0, (acc, x) => acc + x)` element order exactly,
+    * so floating-point accumulation is bit-identical across engines. */
+  private def foldSumSql(terms: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, $terms), (acc, x) -> acc + x)"
+
+  /** DuckDB dot product with the same sequential fold order as
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`. */
+  private def dotSql(a: String, b: String): String =
+    foldSumSql(
+      s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])")
+
   /** DuckDB cosine that replicates Similarity.cosine's exact fold order
     * (sequential left-fold dot and norms, dot / (sqrt(na) * sqrt(nb))) so
     * both engines produce bit-identical doubles. */
   private def cosineSql(a: String, b: String): String = {
-    def fold(terms: String) =
-      s"list_reduce(list_prepend(0.0::DOUBLE, $terms), (acc, x) -> acc + x)"
-    val dot = fold(s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])")
-    val na = s"sqrt(${fold(s"list_transform($a, x -> x * x)")})"
-    val nb = s"sqrt(${fold(s"list_transform($b, x -> x * x)")})"
-    s"($dot / ($na * $nb))"
+    val na = s"sqrt(${foldSumSql(s"list_transform($a, x -> x * x)")})"
+    val nb = s"sqrt(${foldSumSql(s"list_transform($b, x -> x * x)")})"
+    s"(${dotSql(a, b)} / ($na * $nb))"
   }
+
+  /** DuckDB replay of Similarity.lshTopK(bits=8, probeDist=1, k=5):
+    * hyperplane component d of plane j is md5(j ++ "_" ++ d)'s first 7
+    * bytes scaled to [-1, 1) — Similarity.hyperplanes exactly — so
+    * bucket ids, probes, candidate sets and cosines all reproduce
+    * bit-for-bit. */
+  private def annLshOracle: String = {
+    val probeMasks = "[0,1,2,4,8,16,32,64,128]::BIGINT[]" // 0 + 1-bit flips
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |, planes AS (
+       |  SELECT j, list_transform(generate_series(0, 63), d ->
+       |    ((('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 14))
+       |        ::BIGINT / power(16, 14)) * 2.0 - 1.0)) AS p
+       |  FROM range(8) t(j))
+       |, bucketed AS (
+       |  SELECT e.vec_id,
+       |    sum(CASE WHEN ${dotSql("e.v", "planes.p")} >= 0
+       |        THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS b
+       |  FROM e, planes GROUP BY e.vec_id)
+       |, qprobe AS (
+       |  SELECT vec_id AS query_id, xor(b, f) AS bucket
+       |  FROM bucketed, (SELECT unnest($probeMasks) AS f)
+       |  WHERE vec_id < 10)
+       |, cand AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id
+       |  FROM qprobe q JOIN bucketed c ON c.b = q.bucket
+       |  WHERE c.vec_id <> q.query_id)
+       |$annScoreRankSql""".stripMargin
+  }
+
+  /** DuckDB replay of Similarity.ivfTopK(nlist=16, nprobe=4, k=5):
+    * the driver-side k-means (deterministic sample = lowest 2048 ids,
+    * 3 Lloyd iterations, ties to the highest centroid index, sums folded
+    * in vec_id order) unrolls into assign/cents CTE pairs, then corpus
+    * bucket assignment + query probing + cosine ranking replay the plan
+    * side. Bit-identical because every float accumulation is a
+    * sequential fold in the same element order as the Scala loop. */
+  private def annIvfOracle: String = {
+    def assignCte(n: Int, cents: String): String =
+      s""", assign$n AS (
+         |  SELECT vec_id, cidx FROM (
+         |    SELECT s.vec_id, c.cidx, row_number() OVER (
+         |      PARTITION BY s.vec_id
+         |      ORDER BY ${cosineSql("s.v", "c.p")} DESC, c.cidx DESC) AS rn
+         |    FROM samp s, $cents c) WHERE rn = 1)""".stripMargin
+    def centsCte(n: Int): String =
+      s""", cents$n AS (
+         |  SELECT p0.cidx,
+         |    CASE WHEN g.vs IS NULL THEN p0.p
+         |         ELSE list_transform(generate_series(1, 64), d ->
+         |           ${foldSumSql("list_transform(g.vs, w -> w[d])")}
+         |             / len(g.vs))
+         |    END AS p
+         |  FROM cents${n - 1} p0 LEFT JOIN (
+         |    SELECT a.cidx, list(s.v ORDER BY s.vec_id) AS vs
+         |    FROM assign$n a JOIN samp s USING (vec_id) GROUP BY a.cidx) g
+         |  ON p0.cidx = g.cidx)""".stripMargin
+    val lloyd = (1 to 3).map(n => assignCte(n, s"cents${n - 1}") + "\n" +
+      centsCte(n)).mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |, samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048)
+       |, cents0 AS (SELECT rn - 1 AS cidx, v AS p FROM (
+       |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM samp)
+       |  WHERE rn <= 16)
+       |$lloyd
+       |, cbuck AS (
+       |  SELECT vec_id, cidx AS bucket FROM (
+       |    SELECT e.vec_id, c.cidx, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosineSql("e.v", "c.p")} DESC, c.cidx DESC) AS rn
+       |    FROM e, cents3 c) WHERE rn = 1)
+       |, qprobe AS (
+       |  SELECT vec_id AS query_id, cidx AS bucket FROM (
+       |    SELECT e.vec_id, c.cidx, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosineSql("e.v", "c.p")} DESC, c.cidx DESC) AS rn
+       |    FROM e, cents3 c WHERE e.vec_id < 10) WHERE rn <= 4)
+       |, cand AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id
+       |  FROM qprobe q JOIN cbuck c ON c.bucket = q.bucket
+       |  WHERE c.vec_id <> q.query_id)
+       |$annScoreRankSql""".stripMargin
+  }
+
+  /** Shared ANN oracle tail: exact cosine over a `cand(query_id,
+    * neighbor_id)` CTE, ranked per query, top 5. */
+  private def annScoreRankSql: String =
+    s""", scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(${cosineSql("qe.v", "ce.v")}, 4) AS sim
+       |  FROM cand
+       |  JOIN e qe ON qe.vec_id = cand.query_id
+       |  JOIN e ce ON ce.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
 }
