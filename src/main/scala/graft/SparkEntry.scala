@@ -348,8 +348,16 @@ object SparkEntry {
       maxDist = 3)
 
   private def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
+    // exact quadratic pairs — the small-input oracle twin of the
+    // bucketed scale path below
     Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45,
       native = true)
+
+  private def dedupEmbedBucketed(s: SparkSession, dir: String): DataFrame =
+    // the 100 TB path: multi-table LSH candidates + exact-cosine verify
+    // (linear equi-join, no O(n²) self-join)
+    Similarity.lshCosinePairs(t(s, dir, "embeddings"), threshold = 0.45,
+      bits = 8, probeDist = 1, tables = 4, native = true)
 
   // -------------------------------------- similarity search (SURVEY §7.9)
 
@@ -450,6 +458,7 @@ object SparkEntry {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
+    "dedup_embed_bucketed" -> (dedupEmbedBucketed _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -823,6 +832,7 @@ object SparkEntry {
          |  round(${cosineSql("x.v", "y.v")}, 4) AS sim
          |FROM e x JOIN e y ON x.vec_id < y.vec_id
          |WHERE round(${cosineSql("x.v", "y.v")}, 4) >= 0.45""".stripMargin,
+    "dedup_embed_bucketed" -> dedupEmbedBucketedOracle,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
     "ann_topk" ->
@@ -944,15 +954,23 @@ object SparkEntry {
     * bytes scaled to [-1, 1) — Similarity.hyperplanes exactly — so
     * bucket ids, probes, candidate sets and cosines all reproduce
     * bit-for-bit. */
-  private def annLshOracle: String = {
-    val probeMasks = "[0,1,2,4,8,16,32,64,128]::BIGINT[]" // 0 + 1-bit flips
+  /** 0 + 1-bit flip masks for bits=8 (mirrors lshFlipMasks(8, 1)). */
+  private val probeMasksSql = "[0,1,2,4,8,16,32,64,128]::BIGINT[]"
+
+  /** Shared DuckDB CTEs replaying Similarity.hyperplanes(nPlanes, 64):
+    * component d of plane j is md5(j ++ "_" ++ d)'s first 7 bytes
+    * scaled to [-1, 1), bit-identical to the Scala derivation. */
+  private def lshPlanesCtes(nPlanes: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
        |, planes AS (
        |  SELECT j, list_transform(generate_series(0, 63), d ->
        |    ((('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 14))
        |        ::BIGINT / power(16, 14)) * 2.0 - 1.0)) AS p
-       |  FROM range(8) t(j))
+       |  FROM range($nPlanes) t(j))""".stripMargin
+
+  private def annLshOracle: String =
+    s"""${lshPlanesCtes(8)}
        |, bucketed AS (
        |  SELECT e.vec_id,
        |    sum(CASE WHEN ${dotSql("e.v", "planes.p")} >= 0
@@ -960,14 +978,40 @@ object SparkEntry {
        |  FROM e, planes GROUP BY e.vec_id)
        |, qprobe AS (
        |  SELECT vec_id AS query_id, xor(b, f) AS bucket
-       |  FROM bucketed, (SELECT unnest($probeMasks) AS f)
+       |  FROM bucketed, (SELECT unnest($probeMasksSql) AS f)
        |  WHERE vec_id < 10)
        |, cand AS (
        |  SELECT q.query_id, c.vec_id AS neighbor_id
        |  FROM qprobe q JOIN bucketed c ON c.b = q.bucket
        |  WHERE c.vec_id <> q.query_id)
        |$annScoreRankSql""".stripMargin
-  }
+
+  /** DuckDB replay of Similarity.lshCosinePairs(bits=8, probeDist=1,
+    * tables=4, threshold=0.45): 32 planes; table t's bucket is the
+    * signature's bit-slice [t*8, t*8+8). A pair is a candidate iff
+    * some table's buckets differ in ≤1 bit; candidates dedup across
+    * tables, then exact cosine filters to the threshold. */
+  private def dedupEmbedBucketedOracle: String =
+    s"""${lshPlanesCtes(32)}
+       |, bucketed AS (
+       |  SELECT e.vec_id, j // 8 AS tbl,
+       |    sum(CASE WHEN ${dotSql("e.v", "planes.p")} >= 0
+       |        THEN (1::BIGINT << (j % 8)) ELSE 0::BIGINT END)::BIGINT AS b
+       |  FROM e, planes GROUP BY e.vec_id, j // 8)
+       |, probe AS (
+       |  SELECT vec_id AS a, tbl, xor(b, f) AS bucket
+       |  FROM bucketed, (SELECT unnest($probeMasksSql) AS f))
+       |, cand AS (
+       |  SELECT DISTINCT p.a, c.vec_id AS b
+       |  FROM probe p JOIN bucketed c
+       |    ON c.tbl = p.tbl AND c.b = p.bucket
+       |  WHERE p.a < c.vec_id)
+       |SELECT cand.a, cand.b,
+       |  round(${cosineSql("ea.v", "eb.v")}, 4) AS sim
+       |FROM cand
+       |JOIN e ea ON ea.vec_id = cand.a
+       |JOIN e eb ON eb.vec_id = cand.b
+       |WHERE round(${cosineSql("ea.v", "eb.v")}, 4) >= 0.45""".stripMargin
 
   /** DuckDB replay of Similarity.ivfTopK(nlist=16, nprobe=4, k=5):
     * the driver-side k-means (deterministic sample = lowest 2048 ids,

@@ -81,8 +81,10 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
-    * rounded cosine ≥ threshold. Exact quadratic form (the oracle shape);
-    * at scale, bucket with [[bucketId]] first and compare within buckets.
+    * rounded cosine ≥ threshold. Exact QUADRATIC form — the small-input
+    * oracle twin of [[lshCosinePairs]], which is the primary (scale)
+    * API: at 100 TB an O(n²) self-join is a non-starter, while the
+    * LSH-bucketed path is linear in candidates.
     */
   def cosinePairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -93,6 +95,73 @@ object Similarity {
     val b = corpus.select(col(idCol).as("b"),
       col(vecCol).cast("array<double>").as("vb"))
     a.join(b, col("a") < col("b"))
+      .withColumn("sim",
+        round(cosineBy(native)(col("va"), col("vb")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** All XOR masks flipping ≤ `probeDist` of `bits` bits — the
+    * multi-probe neighborhood shared by [[lshTopK]] and
+    * [[lshCosinePairs]]. */
+  private def lshFlipMasks(bits: Int, probeDist: Int): Seq[Long] = {
+    require(probeDist >= 0 && probeDist <= bits,
+      s"probeDist=$probeDist out of range [0, $bits]")
+    (0 to probeDist).flatMap(d =>
+      (0 until bits).combinations(d).map(_.map(1L << _).sum))
+  }
+
+  /** Embedding near-duplicate pairs AT SCALE: multi-table
+    * random-hyperplane LSH candidate generation + exact-cosine verify —
+    * the same candidates-then-verify shape as [[graft.operators.Dedup
+    * .minhashDedupPairs]] uses for text (bands ≈ tables).
+    *
+    * One `tables × bits`-plane signature is computed per vector (a
+    * single packed long); table t's bucket is bit-slice
+    * [t·bits, (t+1)·bits). A pair is a candidate iff its buckets in
+    * SOME table differ in ≤ `probeDist` bits — L independent tables
+    * boost recall from p^b to 1-(1-p^b)^L while each table's candidate
+    * join stays an equi-join on (table, bucket). Candidates are
+    * de-duplicated (a pair can collide in several tables) before the
+    * exact cosine verify, so precision is 1 by construction and the
+    * corpus is never self-cross-joined. `tables=1, bits=1,
+    * probeDist=1` provably equals the quadratic [[cosinePairs]] (every
+    * pair is a candidate).
+    */
+  def lshCosinePairs(corpus: DataFrame, threshold: Double,
+      bits: Int = 8, probeDist: Int = 1, tables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, roundTo: Int = 4,
+      native: Boolean = false): DataFrame = {
+    require(tables >= 1 && tables * bits <= 63,
+      s"lshCosinePairs: tables*bits=${tables * bits} must fit a long")
+    val planes = hyperplanes(tables * bits, dim)
+    val masks = lshFlipMasks(bits, probeDist)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")).repartition(par)
+      .withColumn("sig", bucketId(col("v"), planes))
+    def tableBucket(t: Int): Column =
+      shiftrightunsigned(col("sig"), t * bits)
+        .bitwiseAND(lit((1L << bits) - 1))
+    val bucketSide = base.select(col("id").as("b"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), tableBucket(t).as("bucket"))): _*))
+        .as("tb"))
+      .select(col("b"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val probeSide = base.select(col("id").as("a"),
+      explode(array((for (t <- 0 until tables; m <- masks) yield
+        struct(lit(t).as("tbl"),
+          tableBucket(t).bitwiseXOR(lit(m)).as("bucket"))): _*)).as("tb"))
+      .select(col("a"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // ids-only candidate pipeline: vectors never ride through the
+    // explode/join/distinct shuffles — they rejoin for the verify
+    val cand = probeSide.join(bucketSide, Seq("tbl", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val va = base.select(col("id").as("a"), col("v").as("va"))
+    val vb = base.select(col("id").as("b"), col("v").as("vb"))
+    cand.join(va, "a").join(vb, "b")
       .withColumn("sim",
         round(cosineBy(native)(col("va"), col("vb")), roundTo))
       .filter(col("sim") >= threshold)
@@ -312,16 +381,13 @@ object Similarity {
       bits: Int = 8, probeDist: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, roundTo: Int = 4, native: Boolean = false): DataFrame = {
-    require(probeDist >= 0 && probeDist <= bits,
-      s"lshTopK: probeDist=$probeDist out of range [0, $bits]")
     val planes = hyperplanes(bits, dim)
     // query side: explode every bucket within probeDist bit flips — ALL
     // ≤probeDist-sized bit subsets, so probeDist=2 really probes the
     // 2-bit neighborhood (an earlier version silently degraded to 1)
-    val flipMasks: Seq[Long] = (0 to probeDist).flatMap(d =>
-      (0 until bits).combinations(d).map(_.map(1L << _).sum))
+    val masks = lshFlipMasks(bits, probeDist)
     val probes: Column => Column = b =>
-      array(flipMasks.map(f => b.bitwiseXOR(lit(f))): _*)
+      array(masks.map(f => b.bitwiseXOR(lit(f))): _*)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))

@@ -116,6 +116,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(quant == exact)
   }
 
+  test("lshCosinePairs with exhaustive probing equals quadratic cosinePairs") {
+    // tables=1, bits=1, probeDist=1: every pair is a candidate, so the
+    // bucketed path must reproduce the exact quadratic result bit-for-bit
+    val exact = Similarity.cosinePairs(embeddings, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val bucketed = Similarity.lshCosinePairs(embeddings, threshold = 0.3,
+      bits = 1, probeDist = 1, tables = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bucketed == exact)
+    assert(exact.nonEmpty) // the threshold must actually select pairs
+  }
+
+  test("lshCosinePairs is precise (subset of quadratic) with useful recall") {
+    val exact = Similarity.cosinePairs(embeddings, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val bucketed = Similarity.lshCosinePairs(embeddings, threshold = 0.3,
+      bits = 4, probeDist = 1, tables = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    // exact-cosine verify => no false positives, ever
+    assert(bucketed.subsetOf(exact))
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall (${bucketed.size}/${exact.size})")
+  }
+
+  test("lshCosinePairs emits each pair at most once (cross-table dedup)") {
+    val pairs = Similarity.lshCosinePairs(embeddings, threshold = -1.0,
+      bits = 4, probeDist = 2, tables = 3)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.length == pairs.toSet.size)
+    pairs.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("lshTopK probeDist=2 probes the 2-bit neighborhood (recall >= 1-bit)") {
     val queries = embeddings.filter($"vec_id" < 20)
     val exact = Similarity.bruteForceTopK(embeddings, queries, k = 5)
