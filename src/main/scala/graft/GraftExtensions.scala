@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{CosineSimilarity, HashedShingles, MinHashSig, SimHash60, SortedIntersectCount}
+import graft.functions.expr.{ByteHistogram, CosineSimilarity, HashedShingles, MinHashSig, SimHash60, SortedIntersectCount}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -41,7 +41,10 @@ object GraftExtensions {
     fn("minhash_sig", classOf[MinHashSig], 2)(c =>
       MinHashSig(c.head, c(1).eval().asInstanceOf[Int])),
     fn("hashed_shingles", classOf[HashedShingles], 2)(c =>
-      HashedShingles(c.head, c(1).eval().asInstanceOf[Int])))
+      HashedShingles(c.head, c(1).eval().asInstanceOf[Int])),
+    // bins via int literal, e.g. byte_hist(payload, 16)
+    fn("byte_hist", classOf[ByteHistogram], 2)(c =>
+      ByteHistogram(c.head, c(1).eval().asInstanceOf[Int])))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit = {

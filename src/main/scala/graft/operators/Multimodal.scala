@@ -81,29 +81,20 @@ object Multimodal {
     spark.createDataFrame(decoded, outSchema)
   }
 
-  /** Feature extraction over the raw payload, batched like the decode:
-    * a 16-bin byte histogram per row — a REAL computation on the binary
-    * column (not a stub), standing in the pipeline position where an
-    * image embedding / audio spectrogram extractor runs. */
+  /** Feature extraction over the raw payload: a byte histogram per
+    * row — a REAL computation on the binary column (not a stub),
+    * standing in the pipeline position where an image embedding / audio
+    * spectrogram extractor runs. Pure per-row arithmetic needs no codec
+    * init, so unlike [[decodeMeta]] it does NOT drop to an RDD: the
+    * native [[graft.functions.expr.ByteHistogram]] expression keeps the
+    * whole scan → histogram pipeline inside Tungsten codegen (requires
+    * [[graft.GraftExtensions]] on the session). */
   def featureHistogram(media: DataFrame, payloadCol: String = "payload",
-      batchSize: Int = 64): DataFrame = {
-    val payloadIdx = media.schema.fieldIndex(payloadCol)
-    val keptIdx = media.schema.indices.filterNot(_ == payloadIdx)
-    val outSchema = StructType(keptIdx.map(media.schema.fields) :+
-      StructField("byte_hist",
-        org.apache.spark.sql.types.ArrayType(LongType, false), false))
-    val rows = media.rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.map { row =>
-          val hist = new Array[Long](16)
-          row.getAs[Array[Byte]](payloadIdx)
-            .foreach(b => hist((b & 0xff) / 16) += 1)
-          Row.fromSeq(keptIdx.map(row.get) :+ hist.toSeq)
-        }
-      }
-    }
-    media.sparkSession.createDataFrame(rows, outSchema)
-  }
+      bins: Int = 16): DataFrame =
+    media
+      .withColumn("byte_hist",
+        call_function("byte_hist", col(payloadCol), lit(bins)))
+      .drop(payloadCol)
 
   /** Resize plan: target geometry per row from the decoded metadata —
     * the scheduling half of a resize (the pixel work lives in the codec

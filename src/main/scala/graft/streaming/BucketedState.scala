@@ -142,6 +142,86 @@ object BucketedState {
     }.sum
   }
 
+  /** OPTIMIZE: one maintenance pass that (1) compacts every bucket's
+    * LATEST complete version to a single file — a micro-batch write fans
+    * a bucket out to one file per shuffle partition, so after N batches
+    * a hot bucket holds O(N × partitions) small files — (2) drops
+    * delete tombstones at or below `tombstoneHorizon` (safe once the
+    * source can no longer replay events that old — the engine-side
+    * `OPTIMIZE ... FINAL` of the ReplacingMergeTree sink the reference
+    * documents, README.md:56), and (3) GCs versions older than the
+    * newest `keepVersions` per bucket.
+    *
+    * Crash-safe: the compacted data stages under `.optimize-staging`,
+    * then each bucket swaps via rename-to-trash → rename-in → marker →
+    * drop-trash; a crash mid-swap leaves either the trash copy (restored
+    * on the next optimize before anything else happens) or the
+    * marker-complete new version — never neither. `keepVersions >= 2`
+    * (default) also preserves the pre-batch version an in-flight
+    * streaming replay would read; use 1 only when the stream is stopped
+    * or its last checkpoint is known durable. Single maintenance writer
+    * at a time, same rule as the merge path.
+    */
+  def optimize(spark: SparkSession, targetDir: String,
+      stateSchema: StructType, nBuckets: Int, keyCols: Seq[String],
+      tombstoneHorizon: Option[Long] = None,
+      keepVersions: Int = 2): Unit = {
+    val f = fs(spark, targetDir)
+    // recovery from a previous crashed optimize: a trash dir whose new
+    // version is not marker-complete means the swap died mid-flight —
+    // restore the old version before touching anything
+    (0 until nBuckets).foreach { b =>
+      val dir = new Path(s"$targetDir/bucket=$b")
+      if (f.exists(dir)) {
+        f.listStatus(dir).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("trash-v="))
+          .foreach { tr =>
+            val vd = new Path(dir, tr.getPath.getName.stripPrefix("trash-"))
+            if (f.exists(new Path(vd, Marker))) f.delete(tr.getPath, true)
+            else {
+              if (f.exists(vd)) f.delete(vd, true)
+              f.rename(tr.getPath, vd)
+            }
+          }
+      }
+    }
+    val latest: Seq[(Int, Long)] = (0 until nBuckets).flatMap(b =>
+      latestVersion(spark, targetDir, b, None).map(b -> _))
+    if (latest.isEmpty) return
+    val paths = latest.map { case (b, v) => s"$targetDir/bucket=$b/v=$v" }
+    val state = spark.read.schema(stateSchema).parquet(paths: _*)
+    val gced = tombstoneHorizon match {
+      case Some(h) =>
+        state.filter(!(col(OpCol) === OpDelete && col(SeqCol) <= h))
+      case None => state
+    }
+    val staging = s"$targetDir/.optimize-staging"
+    f.delete(new Path(staging), true)
+    gced
+      .withColumn(BucketTag, bucketExpr(keyCols, nBuckets))
+      // hash-repartition ON the bucket column: every bucket's rows land
+      // in exactly one task, so the partitioned write emits ONE file
+      // per bucket
+      .repartition(col(BucketTag))
+      .write.mode("overwrite").partitionBy(BucketTag).parquet(staging)
+    latest.foreach { case (b, v) =>
+      val src = new Path(s"$staging/$BucketTag=$b")
+      val dir = new Path(s"$targetDir/bucket=$b")
+      val dst = new Path(dir, s"v=$v")
+      val trash = new Path(dir, s"trash-v=$v")
+      f.delete(trash, true)
+      f.rename(dst, trash)
+      if (f.exists(src)) f.rename(src, dst)
+      else f.mkdirs(dst) // whole bucket was expired tombstones
+      f.create(new Path(dst, Marker)).close()
+      f.delete(trash, true)
+    }
+    f.delete(new Path(staging), true)
+    gcVersions(spark, targetDir, nBuckets, keep = keepVersions)
+    ()
+  }
+
   /** Full state (all buckets' latest complete versions). */
   def currentState(spark: SparkSession, targetDir: String,
       stateSchema: StructType, nBuckets: Int): DataFrame =

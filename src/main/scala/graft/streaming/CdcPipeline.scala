@@ -1,9 +1,10 @@
 package graft.streaming
 
-import graft.config.SyncConfig
+import graft.config.{Rule, SyncConfig}
 import graft.model.{Catalog, ChangeEvent}
 import graft.operators.Envelope
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** The reference's full topology as ONE streaming query: a single
@@ -33,20 +34,62 @@ object CdcPipeline {
   def targetDir(root: String, sinkSchema: String, sinkTable: String): String =
     s"$root/$sinkSchema.$sinkTable"
 
+  /** Source-side include filter — the reference pushes the ruled-table
+    * regex into the binlog reader config (river/river.go:114-118,
+    * IncludeTableRegex) so unruled tables never leave the source; here
+    * the same predicate lands on the envelope-log SCAN (equality
+    * disjunction for literal table specs → parquet `PushedFilters`;
+    * anchored RLIKE for wildcard specs, which still prunes pre-shuffle).
+    * Applied at stream start, like the reference's reader config: a rule
+    * ADDED mid-stream only widens routing within this filter unless its
+    * tables were already covered (e.g. by a wildcard spec).
+    */
+  private[streaming] def includeFilter(rules: Seq[Rule]): Column =
+    rules.map { r =>
+      val schemaMatch = col("schema") === r.sourceSchema
+      if (Rule.isRegexSpec(r.sourceTable)) {
+        schemaMatch &&
+          col("table").rlike("^" + Rule.buildTable(r.sourceTable) + "$")
+      } else schemaMatch && col("table") === r.sourceTable
+    }.reduce(_ || _)
+
   def start(spark: SparkSession, changesDir: String, cfg: SyncConfig,
       catalog: Catalog, targetRoot: String, checkpointDir: String,
-      trigger: Option[Trigger] = None): StreamingQuery = {
+      trigger: Option[Trigger] = None): StreamingQuery =
+    start(spark, changesDir, () => cfg, catalog, targetRoot, checkpointDir,
+      trigger)
+
+  /** Live-config variant (ST6 in-flight evolution): `cfgProvider` is
+    * re-read and [[Envelope.route]]'s projections are re-compiled at
+    * EVERY micro-batch against the (mutable) `catalog`, so a DDL-style
+    * refresh — `catalog.refresh` with an added/dropped column, or a new
+    * rule from the provider — takes effect on the next batch without
+    * stopping the stream. This is the reference's `OnTableChanged` →
+    * re-fetch TableInfo → `updateRule` live path (river/sync.go:54-60,
+    * river/river.go:166-180); in-flight batches keep the definitions
+    * they started with.
+    */
+  def start(spark: SparkSession, changesDir: String,
+      cfgProvider: () => SyncConfig, catalog: Catalog, targetRoot: String,
+      checkpointDir: String,
+      trigger: Option[Trigger]): StreamingQuery = {
+    val cfg0 = cfgProvider()
     val t = trigger.getOrElse(
-      if (cfg.flushIntervalMs > 0) Trigger.ProcessingTime(cfg.flushIntervalMs)
+      if (cfg0.flushIntervalMs > 0)
+        Trigger.ProcessingTime(cfg0.flushIntervalMs)
       else Trigger.AvailableNow())
     Observability.withEnvelopeMetrics(
       spark.readStream
         .schema(ChangeEvent.envelopeSchema)
-        .option("maxFilesPerTrigger", math.max(1, cfg.bulkSize / 128))
-        .parquet(changesDir))
+        .option("maxFilesPerTrigger", math.max(1, cfg0.bulkSize / 128))
+        .parquet(changesDir)
+        .where(includeFilter(cfg0.rules)))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // re-resolve rules + TableDefs NOW, not at stream start: this
+        // batch routes with the schema the registry holds at this moment
+        val cfg = cfgProvider()
         batch.persist()
         try {
           // per-table merges are independent (disjoint targets); run

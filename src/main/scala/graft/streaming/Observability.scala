@@ -73,4 +73,41 @@ object Observability {
          |delete_num: ${deletes.get}
          |events: ${events.get}""".stripMargin
   }
+
+  /** The reference's status HTTP server (river/status.go:24-68, wired at
+    * river/river.go:186-189): plaintext counters at `/stat`, plus the
+    * last streaming progress JSON at `/progress` — Spark's progress
+    * (sources' start/end offsets) is the engine's `read_binlog` position
+    * line. JDK built-in `com.sun.net.httpserver`, no dependency; bind
+    * port 0 to let the OS pick (reference skips serving when `stat_addr`
+    * is empty — pass [[start]] no listener instead).
+    */
+  final class StatServer private (
+      server: com.sun.net.httpserver.HttpServer) extends AutoCloseable {
+    def boundPort: Int = server.getAddress.getPort
+    override def close(): Unit = server.stop(0)
+  }
+
+  object StatServer {
+    private def handler(body: () => String)
+        : com.sun.net.httpserver.HttpHandler =
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val bytes = body().getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+
+    def start(listener: CdcMetricsListener, port: Int = 0): StatServer = {
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(port), 0)
+      server.createContext("/stat", handler(() => listener.statReport + "\n"))
+      server.createContext("/progress",
+        handler(() => listener.lastProgressJson))
+      server.setExecutor(null) // serve on the dispatch thread; /stat is tiny
+      server.start()
+      new StatServer(server)
+    }
+  }
 }

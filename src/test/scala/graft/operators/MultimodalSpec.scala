@@ -34,6 +34,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.filter("n_bytes <> doc_id").count() == 0)
   }
 
+  test("featureHistogram: native byte_hist matches a driver-side count") {
+    val got = Multimodal.featureHistogram(Multimodal.attachPayload(docs))
+      .select($"doc_id", $"byte_hist").as[(Long, Seq[Long])]
+      .collect().toMap
+    def expected(text: String): Seq[Long] = {
+      val hist = new Array[Long](16)
+      text.getBytes("UTF-8").foreach(b => hist((b & 0xff) / 16) += 1)
+      hist.toSeq
+    }
+    assert(got(0L) == expected("hello world"))
+    assert(got(1L) == expected("x" * 700))
+    assert(got(2L) == expected("")) // empty payload -> all-zero bins
+    assert(got(2L).sum == 0 && got(2L).length == 16)
+  }
+
+  test("featureHistogram stays declarative (no RDD drop in the plan)") {
+    val plan = Multimodal.featureHistogram(Multimodal.attachPayload(docs))
+      .queryExecution.executedPlan.toString
+    // pure per-row arithmetic must not exit Tungsten: the old RDD
+    // mapPartitions formulation showed up as a Scan ExistingRDD
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("byte_hist"), plan)
+  }
+
+  test("byte_hist rejects non-binary input and non-divisor bins") {
+    intercept[Exception] {
+      docs.selectExpr("byte_hist(text, 16)").collect()
+    }
+    intercept[Exception] {
+      Multimodal.featureHistogram(
+        Multimodal.attachPayload(docs), bins = 7).collect()
+    }
+  }
+
   test("sampleFrames emits every step-th frame index") {
     val decoded = Multimodal.decodeMeta(Multimodal.attachPayload(
       Seq((7L, "y" * 9)).toDF("doc_id", "text"))) // n_frames = 9%16+1 = 10

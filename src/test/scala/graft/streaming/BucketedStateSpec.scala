@@ -100,6 +100,94 @@ class BucketedStateSpec extends AnyFunSuite {
     assert(view == Map(1 -> "v1")) // readers still see the newest complete
   }
 
+  test("optimize compacts to one file per bucket, view unchanged") {
+    val work = Files.createTempDirectory("graft_bopt_").toString
+    val nB = 4
+    // 6 batches over many keys: every batch rewrites most buckets with
+    // one file per shuffle partition -> many small files accrue
+    for (i <- 0 until 6) {
+      val rows = (0 until 40).map(k =>
+        (k, s"v$i-$k", if (i == 0) "I" else "U", (i * 100 + k).toLong))
+      BucketedState.mergeBatch(
+        rows.toDF("k", "v", "_op", "_seq").repartition(4),
+        i.toLong, s"$work/t", Seq("k"), nB)
+    }
+    val schema = Seq((1, "x", "I", 1L)).toDF("k", "v", "_op", "_seq").schema
+    def parquetFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f).filter(_.getName.endsWith(".parquet"))
+      walk(new java.io.File(s"$work/t"))
+    }
+    val before = BucketedState.currentView(spark, s"$work/t", schema, nB)
+      .as[(Int, String)].collect().toSet
+    assert(parquetFiles().size > nB) // the problem exists
+    BucketedState.optimize(spark, s"$work/t", schema, nB, Seq("k"),
+      keepVersions = 1)
+    // one data file per bucket remains
+    assert(parquetFiles().size <= nB, parquetFiles().map(_.getPath))
+    val after = BucketedState.currentView(spark, s"$work/t", schema, nB)
+      .as[(Int, String)].collect().toSet
+    assert(after == before)
+    // the NEXT batch (and its crash-replay) still merges correctly
+    val b6 = Seq((1, "final", "U", 900L)).toDF("k", "v", "_op", "_seq")
+    BucketedState.mergeBatch(b6, 6L, s"$work/t", Seq("k"), nB)
+    BucketedState.mergeBatch(b6, 6L, s"$work/t", Seq("k"), nB) // replay
+    val end = BucketedState.currentView(spark, s"$work/t", schema, nB)
+      .as[(Int, String)].collect().toMap
+    assert(end(1) == "final" && end.size == before.size)
+  }
+
+  test("optimize drops expired tombstones and keeps replay-safe versions") {
+    val work = Files.createTempDirectory("graft_bopt2_").toString
+    val nB = 4
+    BucketedState.mergeBatch(
+      Seq((1, "a", "I", 1L), (2, "b", "I", 2L)).toDF("k", "v", "_op", "_seq"),
+      0L, s"$work/t", Seq("k"), nB)
+    BucketedState.mergeBatch(
+      Seq((1, null.asInstanceOf[String], "D", 10L))
+        .toDF("k", "v", "_op", "_seq"),
+      1L, s"$work/t", Seq("k"), nB)
+    val schema = Seq((1, "x", "I", 1L)).toDF("k", "v", "_op", "_seq").schema
+    def stateRows() = BucketedState.currentState(spark, s"$work/t",
+      schema, nB).count()
+    assert(stateRows() == 2) // live row + tombstone
+    // default keepVersions=2: the pre-batch version survives for replay
+    BucketedState.optimize(spark, s"$work/t", schema, nB, Seq("k"),
+      tombstoneHorizon = Some(10L))
+    assert(stateRows() == 1) // tombstone compacted away
+    val view = BucketedState.currentView(spark, s"$work/t", schema, nB)
+      .as[(Int, String)].collect().toSet
+    assert(view == Set((2, "b")))
+    // key 1's bucket still holds its pre-batch version for a replay of
+    // batch 1 (keepVersions=2)
+    val replayState = BucketedState.readBuckets(spark, s"$work/t", schema,
+      0 until nB, beforeBatch = Some(1L))
+    assert(replayState.count() == 2) // both inserts from batch 0
+  }
+
+  test("optimize recovers a crashed swap from the trash copy") {
+    val work = Files.createTempDirectory("graft_bopt3_").toString
+    val nB = 2
+    BucketedState.mergeBatch(
+      Seq((1, "a", "I", 1L)).toDF("k", "v", "_op", "_seq"),
+      0L, s"$work/t", Seq("k"), nB)
+    val schema = Seq((1, "x", "I", 1L)).toDF("k", "v", "_op", "_seq").schema
+    // simulate a crash between rename-to-trash and rename-in: the
+    // version dir is gone, only the trash copy holds the data
+    val bucketDir = new java.io.File(s"$work/t").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .find(d => new java.io.File(d, "v=0").exists()).get
+    val v0 = new java.io.File(bucketDir, "v=0")
+    assert(v0.renameTo(new java.io.File(bucketDir, "trash-v=0")))
+    assert(BucketedState.currentView(spark, s"$work/t", schema, nB)
+      .count() == 0) // reader sees nothing mid-crash
+    BucketedState.optimize(spark, s"$work/t", schema, nB, Seq("k"))
+    val view = BucketedState.currentView(spark, s"$work/t", schema, nB)
+      .as[(Int, String)].collect().toSet
+    assert(view == Set((1, "a"))) // restored, then compacted normally
+  }
+
   test("re-merging the same batch id is idempotent") {
     val work = Files.createTempDirectory("graft_bstate3_").toString
     val b0 = Seq((1, "a", "I", 1L), (2, "b", "I", 2L))

@@ -66,6 +66,32 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$work/targets/sink.ghost").exists())
   }
 
+  test("include filter prunes unruled tables at the scan (pushdown)") {
+    val work = Files.createTempDirectory("graft_pipe_flt_").toString
+    envelope(
+      (1L, "db", "adv", "I", Map("id" -> "1"), Map("id" -> "1")),
+      (2L, "db", "ghost", "I", Map("id" -> "9"), Map("id" -> "9")),
+      (3L, "other", "adv", "I", Map("id" -> "3"), Map("id" -> "3")))
+      .write.parquet(s"$work/changes")
+    val rules = Seq(Rule("db", "adv", "sink", "adv_t"))
+    val filtered = spark.read
+      .schema(graft.model.ChangeEvent.envelopeSchema)
+      .parquet(s"$work/changes")
+      .where(CdcPipeline.includeFilter(rules))
+    // the rule-key equality predicate must reach the parquet scan
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters:"), scan)
+    assert(scan.contains("EqualTo(table,adv)"), scan)
+    assert(filtered.count() == 1)
+    // wildcard specs filter by anchored regex (not pushable, still early)
+    val wide = spark.read
+      .schema(graft.model.ChangeEvent.envelopeSchema)
+      .parquet(s"$work/changes")
+      .where(CdcPipeline.includeFilter(
+        Seq(Rule("db", "a.*", "sink", "all_a"))))
+    assert(wide.select("seq").as[Long].collect().toSet == Set(1L))
+  }
+
   test("resume: a second drain with the same checkpoint is incremental") {
     val work = Files.createTempDirectory("graft_pipe2_").toString
     val cat = new Catalog()

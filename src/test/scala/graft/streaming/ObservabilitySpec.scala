@@ -32,6 +32,34 @@ class ObservabilitySpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("HTTP /stat endpoint serves the reference's plaintext counters") {
+    val listener = new Observability.CdcMetricsListener
+    listener.inserts.addAndGet(3)
+    listener.updates.addAndGet(2)
+    listener.deletes.addAndGet(1)
+    listener.events.addAndGet(6)
+    listener.lastProgressJson = """{"batchId":7}"""
+    val server = Observability.StatServer.start(listener)
+    try {
+      def get(path: String): String = {
+        val url = java.net.URI
+          .create(s"http://127.0.0.1:${server.boundPort}$path").toURL
+        val in = url.openStream()
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      val stat = get("/stat")
+      assert(stat.contains("insert_num: 3"), stat)
+      assert(stat.contains("update_num: 2"), stat)
+      assert(stat.contains("delete_num: 1"), stat)
+      assert(stat.contains("events: 6"), stat)
+      // counters are LIVE: a later bump shows on the next request
+      listener.inserts.addAndGet(4)
+      assert(get("/stat").contains("insert_num: 7"))
+      assert(get("/progress").contains("\"batchId\":7"))
+    } finally server.close()
+  }
+
   test("null primary key aborts the stream (P7 hard error)") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_pk_").toString

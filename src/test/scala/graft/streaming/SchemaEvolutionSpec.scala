@@ -3,17 +3,79 @@ package graft.streaming
 import java.nio.file.Files
 
 import graft.TestSpark
+import graft.config.{Rule, SyncConfig}
+import graft.model.{Catalog, TableDef}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ST6: DDL mid-stream — the reference refreshes TableInfo on
   * OnTableChanged and subsequent events carry the new column set
   * (river/sync.go:54-65, exercised by the stale suite at
-  * river/river_test.go:385-399). Here: the stream restarts with the
-  * refreshed schema (same checkpoint), and the versioned state absorbs
-  * added/dropped columns on read. */
+  * river/river_test.go:385-399). Two engine paths: the LIVE path (the
+  * envelope pipeline re-resolves the registry per micro-batch — refresh
+  * applies on the next batch, no restart), and the restart path for
+  * typed streams (same checkpoint, refreshed schema); the versioned
+  * state absorbs added/dropped columns on read either way. */
 class SchemaEvolutionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.session
   import spark.implicits._
+
+  private def envelope(rows: (Long, String, String, String,
+      Map[String, String], Map[String, String])*): DataFrame =
+    rows.toDF("seq", "schema", "table", "op", "key", "after")
+      .withColumn("tsMs", $"seq")
+      .withColumn("before",
+        org.apache.spark.sql.functions.lit(null)
+          .cast("map<string,string>"))
+      .select("seq", "tsMs", "schema", "table", "op", "key", "before",
+        "after")
+
+  test("in-flight ADD COLUMN: catalog refresh lands on the next " +
+      "micro-batch, no restart") {
+    val work = Files.createTempDirectory("graft_evo_live_").toString
+    val cat = new Catalog()
+    val v1 = StructType(Seq(StructField("id", IntegerType),
+      StructField("title", StringType)))
+    cat.register("db", "adv", TableDef(v1, Seq("id")))
+    val cfg = SyncConfig(rules = Seq(Rule("db", "adv", "sink", "adv_t")),
+      ignoreUpdates = false, ignoreDeletes = false,
+      flushIntervalMs = 100) // live ProcessingTime trigger
+    envelope((1L, "db", "adv", "I", Map("id" -> "1"),
+      Map("id" -> "1", "title" -> "t1")))
+      .write.parquet(s"$work/changes")
+    val target = CdcPipeline.targetDir(s"$work/targets", "sink", "adv_t")
+    val stateV1 = Seq((1, "t1", "I", 1L))
+      .toDF("id", "title", "_op", "_seq").schema
+    val q = CdcPipeline.start(spark, s"$work/changes", cfg, cat,
+      s"$work/targets", s"$work/ckpt")
+    try {
+      def poll(until: () => Boolean): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!until() && System.nanoTime() < deadline) Thread.sleep(150)
+        assert(until(), "stream did not reach expected state in time")
+      }
+      poll(() => scala.util.Try(CdcStream.currentView(spark, target,
+        stateV1).count()).getOrElse(0L) == 1L)
+
+      // ALTER TABLE adv ADD COLUMN flag — refresh the LIVE registry;
+      // the running stream must pick it up on the next batch
+      val v2 = v1.add(StructField("flag", StringType))
+      cat.refresh("db", "adv", TableDef(v2, Seq("id")))
+      envelope((2L, "db", "adv", "I", Map("id" -> "2"),
+        Map("id" -> "2", "title" -> "t2", "flag" -> "y")))
+        .write.mode("append").parquet(s"$work/changes")
+
+      val stateV2 = Seq((1, "t1", "x", "I", 1L))
+        .toDF("id", "title", "flag", "_op", "_seq").schema
+      poll(() => scala.util.Try(CdcStream.currentView(spark, target,
+        stateV2).count()).getOrElse(0L) == 2L)
+      val got = CdcStream.currentView(spark, target, stateV2)
+        .as[(Int, String, Option[String])].collect().toSet
+      // post-DDL events carry the new column; pre-DDL state reads null
+      assert(got == Set((1, "t1", None), (2, "t2", Some("y"))))
+    } finally q.stop()
+  }
 
   test("ADD COLUMN mid-stream: old state rows read as null for new col") {
     val work = Files.createTempDirectory("graft_evo_").toString
