@@ -49,4 +49,26 @@ object Projection {
         sinkSet.contains(rule.mappedField(src)._1))
     df.select(columns(rule, cols): _*)
   }
+
+  /** Sink-column DISCOVERY: read the sink table's own schema and use it
+    * as the default projection — the engine-side `SELECT name FROM
+    * system.columns WHERE database = ? AND table = ?` (reference:
+    * river/river.go:293-312). For a parquet sink the schema read is a
+    * footer-only metadata operation, no data scan. Returns None when the
+    * sink does not exist yet (first sync: every source column flows). */
+  def discoverSinkColumns(spark: org.apache.spark.sql.SparkSession,
+      sinkDir: String): Option[Seq[String]] =
+    try Some(spark.read.parquet(sinkDir).schema.fieldNames.toSeq)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass == "PATH_NOT_FOUND" => None
+    }
+
+  /** [[forSink]] with the column list discovered from the sink directory
+    * itself; a missing sink falls back to the plain rule projection. */
+  def forSinkDir(rule: Rule, sinkDir: String)(df: DataFrame): DataFrame =
+    discoverSinkColumns(df.sparkSession, sinkDir) match {
+      case Some(cols) => forSink(rule, cols)(df)
+      case None => apply(rule)(df)
+    }
 }

@@ -138,8 +138,9 @@ object Similarity {
     val planes = hyperplanes(tables * bits, dim)
     val masks = lshFlipMasks(bits, probeDist)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val base = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v")).repartition(par)
+    val raw = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val base = raw.repartition(par)
       .withColumn("sig", bucketId(col("v"), planes))
     def tableBucket(t: Int): Column =
       shiftrightunsigned(col("sig"), t * bits)
@@ -159,8 +160,10 @@ object Similarity {
     val cand = probeSide.join(bucketSide, Seq("tbl", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val va = base.select(col("id").as("a"), col("v").as("va"))
-    val vb = base.select(col("id").as("b"), col("v").as("vb"))
+    // rejoin vectors from the RAW projection (no repartition, no
+    // signature computation — those exist only for the candidate side)
+    val va = raw.select(col("id").as("a"), col("v").as("va"))
+    val vb = raw.select(col("id").as("b"), col("v").as("vb"))
     cand.join(va, "a").join(vb, "b")
       .withColumn("sim",
         round(cosineBy(native)(col("va"), col("vb")), roundTo))

@@ -58,4 +58,22 @@ class CatalogSpec extends AnyFunSuite {
     val out2 = Projection.forSink(explicit, Seq("id", "title"))(df)
     assert(out2.columns.toSeq == Seq("internal"))
   }
+
+  test("Projection.forSinkDir discovers columns from the sink itself") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_sinkdisc_").toString
+    val df = Seq((1L, "n", "drop-me")).toDF("id", "name", "internal")
+    val rule = Rule("db", "t", "sink", "t",
+      fieldMapping = Map("name" -> "title"))
+    // no sink yet -> plain rule projection (every column flows)
+    assert(Projection.discoverSinkColumns(spark, s"$work/sink").isEmpty)
+    val first = Projection.forSinkDir(rule, s"$work/sink")(df)
+    assert(first.columns.toSeq == Seq("id", "title", "internal"))
+    // sink exists with (id, title) -> discovered default projection
+    Seq((0L, "seed")).toDF("id", "title").write.parquet(s"$work/sink")
+    val out = Projection.forSinkDir(rule, s"$work/sink")(df)
+    assert(out.columns.toSeq == Seq("id", "title"))
+  }
 }
