@@ -386,6 +386,15 @@ object SparkEntry {
       nlist = 16, nprobe = 4, native = true)
   }
 
+  private def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    // int8-quantized coarse scan + exact rescore; deterministic (scale
+    // from a max fold, HALF_UP rounding, sequential cosine folds), so
+    // the DuckDB oracle replays quantization + both rankings exactly
+    val emb = t(s, dir, "embeddings")
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+      rescore = 30, native = true)
+  }
+
   // ------------------------------------------- multimodal (SURVEY §7.9)
 
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -462,6 +471,7 @@ object SparkEntry {
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_quantized" -> (annQuantized _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_resize" -> (multimodalResize _),
@@ -835,6 +845,7 @@ object SparkEntry {
     "dedup_embed_bucketed" -> dedupEmbedBucketedOracle,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
+    "ann_quantized" -> annQuantizedOracle,
     "ann_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -1064,6 +1075,47 @@ object SparkEntry {
        |  FROM qprobe q JOIN cbuck c ON c.bucket = q.bucket
        |  WHERE c.vec_id <> q.query_id)
        |$annScoreRankSql""".stripMargin
+  }
+
+  /** DuckDB replay of Similarity.quantizedTopK(rescore=30, k=5):
+    * per-vector symmetric int8 quantization (scale = max|x|/127 with the
+    * denormal-min floor, q = round-half-away to a value-preserving
+    * tinyint), coarse rank by quantized cosine, exact-cosine rescore of
+    * the top 30, top 5. Scales cancel in the quantized cosine exactly as
+    * in Similarity.cosineQuantized. */
+  private def annQuantizedOracle: String = {
+    def foldMax(terms: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, $terms), " +
+        "(acc, x) -> greatest(acc, x))"
+    def scaleOf(v: String): String =
+      s"(greatest(${foldMax(s"list_transform($v, x -> abs(x))")}, " +
+        "4.9e-324) / 127.0)"
+    def quantOf(v: String, scale: String): String =
+      s"list_transform($v, x -> CAST(round(x / $scale, 0) AS DOUBLE))"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |, q8 AS (
+       |  SELECT vec_id, v, ${quantOf("v", scaleOf("v"))} AS q FROM e)
+       |, coarse AS (
+       |  SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+       |    qe.v AS qv, ce.v AS cv,
+       |    ${cosineSql("qe.q", "ce.q")} AS qsim
+       |  FROM q8 qe JOIN q8 ce
+       |    ON qe.vec_id < 10 AND ce.vec_id <> qe.vec_id)
+       |, cand AS (
+       |  SELECT query_id, neighbor_id, qv, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY qsim DESC, neighbor_id) AS crank
+       |    FROM coarse) WHERE crank <= 30)
+       |, scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(${cosineSql("qv", "cv")}, 4) AS sim
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
   }
 
   /** Shared ANN oracle tail: exact cosine over a `cand(query_id,
