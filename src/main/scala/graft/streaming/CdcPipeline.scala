@@ -34,6 +34,23 @@ object CdcPipeline {
   def targetDir(root: String, sinkSchema: String, sinkTable: String): String =
     s"$root/$sinkSchema.$sinkTable"
 
+  /** Expand wildcard-table rules against the live catalog — the
+    * reference expands the table regex over information_schema at
+    * prepare time (river/river.go:196-221) and picks up tables CREATED
+    * later via updateRule (river/river.go:166-180). Every expanded rule
+    * keeps the spec's sink, so sharded sources (`logs_.*`) converge into
+    * ONE sink table — the wildcard pattern's documented purpose. Called
+    * per micro-batch, so a table registered mid-stream syncs from the
+    * next batch on, no restart. */
+  private[streaming] def expandRules(rules: Seq[Rule],
+      catalog: Catalog): Seq[Rule] =
+    rules.flatMap { r =>
+      if (!Rule.isRegexSpec(r.sourceTable)) Seq(r)
+      else Rule.expand(r.sourceTable,
+        catalog.tableNames(r.sourceSchema))
+        .map(t => r.copy(sourceTable = t))
+    }
+
   /** Source-side include filter — the reference pushes the ruled-table
     * regex into the binlog reader config (river/river.go:114-118,
     * IncludeTableRegex) so unruled tables never leave the source; here
@@ -88,28 +105,40 @@ object CdcPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // re-resolve rules + TableDefs NOW, not at stream start: this
-        // batch routes with the schema the registry holds at this moment
+        // batch routes with the schema (and wildcard expansion) the
+        // registry holds at this moment
         val cfg = cfgProvider()
+        val rules = expandRules(cfg.rules, catalog)
         batch.persist()
         try {
-          // per-table merges are independent (disjoint targets); run
+          // per-sink merges are independent (disjoint targets); run
           // them as concurrent Spark jobs so one batch's wall time is
-          // max(table merge), not sum — the reference's `thread` pool
-          // knob (etc/river.toml:15) without the shared-buffer locking
+          // max(sink merge), not sum — the reference's `thread` pool
+          // knob (etc/river.toml:15) without the shared-buffer locking.
+          // Wildcard-expanded shards sharing a sink union into ONE
+          // merge, so the per-key LWW collapse sees every shard's events
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.Duration
-          val merges = Envelope.route(batch, cfg.rules, catalog).toSeq
-            .map { case ((srcSchema, srcTable), typed) =>
+          val routed = Envelope.route(batch, rules, catalog)
+          val merges = routed.toSeq
+            .flatMap { case ((srcSchema, srcTable), typed) =>
+              rules.find(r => r.sourceSchema == srcSchema &&
+                r.sourceTable == srcTable).map(r => (r, typed))
+            }
+            .groupBy { case (r, _) => (r.sinkSchema, r.sinkTable) }
+            .map { case ((sinkSchema, sinkTable), parts) =>
               Future {
-                val rule = cfg.ruleFor(srcSchema, srcTable).get
-                val defn = catalog.get(srcSchema, srcTable).get
+                val (rule, _) = parts.head
+                val defn = catalog
+                  .get(rule.sourceSchema, rule.sourceTable).get
                 // key columns carry their SINK names post-projection
                 val sinkKeys = defn.pkColumns.map(rule.mappedField(_)._1)
-                // skip tables this batch doesn't touch
+                val typed = parts.map(_._2).reduce(_ unionByName _)
+                // skip sinks this batch doesn't touch
                 if (!typed.isEmpty) {
                   CdcStream.mergeBatch(typed, batchId,
-                    targetDir(targetRoot, rule.sinkSchema, rule.sinkTable),
+                    targetDir(targetRoot, sinkSchema, sinkTable),
                     sinkKeys, cfg.ignoreUpdates, cfg.ignoreDeletes)
                 }
               }
@@ -123,20 +152,20 @@ object CdcPipeline {
   }
 
   /** Drain everything currently in the log and return each sink table's
-    * live view. */
+    * live view (wildcard rules expanded; shards sharing a sink yield
+    * one view). */
   def replayToCompletion(spark: SparkSession, changesDir: String,
       cfg: SyncConfig, catalog: Catalog, targetRoot: String,
       checkpointDir: String): Map[(String, String), DataFrame] = {
     val q = start(spark, changesDir, cfg, catalog, targetRoot,
       checkpointDir, trigger = Some(Trigger.AvailableNow()))
     q.awaitTermination()
-    cfg.rules.flatMap { r =>
+    expandRules(cfg.rules, catalog).flatMap { r =>
       catalog.get(r.sourceSchema, r.sourceTable).map { defn =>
-        val rule = r
         val sample = Envelope.toTyped(
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            ChangeEvent.envelopeSchema), defn, rule)
+            ChangeEvent.envelopeSchema), defn, r)
         (r.sinkSchema, r.sinkTable) -> CdcStream.currentView(spark,
           targetDir(targetRoot, r.sinkSchema, r.sinkTable), sample.schema)
       }

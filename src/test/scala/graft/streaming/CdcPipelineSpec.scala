@@ -92,6 +92,53 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(wide.select("seq").as[Long].collect().toSet == Set(1L))
   }
 
+  test("wildcard rule: shards merge into one sink; CREATE TABLE " +
+      "mid-stream syncs without restart") {
+    val work = Files.createTempDirectory("graft_pipe_wc_").toString
+    val shardSchema = StructType(Seq(
+      StructField("id", IntegerType), StructField("msg", StringType)))
+    val cat = new Catalog()
+    cat.register("db", "logs_01", TableDef(shardSchema, Seq("id")))
+    // ONE wildcard rule: every logs_* shard converges into sink.logs_all
+    val cfg = SyncConfig(
+      rules = Seq(Rule("db", "logs_.*", "sink", "logs_all")),
+      ignoreUpdates = false, ignoreDeletes = false,
+      flushIntervalMs = 100)
+    envelope((1L, "db", "logs_01", "I", Map("id" -> "1"),
+      Map("id" -> "1", "msg" -> "a")))
+      .write.parquet(s"$work/changes")
+    val target = CdcPipeline.targetDir(s"$work/targets", "sink", "logs_all")
+    val state = Seq((1, "x", "I", 1L)).toDF("id", "msg", "_op", "_seq")
+      .schema
+    def viewCount(): Long = scala.util.Try(
+      CdcStream.currentView(spark, target, state).count()).getOrElse(0L)
+    def poll(want: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (viewCount() != want && System.nanoTime() < deadline)
+        Thread.sleep(150)
+      assert(viewCount() == want, s"expected $want rows in time")
+    }
+    val q = CdcPipeline.start(spark, s"$work/changes", () => cfg, cat,
+      s"$work/targets", s"$work/ckpt", trigger = None)
+    try {
+      poll(1)
+      // CREATE TABLE logs_02 (matches the wildcard) + first events —
+      // the running stream must expand the rule on the next batch
+      cat.register("db", "logs_02", TableDef(shardSchema, Seq("id")))
+      envelope(
+        (2L, "db", "logs_02", "I", Map("id" -> "2"),
+          Map("id" -> "2", "msg" -> "b")),
+        (3L, "db", "logs_01", "I", Map("id" -> "3"),
+          Map("id" -> "3", "msg" -> "c")))
+        .write.mode("append").parquet(s"$work/changes")
+      poll(3)
+      val got = CdcStream.currentView(spark, target, state)
+        .as[(Int, String)].collect().toSet
+      // both shards landed in the ONE sink, no restart
+      assert(got == Set((1, "a"), (2, "b"), (3, "c")))
+    } finally q.stop()
+  }
+
   test("resume: a second drain with the same checkpoint is incremental") {
     val work = Files.createTempDirectory("graft_pipe2_").toString
     val cat = new Catalog()
