@@ -76,6 +76,13 @@ object CdcPipeline {
     start(spark, changesDir, () => cfg, catalog, targetRoot, checkpointDir,
       trigger)
 
+  def start(spark: SparkSession, changesDir: String,
+      cfgProvider: () => SyncConfig, catalog: Catalog, targetRoot: String,
+      checkpointDir: String,
+      trigger: Option[Trigger]): StreamingQuery =
+    start(spark, changesDir, cfgProvider, catalog, targetRoot,
+      checkpointDir, trigger, stateBuckets = None)
+
   /** Live-config variant (ST6 in-flight evolution): `cfgProvider` is
     * re-read and [[Envelope.route]]'s projections are re-compiled at
     * EVERY micro-batch against the (mutable) `catalog`, so a DDL-style
@@ -85,11 +92,15 @@ object CdcPipeline {
     * re-fetch TableInfo → `updateRule` live path (river/sync.go:54-60,
     * river/river.go:166-180); in-flight batches keep the definitions
     * they started with.
+    *
+    * `stateBuckets = Some(n)` switches every sink to the
+    * partition-scoped [[BucketedState]] layout (only the key-buckets a
+    * batch touches are rewritten) — the at-100 TB state layout.
     */
   def start(spark: SparkSession, changesDir: String,
       cfgProvider: () => SyncConfig, catalog: Catalog, targetRoot: String,
-      checkpointDir: String,
-      trigger: Option[Trigger]): StreamingQuery = {
+      checkpointDir: String, trigger: Option[Trigger],
+      stateBuckets: Option[Int]): StreamingQuery = {
     val cfg0 = cfgProvider()
     val t = trigger.getOrElse(
       if (cfg0.flushIntervalMs > 0)
@@ -137,9 +148,14 @@ object CdcPipeline {
                 val typed = parts.map(_._2).reduce(_ unionByName _)
                 // skip sinks this batch doesn't touch
                 if (!typed.isEmpty) {
-                  CdcStream.mergeBatch(typed, batchId,
-                    targetDir(targetRoot, sinkSchema, sinkTable),
-                    sinkKeys, cfg.ignoreUpdates, cfg.ignoreDeletes)
+                  val dir = targetDir(targetRoot, sinkSchema, sinkTable)
+                  stateBuckets match {
+                    case Some(n) => BucketedState.mergeBatch(typed,
+                      batchId, dir, sinkKeys, n,
+                      cfg.ignoreUpdates, cfg.ignoreDeletes)
+                    case None => CdcStream.mergeBatch(typed, batchId, dir,
+                      sinkKeys, cfg.ignoreUpdates, cfg.ignoreDeletes)
+                  }
                 }
               }
             }

@@ -139,6 +139,39 @@ class CdcPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pipeline with bucketed state: same view, partition-scoped layout") {
+    val work = Files.createTempDirectory("graft_pipe_bk_").toString
+    val cat = new Catalog()
+    cat.register("db", "adv", TableDef(StructType(Seq(
+      StructField("id", IntegerType), StructField("title", StringType))),
+      Seq("id")))
+    val cfg = SyncConfig(rules = Seq(Rule("db", "adv", "sink", "adv_t")),
+      ignoreUpdates = false, ignoreDeletes = false, flushIntervalMs = 0)
+    envelope(
+      (1L, "db", "adv", "I", Map("id" -> "1"),
+        Map("id" -> "1", "title" -> "a")),
+      (2L, "db", "adv", "U", Map("id" -> "1"),
+        Map("id" -> "1", "title" -> "a2")),
+      (3L, "db", "adv", "I", Map("id" -> "2"),
+        Map("id" -> "2", "title" -> "b")))
+      .write.parquet(s"$work/changes")
+    val nB = 4
+    val q = CdcPipeline.start(spark, s"$work/changes", () => cfg, cat,
+      s"$work/targets", s"$work/ckpt",
+      trigger = Some(org.apache.spark.sql.streaming.Trigger
+        .AvailableNow()), stateBuckets = Some(nB))
+    q.awaitTermination()
+    val target = CdcPipeline.targetDir(s"$work/targets", "sink", "adv_t")
+    val state = Seq((1, "x", "I", 1L)).toDF("id", "title", "_op", "_seq")
+      .schema
+    val view = BucketedState.currentView(spark, target, state, nB)
+      .as[(Int, String)].collect().toSet
+    assert(view == Set((1, "a2"), (2, "b")))
+    // the layout really is bucketed
+    assert(new java.io.File(target).listFiles()
+      .exists(_.getName.startsWith("bucket=")))
+  }
+
   test("resume: a second drain with the same checkpoint is incremental") {
     val work = Files.createTempDirectory("graft_pipe2_").toString
     val cat = new Catalog()
