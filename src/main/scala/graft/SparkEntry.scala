@@ -359,6 +359,39 @@ object SparkEntry {
     Similarity.lshCosinePairs(t(s, dir, "embeddings"), threshold = 0.45,
       bits = 8, probeDist = 1, tables = 4, native = true)
 
+  /** The streaming dedup path end-to-end: the corpus written TWICE to a
+    * stream directory (distinct file sets), drained through
+    * `flatMapGroupsWithState` first-seen dedup in micro-batches. Every
+    * duplicate pair shares one doc_id and every fingerprint is unique to
+    * its doc (dedup_exact proves 500 groups from 500 docs), so the
+    * result is independent of batch boundaries and the oracle is exact:
+    * one (doc_id, fp) row per document. */
+  private def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_").toString
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.repartition(2).write.parquet(s"$work/in")
+    docs.repartition(3).write.mode("append").parquet(s"$work/in")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$work/in")
+    val q = streaming.StreamingDedup.firstSeen(stream)
+      .toDF("doc_id", "fp")
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$work/out")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.StringType))))
+      .parquet(s"$work/out")
+  }
+
   // -------------------------------------- similarity search (SURVEY §7.9)
 
   private def annTopk(s: SparkSession, dir: String): DataFrame = {
@@ -468,6 +501,7 @@ object SparkEntry {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "dedup_embed_bucketed" -> (dedupEmbedBucketed _),
+    "streaming_dedup" -> (streamingDedup _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -843,6 +877,10 @@ object SparkEntry {
          |FROM e x JOIN e y ON x.vec_id < y.vec_id
          |WHERE round(${cosineSql("x.v", "y.v")}, 4) >= 0.45""".stripMargin,
     "dedup_embed_bucketed" -> dedupEmbedBucketedOracle,
+    "streaming_dedup" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
     "ann_quantized" -> annQuantizedOracle,
