@@ -327,6 +327,52 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"),
       TextFunctions.langId(col("text")).as("lang_pred"))
 
+  private def skewJoin(s: SparkSession, dir: String): DataFrame =
+    // salted equi-join must be row-identical to the plain join — the
+    // salt only changes shuffle distribution, so the plain-SQL oracle
+    // IS the correctness statement
+    SkewJoin.saltedEquiJoin(
+      t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("custkey"), col("o_totalprice")),
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+        col("c_mktsegment")),
+      Seq("custkey"), salt = 8)
+
+  /** Stream-static enrich end-to-end: the events feed replayed as a
+    * micro-batched stream, joined per batch against the static customer
+    * dimension (broadcast). Inner join, so the oracle is the plain
+    * batch join — streaming must not change the result. */
+  private def streamJoinStatic(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_sjoin_").toString
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"))
+    ev.repartition(3).write.parquet(s"$work/in")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val q = streaming.StreamJoins.streamStatic(stream, dim, Seq("user_id"))
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$work/out")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("c_mktsegment",
+        org.apache.spark.sql.types.StringType)))
+    s.read.schema(outSchema).parquet(s"$work/out")
+  }
+
   // ------------------------------------------------- dedup (SURVEY §7.9)
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -502,6 +548,8 @@ object SparkEntry {
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "dedup_embed_bucketed" -> (dedupEmbedBucketed _),
     "streaming_dedup" -> (streamingDedup _),
+    "skew_join" -> (skewJoin _),
+    "stream_join_static" -> (streamJoinStatic _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -881,6 +929,13 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "skew_join" ->
+      """SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+        | c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "stream_join_static" ->
+      """SELECT user_id, event_id, event_type, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
     "ann_quantized" -> annQuantizedOracle,
