@@ -118,7 +118,10 @@ object TextFunctions {
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = vocabulary(docs, textCol)
+    // doc frequency FROM the tf aggregate (one row per (doc, token)),
+    // not a second scan+explode of the corpus like vocabulary() —
+    // identical values, half the corpus reads
+    val df = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
     tf.join(df, Seq("token"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
