@@ -347,7 +347,7 @@ object SparkEntry {
       .createTempDirectory("graft_sjoin_").toString
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
       col("event_type"))
-    ev.repartition(3).write.parquet(s"$work/in")
+    ev.repartition(2).write.parquet(s"$work/in")
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
     val dim = t(s, dir, "customer")
@@ -416,10 +416,12 @@ object SparkEntry {
     val work = java.nio.file.Files
       .createTempDirectory("graft_sdedup_").toString
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    docs.repartition(2).write.parquet(s"$work/in")
-    docs.repartition(3).write.mode("append").parquet(s"$work/in")
+    // two files -> two micro-batches: the second is a full duplicate of
+    // the first, so every drop crosses a batch boundary through state
+    docs.repartition(1).write.parquet(s"$work/in")
+    docs.repartition(1).write.mode("append").parquet(s"$work/in")
     val stream = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 2).parquet(s"$work/in")
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
     val q = streaming.StreamingDedup.firstSeen(stream)
       .toDF("doc_id", "fp")
       .writeStream
