@@ -51,6 +51,29 @@ class DebeziumSourceSpec extends AnyFunSuite {
     assert(rows.forall(_.schema == "inv"))
   }
 
+  test("edge cases: missing binlog file, malformed lines, null maps") {
+    val lines = Seq(
+      // no source.file (e.g. a producer that omits it): seq = pos only
+      """{"before": null, "after": {"id": 5},
+        | "source": {"db": "inv", "table": "cust", "pos": 77,
+        |   "ts_ms": 1}, "op": "c", "ts_ms": 2}"""
+        .stripMargin.replaceAll("\n", ""),
+      "not json at all",
+      "{\"half\": true}",
+      // delete with null after keeps key from before
+      """{"before": {"id": 9}, "after": null,
+        | "source": {"db": "inv", "table": "cust",
+        |   "file": "mysql-bin.000007", "pos": 3, "ts_ms": 1},
+        | "op": "d", "ts_ms": 2}""".stripMargin.replaceAll("\n", "")
+    ).toDF("value")
+    val rows = DebeziumSource.fromJson(lines)
+      .as[graft.model.ChangeEvent].collect().sortBy(_.seq)
+    assert(rows.length == 2)
+    assert(rows(0).seq == 77L && rows(0).op == "I")
+    assert(rows(1).seq == (7L << 40) + 3 && rows(1).op == "D")
+    assert(rows(1).key == Map("id" -> "9") && rows(1).after == null)
+  }
+
   test("end-to-end: Debezium feed -> envelope route -> LWW state") {
     val lines = Seq(
       bare("r", "mysql-bin.000001", 10,
