@@ -73,14 +73,47 @@ object Envelope {
     }
   }
 
+  /** PK-change split for ENVELOPE updates (S8's second half, mirrored
+    * from the typed path's [[CdcMerge.normalizeUpdates]]): an update
+    * whose before/after primary key differs acts as delete(old key) +
+    * insert(new key) — the reference detects `beforeID != afterID` and
+    * emits exactly that pair (river/sync.go:219-233, asserted
+    * river/river_test.go:320, 355-360). Without the split the merge
+    * would upsert the new key and leave a STALE row under the old key.
+    * All sequence numbers map monotonically (stable events seq*2+1,
+    * delete half seq*2, insert half seq*2+1) so the delete ranks just
+    * below its paired insert and a same-key re-insert beats it. */
+  def splitKeyChanges(events: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val changed = pkCols.map(k =>
+      not(element_at(col("before"), k) <=> element_at(col("after"), k)))
+      .reduce(_ || _)
+    val isSplit = col("op") === ChangeEvent.OpUpdate &&
+      col("before").isNotNull && changed
+    val stable = events.filter(!isSplit)
+      .withColumn("seq", col("seq") * 2 + 1)
+    val del = events.filter(isSplit).select(
+      (col("seq") * 2).as("seq"), col("tsMs"), col("schema"),
+      col("table"), lit(ChangeEvent.OpDelete).as("op"),
+      col("before").as("key"), col("before"),
+      lit(null).cast("map<string,string>").as("after"))
+    val ins = events.filter(isSplit).select(
+      (col("seq") * 2 + 1).as("seq"), col("tsMs"), col("schema"),
+      col("table"), lit(ChangeEvent.OpInsert).as("op"),
+      col("after").as("key"), col("before"), col("after"))
+    stable.unionByName(del).unionByName(ins)
+  }
+
   /** Full route: envelope stream × config rules × catalog → one typed,
-    * merge-ready DataFrame per ruled (schema, table). */
+    * merge-ready DataFrame per ruled (schema, table), PK-changing
+    * updates split per the reference's semantics. */
   def route(events: DataFrame, rules: Seq[Rule],
       catalog: Catalog): Map[(String, String), DataFrame] =
     rules.flatMap { r =>
       catalog.get(r.sourceSchema, r.sourceTable).map { defn =>
         (r.sourceSchema, r.sourceTable) ->
-          toTyped(forTable(events, r.sourceSchema, r.sourceTable), defn, r)
+          toTyped(splitKeyChanges(
+            forTable(events, r.sourceSchema, r.sourceTable),
+            defn.pkColumns), defn, r)
       }
     }.toMap
 }

@@ -48,6 +48,33 @@ class EnvelopeSpec extends AnyFunSuite {
     assert(merged.columns.toSeq == Seq("id", "es_title", "score"))
   }
 
+  test("PK-changing envelope update splits into delete(old) + insert(new)") {
+    // reference river/sync.go:219-233: beforeID != afterID -> the update
+    // acts as a delete of the old key plus an insert of the after image
+    val events = envelope(
+      (1L, "db", "adv", "I", Map("id" -> "1"),
+        Map("id" -> "1", "title" -> "a", "score" -> "1.0")),
+      (2L, "db", "adv", "I", Map("id" -> "5"),
+        Map("id" -> "5", "title" -> "e", "score" -> "5.0")))
+      .unionByName(
+        // key-changing update 1 -> 2 carries BOTH images
+        Seq((3L, "db", "adv", "U", Map("id" -> "2"),
+          Map("id" -> "1", "title" -> "a", "score" -> "1.0"),
+          Map("id" -> "2", "title" -> "a2", "score" -> "2.0")))
+          .toDF("seq", "schema", "table", "op", "key", "before", "after")
+          .withColumn("tsMs", $"seq")
+          .select("seq", "schema", "table", "op", "key", "after",
+            "tsMs", "before"))
+    val cat = new Catalog()
+    cat.register("db", "adv", advDef)
+    val typed = Envelope.route(events,
+      Seq(Rule("db", "adv", "sink", "adv")), cat)(("db", "adv"))
+    val state = CdcMerge.lastWriteWins(typed, Seq("id"))
+      .as[(Int, String, Double)].collect().toSet
+    // old key 1 is GONE (no stale row), new key 2 holds the after image
+    assert(state == Set((2, "a2", 2.0), (5, "e", 5.0)))
+  }
+
   test("delete events surface their key from the key map") {
     val events = envelope(
       (1L, "db", "adv", "D", Map("id" -> "7"), null))
