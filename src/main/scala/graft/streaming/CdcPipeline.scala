@@ -4,7 +4,7 @@ import graft.config.{Rule, SyncConfig}
 import graft.model.{Catalog, ChangeEvent}
 import graft.operators.Envelope
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** The reference's full topology as ONE streaming query: a single
@@ -68,7 +68,9 @@ object CdcPipeline {
         schemaMatch &&
           col("table").rlike("^" + Rule.buildTable(r.sourceTable) + "$")
       } else schemaMatch && col("table") === r.sourceTable
-    }.reduce(_ || _)
+    }.reduceOption(_ || _)
+      // no rules = nothing routed anywhere: scan nothing, not everything
+      .getOrElse(lit(false))
 
   def start(spark: SparkSession, changesDir: String, cfg: SyncConfig,
       catalog: Catalog, targetRoot: String, checkpointDir: String,

@@ -105,6 +105,24 @@ class CdcMergeSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("property: broadcast path == batch path over random streams") {
+    for (seed <- 300 until 312) {
+      val rnd = new Random(seed)
+      val a = genEvents(rnd, rnd.nextInt(30))
+      val b = genEvents(rnd, 1 + rnd.nextInt(30), seqOffset = a.size)
+      val snapshot = naiveReplay(a).toSeq.toDF("k", "v")
+      val changes = b.map(e => (e.seq, e.op, e.k, e.v))
+        .toDF("seq", "op", "k", "v")
+        .select($"k", $"v", $"op".as("_op"), $"seq".as("_seq"))
+        .repartition(3)
+      val batch = CdcMerge.applyChanges(snapshot, changes, Seq("k"))
+        .as[(Int, String)].collect().toMap
+      val micro = CdcMerge.applyChanges(snapshot, changes, Seq("k"),
+        broadcastChanges = true).as[(Int, String)].collect().toMap
+      assert(batch == micro, s"seed=$seed")
+    }
+  }
+
   test("applyChanges broadcast path == batch path (micro-batch shape)") {
     val target = Seq((1, "a"), (2, "b"), (4, "d")).toDF("k", "v")
     val changes = Seq((1, "a2", "U", 10L), (2, null, "D", 11L),
