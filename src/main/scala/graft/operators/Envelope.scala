@@ -89,18 +89,24 @@ object Envelope {
       .reduce(_ || _)
     val isSplit = col("op") === ChangeEvent.OpUpdate &&
       col("before").isNotNull && changed
-    val stable = events.filter(!isSplit)
-      .withColumn("seq", col("seq") * 2 + 1)
-    val del = events.filter(isSplit).select(
-      (col("seq") * 2).as("seq"), col("tsMs"), col("schema"),
-      col("table"), lit(ChangeEvent.OpDelete).as("op"),
-      col("before").as("key"), col("before"),
-      lit(null).cast("map<string,string>").as("after"))
-    val ins = events.filter(isSplit).select(
-      (col("seq") * 2 + 1).as("seq"), col("tsMs"), col("schema"),
-      col("table"), lit(ChangeEvent.OpInsert).as("op"),
-      col("after").as("key"), col("before"), col("after"))
-    stable.unionByName(del).unionByName(ins)
+    // ONE scan + explode, not a 3-branch union (which would read a
+    // 100 TB envelope log three times): each row becomes 1 or 2 events
+    def ev(seq: Column, op: Column, key: Column,
+        after: Column): Column =
+      struct(seq.as("seq"), col("tsMs").as("tsMs"),
+        col("schema").as("schema"), col("table").as("table"),
+        op.as("op"), key.as("key"), col("before").as("before"),
+        after.as("after"))
+    val stable = ev(col("seq") * 2 + 1, col("op"), col("key"),
+      col("after"))
+    val del = ev(col("seq") * 2, lit(ChangeEvent.OpDelete),
+      col("before"), lit(null).cast("map<string,string>"))
+    val ins = ev(col("seq") * 2 + 1, lit(ChangeEvent.OpInsert),
+      col("after"), col("after"))
+    events
+      .select(explode(when(isSplit, array(del, ins))
+        .otherwise(array(stable))).as("_e"))
+      .select(col("_e.*"))
   }
 
   /** Full route: envelope stream × config rules × catalog → one typed,
