@@ -64,6 +64,44 @@ object Demo {
     println(s"[demo] top row: " +
       orders.orderBy(col("o_orderkey")).limit(1).collect().head)
     println("[demo] " + listener.statReport.replace("\n", " | "))
+
+    // 5. the reference's /stat endpoint, served over HTTP
+    val stat = Observability.StatServer.start(listener)
+    val statUrl = s"http://127.0.0.1:${stat.boundPort}/stat"
+    val in = java.net.URI.create(statUrl).toURL.openStream()
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    println(s"[demo] GET /stat -> " + body.replace("\n", " | "))
+    stat.close()
+
+    // 6. a Debezium JSON feed drops into the same pipeline: adapter ->
+    // envelope -> route -> merge (the live-binlog migration path)
+    val dbz = Seq(
+      """{"before": null, "after": {"id": 1, "name": "ann"},
+        | "source": {"db": "inv", "table": "cust",
+        |   "file": "mysql-bin.000001", "pos": 10, "ts_ms": 1},
+        | "op": "r", "ts_ms": 1}""".stripMargin.replaceAll("\n", ""),
+      """{"before": {"id": 1, "name": "ann"},
+        | "after": {"id": 1, "name": "ann2"},
+        | "source": {"db": "inv", "table": "cust",
+        |   "file": "mysql-bin.000001", "pos": 20, "ts_ms": 2},
+        | "op": "u", "ts_ms": 2}""".stripMargin.replaceAll("\n", ""))
+    import spark.implicits._
+    val cat2 = new Catalog()
+    cat2.register("inv", "cust", TableDef(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType))), Seq("id")))
+    val typed = graft.operators.Envelope.route(
+      graft.sources.DebeziumSource.fromJson(dbz.toDF("value")),
+      Seq(graft.config.Rule("inv", "cust", "sink", "cust")), cat2)(
+      ("inv", "cust"))
+    val lww = graft.operators.CdcMerge.lastWriteWins(typed, Seq("id"))
+    println(s"[demo] debezium feed -> LWW: " +
+      lww.collect().mkString(", "))
+
     spark.streams.removeListener(listener)
     spark.stop()
   }
