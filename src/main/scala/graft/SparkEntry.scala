@@ -253,7 +253,8 @@ object SparkEntry {
     * (maxFilesPerTrigger=1 → several micro-batches, checkpointed,
     * tombstone state), final view read back. Oracle: identical to
     * cdc_lww — the streaming path must agree with the batch LWW. */
-  private def cdcStreamReplay(s: SparkSession, dir: String): DataFrame = {
+  private def cdcStreamReplay(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
     val work = java.nio.file.Files
       .createTempDirectory("graft_stream_").toString
     ChangeFeed.full(s, dir).repartition(4)
@@ -342,7 +343,8 @@ object SparkEntry {
     * micro-batched stream, joined per batch against the static customer
     * dimension (broadcast). Inner join, so the oracle is the plain
     * batch join — streaming must not change the result. */
-  private def streamJoinStatic(s: SparkSession, dir: String): DataFrame = {
+  private def streamJoinStatic(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
     val work = java.nio.file.Files
       .createTempDirectory("graft_sjoin_").toString
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
@@ -412,7 +414,20 @@ object SparkEntry {
     * its doc (dedup_exact proves 500 groups from 500 docs), so the
     * result is independent of batch boundaries and the oracle is exact:
     * one (doc_id, fp) row per document. */
-  private def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set —
+    * stateful streaming cost scales with state-store partition count,
+    * so a small keyed stream wants partitions sized to its keys, not
+    * the session-wide analytics default. Standard per-job tuning. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n)
+    try body finally s.conf.set(key, old)
+  }
+
+  private def streamingDedup(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
     val work = java.nio.file.Files
       .createTempDirectory("graft_sdedup_").toString
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
