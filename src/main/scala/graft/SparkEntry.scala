@@ -328,6 +328,10 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"),
       TextFunctions.langId(col("text")).as("lang_pred"))
 
+  private def textLangIdNgram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.langIdNgram(col("text")).as("lang_pred"))
+
   private def skewJoin(s: SparkSession, dir: String): DataFrame =
     // salted equi-join must be row-identical to the plain join — the
     // salt only changes shuffle distribution, so the plain-SQL oracle
@@ -555,6 +559,7 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
+    "text_langid_ngram" -> (textLangIdNgram _),
     "text_vocab" -> (textVocab _),
     "text_chunks" -> (textChunks _),
     "text_tfidf" -> (textTfidf _),
@@ -821,6 +826,7 @@ object SparkEntry {
          |     [$stopwordsSqlList], t))) / len(toks) END) >= 0.02
          |   THEN 'en' ELSE 'und' END AS lang_pred
          |FROM d""".stripMargin,
+    "text_langid_ngram" -> langNgramOracle,
     "text_chunks" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -1008,6 +1014,43 @@ object SparkEntry {
   /** DuckDB list of the language-ID stopwords, quoted. */
   private def stopwordsSqlList: String =
     TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB replay of TextFunctions.langIdNgram: same trigram
+    * extraction, the same literal profiles, argmax with alphabetical
+    * tie priority and the 0.05 'und' floor. Scores are exact small
+    * rationals, so cross-engine equality is bit-stable. */
+  private def langNgramOracle: String = {
+    def profList(p: Seq[String]): String =
+      p.map(t => "'" + t.replace("'", "''") + "'")
+        .mkString("[", ", ", "]")
+    val scores = TextFunctions.LangTrigramProfiles.map { case (l, p) =>
+      l -> (s"CASE WHEN len(tris) = 0 THEN 0.0 ELSE " +
+        s"len(list_filter(tris, t -> list_contains(${profList(p)}, t)))" +
+        s"::DOUBLE / len(tris) END")
+    }
+    val cols = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n ")
+    val maxE = scores.map { case (l, _) => s"s_$l" }
+      .mkString("greatest(", ", ", ")")
+    val picks = scores.map { case (l, _) =>
+      s"WHEN s_$l = $maxE THEN '$l'" }.mkString("\n       ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents)
+       |, tri AS (
+       |  SELECT doc_id, CASE WHEN length(norm) < 3 THEN []::VARCHAR[]
+       |    ELSE list_transform(generate_series(1, length(norm) - 2),
+       |      i -> substr(norm, i, 3)) END AS tris
+       |  FROM d)
+       |, s AS (SELECT doc_id,
+       | $cols
+       | FROM tri)
+       |SELECT doc_id,
+       |  CASE WHEN $maxE < 0.05 THEN 'und'
+       |       $picks
+       |       ELSE 'und' END AS lang_pred
+       |FROM s""".stripMargin
+  }
 
   /** Shared DuckDB CTE: per-doc distinct 3-gram shingles (mirrors
     * TextFunctions.shingles(text, 3)). */

@@ -83,6 +83,60 @@ object TextFunctions {
   def langId(text: Column): Column =
     when(stopwordRatio(text) >= 0.02, lit("en")).otherwise(lit("und"))
 
+  /** Top character trigrams per language — Cavnar & Trenkle-style n-gram
+    * profiles (hand-curated from the well-known public frequency tables;
+    * trigrams include word-boundary spaces, which carry most of the
+    * signal). Alphabetical language order = deterministic tie priority. */
+  val LangTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("en ", "er ", "ch ", " de", "der", "ein", "sch", "ich",
+      "nde", "die", " di", "und", " un", "che", "ung", "gen", "das",
+      " da", "ten", "ine", "ie ", " ge", "nd ", "ng ", "den", "ber",
+      "ver", " ve", "ent", "ers", "ste", " au", "auf", "ige", "and",
+      " ei", "ser", "hen", "eit", "cht"),
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ",
+      " in", "ing", "ng ", " to", "to ", "er ", "at ", "en ", "es ",
+      "ed ", " co", "ion", "on ", "re ", "tio", " re", "ent", "ati",
+      " fo", "for", "her", "ter", "hat", "tha", "ere", "ate", "his",
+      " wi", "wit", "ith", " be", "ver"),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", " el", "el ", "as ",
+      "ión", "es ", "ent", "en ", " en", "nte", " co", "con", "est",
+      " es", "ado", " qu", "que", "ue ", "los", " lo", "ara", " pa",
+      "par", "del", "cio", "ión", "aci", "ien", "and", "ar ", "una",
+      " un", "por", " po", "res", "sta"),
+    "fr" -> Seq("es ", " de", "de ", "ent", "le ", "nt ", "la ", " le",
+      "ion", "on ", "re ", " pa", "e l", "e d", " la", "ait", "que",
+      " qu", "ue ", "ans", " da", "dan", "our", "ur ", "les", "ne ",
+      "eur", " po", "pou", "tio", "ati", "men", " et", "et ", "ons",
+      "ous", " co", "con", "ait", "une"))
+
+  /** All character trigrams of the whitespace-normalized, lowercased
+    * text (empty below 3 chars). */
+  def charTrigrams(text: Column): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    when(length(norm) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(norm) - 2),
+        i => substr(norm, i, lit(3))))
+  }
+
+  /** Character-n-gram language ID: score(lang) = fraction of the text's
+    * trigrams found in the language's profile; argmax with an 'und'
+    * floor, ties resolved by profile order (alphabetical). Pure column
+    * math — scan-bound, no shuffle — and exactly SQL-replicable (the
+    * scores are exact small rationals, so cross-engine comparisons are
+    * bit-stable). */
+  def langIdNgram(text: Column, minScore: Double = 0.05): Column = {
+    val tris = charTrigrams(text)
+    def score(profile: Seq[String]): Column =
+      when(size(tris) === 0, lit(0.0)).otherwise(
+        size(filter(tris, t => array_contains(typedlit(profile), t)))
+          .cast("double") / size(tris))
+    val scores = LangTrigramProfiles.map { case (l, p) => (l, score(p)) }
+    val maxScore = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldLeft(when(maxScore < minScore, lit("und"))) {
+      case (chain, (l, s)) => chain.when(s === maxScore, lit(l))
+    }.otherwise(lit("und"))
+  }
+
   /** Ratio of alphabetic chars to all chars (0.0 for empty). */
   def alphaRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))

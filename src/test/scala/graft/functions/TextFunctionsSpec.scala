@@ -63,4 +63,22 @@ class TextFunctionsSpec extends AnyFunSuite {
       .toDF("t").select(TextFunctions.langId($"t")).as[String].collect()
     assert(out.toSeq == Seq("en", "und"))
   }
+
+  test("langIdNgram: trigram profiles separate en/fr/de/es; noise -> und") {
+    val samples = Seq(
+      ("the cat sat on the mat and the dog went to the house " +
+        "with the other animals", "en"),
+      ("le chat est dans la maison et les enfants vont dans le " +
+        "jardin pour jouer", "fr"),
+      ("der hund und die katze sind in dem haus und die kinder " +
+        "spielen in dem garten", "de"),
+      ("el perro y el gato de la casa van con los amigos para " +
+        "jugar en el parque", "es"),
+      ("zzz qqq xxx kkk zzz qqq xxx kkk zzz qqq", "und"),
+      ("", "und"))
+    val out = samples.map(_._1).toDF("t")
+      .select(TextFunctions.langIdNgram($"t")).as[String].collect()
+    assert(out.toSeq == samples.map(_._2),
+      out.zip(samples.map(_._2)).mkString(", "))
+  }
 }
