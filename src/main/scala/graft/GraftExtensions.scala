@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{ByteHistogram, CosineSimilarity, HashedShingles, MinHashSig, SimHash60, SortedIntersectCount}
+import graft.functions.expr.{ByteHistogram, CosineSimilarity, HashedShingles, KmvSketch, MinHashSig, SimHash60, SortedIntersectCount}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -44,7 +44,10 @@ object GraftExtensions {
       HashedShingles(c.head, c(1).eval().asInstanceOf[Int])),
     // bins via int literal, e.g. byte_hist(payload, 16)
     fn("byte_hist", classOf[ByteHistogram], 2)(c =>
-      ByteHistogram(c.head, c(1).eval().asInstanceOf[Int])))
+      ByteHistogram(c.head, c(1).eval().asInstanceOf[Int])),
+    // aggregate; k via int literal, e.g. kmv_distinct(v, 64)
+    fn("kmv_distinct", classOf[KmvSketch], 2)(c =>
+      KmvSketch(c.head, c(1).eval().asInstanceOf[Int])))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit = {

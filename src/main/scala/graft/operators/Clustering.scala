@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: near-dup pair lists (from Dedup /
+  * Similarity) are only half the dedup story — a corpus clean actually
+  * needs "group the pairs into clusters and keep ONE doc per cluster".
+  * That grouping is connected components over the pair graph.
+  *
+  * The algorithm is alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+  * is two shuffle stages (a groupBy-min and an equi-join back), and the
+  * edge set provably converges to per-component stars rooted at the
+  * component's minimum node id in O(log n) rounds — not O(diameter) like
+  * naive label propagation, which dies on long chains. This shape runs
+  * each round as bounded equi-joins, so it holds at 100 TB: no
+  * all-pairs step, no driver-side graph, memory per task is one
+  * neighborhood aggregation.
+  *
+  * Lineage is truncated per round with `localCheckpoint` — iterative
+  * plans otherwise nest joins `rounds` deep and analysis/recovery cost
+  * explodes. On a real cluster with executor churn, swap for
+  * `checkpoint` on a reliable store (same call site, one flag).
+  */
+object Clustering {
+
+  private val MaxRounds = 50
+
+  /** Connected components of the undirected pair graph. Input: one row
+    * per edge (aCol, bCol); self-loops ignored. Output: (node,
+    * component) for every node appearing in an edge, where component =
+    * min node id of the component — a deterministic labeling, so the
+    * result is engine-reproducible regardless of iteration order.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    val spark = pairs.sparkSession
+    var edges = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < MaxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = checksum(next) == checksum(edges)
+      edges.unpersist()
+      edges = next
+      rounds += 1
+    }
+    // Converged edges are (child, root) stars; roots label themselves.
+    edges.select(col("u").as("node"), col("v").as("component"))
+      .union(edges.select(col("v").as("node"), col("v").as("component")))
+      .groupBy("node").agg(min("component").as("component"))
+  }
+
+  /** Attach cluster labels to a corpus and flag the canonical survivor:
+    * every doc gets `cluster_id` (its component's min doc id, or its own
+    * id when it has no duplicate) and `keep` = (doc_id == cluster_id) —
+    * filter on `keep` for the deduplicated corpus. Broadcast-joins the
+    * label table when small; at scale both sides hash-join on the id. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val labels = connectedComponents(pairs)
+      .withColumnRenamed("node", idCol)
+    docs.join(labels, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col(idCol)))
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+      .drop("component")
+  }
+
+  /** Large-star: every node connects its strictly-larger neighbors to
+    * the minimum of its neighborhood (incl. itself). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u")
+      .agg(min(least(col("u"), col("v"))).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its smaller-or-equal neighbors
+    * (and itself) to the minimum of that set. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = oriented.groupBy("u").agg(min("v").as("m"))
+    val joined = oriented.join(mins, "u")
+    joined.select(col("v").as("u"), col("m").as("v"))
+      .union(joined.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Order-independent convergence fingerprint of an edge set. Used only
+    * to detect a fixpoint — any engine-internal hash is fine here. */
+  private def checksum(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(count(lit(1)).as("n"),
+      coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private lazy val ids = (1L to 2000L).toDF("id")
+
+  test("hashSplit is a partition: every row gets exactly one label") {
+    val out = Sampling.hashSplit(ids, "id",
+      Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+    assert(out.count() == 2000)
+    assert(out.filter($"split".isNull).count() == 0)
+    val byLabel = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.keySet == Set("train", "eval", "test"))
+    // ~80/10/10 with hash noise
+    assert(byLabel("train") > 1500 && byLabel("train") < 1900)
+  }
+
+  test("assignment is deterministic and insertion-stable") {
+    val first = Sampling.hashSplit(ids, "id", Seq("a" -> 1, "b" -> 1))
+      .as[(Long, String)].collect().toMap
+    val again = Sampling.hashSplit(ids, "id", Seq("a" -> 1, "b" -> 1))
+      .as[(Long, String)].collect().toMap
+    assert(first == again)
+    // adding rows never moves existing rows between splits
+    val grown = Sampling.hashSplit((1L to 4000L).toDF("id"), "id",
+      Seq("a" -> 1, "b" -> 1)).as[(Long, String)].collect().toMap
+    assert(ids.as[Long].collect().forall(i => grown(i) == first(i)))
+  }
+
+  test("sampleByHash hits the requested fraction within hash noise") {
+    val n = Sampling.sampleByHash(ids, "id", 0.25).count()
+    assert(n > 400 && n < 600, s"got $n of 2000 at fraction 0.25")
+    assert(Sampling.sampleByHash(ids, "id", 0.0).count() == 0)
+    assert(Sampling.sampleByHash(ids, "id", 1.0).count() == 2000)
+  }
+
+  test("shardId covers [0, shards) and matches the md5 definition") {
+    val shards = ids.select(Sampling.shardId($"id", 16).as("s"))
+      .distinct().as[Long].collect().toSet
+    assert(shards == (0L until 16L).toSet)
+    val manual = ids
+      .withColumn("expect",
+        pmod(conv(substring(md5($"id".cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(16L)))
+      .filter(Sampling.shardId($"id", 16) =!= $"expect").count()
+    assert(manual == 0)
+  }
+
+  test("writeShards produces one file per shard and loses no rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards_").toString
+    val df = (1L to 500L).map(i => (i, s"doc$i")).toDF("id", "text")
+    Sampling.writeShards(df, "id", shards = 8, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500)
+    assert(back.select("shard").distinct().count() == 8)
+    // round trip: identical content
+    assert(back.select("id", "text").as[(Long, String)].collect().toSet ==
+      df.as[(Long, String)].collect().toSet)
+    // one data file per shard directory
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == 8)
+    assert(shardDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+  }
+}
