@@ -523,6 +523,77 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.attachPayload(
         t(s, dir, "documents"))), step = 4)
 
+  // -------------------------------- training-pipeline ops (round 4)
+
+  /** Backward as-of join: each click matched to the user's most recent
+    * purchase at-or-before it (ties on ts broken by greatest event id). */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("pid"), col("value"))
+    AsofJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts",
+        payload = Seq("pid", "value"), tiebreak = "pid", prefix = "p_")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("p_pid").as("purchase_id"),
+        col("p_value").as("purchase_value"),
+        unix_micros(col("p_ts")).as("purchase_ts_us"))
+  }
+
+  /** Bucketed interval join: purchases within the hour after a click by
+    * the same user — the equi-join rewrite of a range predicate. */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts_us", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "event_id")
+    RangeJoin.intervalJoin(clicks, purchases, Seq("user_id"),
+        "ts_us", "ts_us", lower = 0L, upper = 3600L * 1000000L)
+      .select(col("user_id"), col("l_event_id").as("click_id"),
+        col("r_event_id").as("purchase_id"),
+        (col("r_ts_us") - col("l_ts_us")).as("delta_us"))
+  }
+
+  /** Pair lists → duplicate clusters → keep-one-per-cluster: connected
+    * components (min-id labels) over minhash ∪ simhash near-dup pairs. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val mh = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.8).select("a", "b")
+    val sh = Dedup.simhashPairsBlocked(docs, "doc_id", "text", maxDist = 3)
+      .select("a", "b")
+    Clustering.canonicalize(docs.select("doc_id"),
+        mh.unionByName(sh), "doc_id")
+      .select(col("doc_id"), col("cluster_id"),
+        col("keep").cast("int").as("keep"))
+  }
+
+  /** Token-budget packing of the corpus into contiguous training bins
+    * via the two-pass distributed prefix sum (no global-window reducer). */
+  private def packBudget(s: SparkSession, dir: String): DataFrame =
+    Packing.packByBudget(
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tok")),
+      "doc_id", "n_tok", budget = 2048L)
+
+  /** KMV distinct-user estimate per event type — deterministic sketch,
+    * replayed exactly by the oracle (k = 64 < the 150 true distinct). */
+  private def sketchKmv(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy("event_type")
+      .agg(round(call_function("kmv_distinct",
+        col("user_id").cast("string"), lit(64)), 4).as("nd_est"))
+
+  /** Deterministic split + shard assignment by id hash: the
+    * reproducible train/eval/test partition and shard layout. */
+  private def sampleShard(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(t(s, dir, "documents").select("doc_id"), "doc_id",
+        Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+      .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -579,7 +650,13 @@ object SparkEntry {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_resize" -> (multimodalResize _),
-    "frame_sample" -> (frameSample _))
+    "frame_sample" -> (frameSample _),
+    "asof_join" -> (asofJoin _),
+    "range_join" -> (rangeJoin _),
+    "dedup_clusters" -> (dedupClusters _),
+    "pack_budget" -> (packBudget _),
+    "sketch_kmv" -> (sketchKmv _),
+    "sample_shard" -> (sampleShard _))
 
   /** Last-write-wins replay of the synthetic I/U/D feed — the oracle for
     * both the batch (cdc_lww) and streaming (cdc_stream_replay) paths. */
@@ -1009,7 +1086,150 @@ object SparkEntry {
     "frame_sample" ->
       """SELECT doc_id,
         | unnest(range(0, strlen(text) % 16 + 1, 4)) AS frame_idx
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // Replays AsofJoin's union+running-window formulation verbatim:
+    // right rows (tag 0) sort before left rows (tag 1) at equal ts, the
+    // greatest purchase id wins a same-ts tie, last non-null wins.
+    "asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |, p AS (
+        |  SELECT user_id, ts, event_id AS pid, value FROM events
+        |  WHERE event_type = 'purchase')
+        |, u AS (
+        |  SELECT user_id, ts, 1 AS tag, event_id,
+        |    NULL::BIGINT AS pid, NULL::DOUBLE AS val,
+        |    NULL::TIMESTAMP_NS AS pts
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, pid, value, ts FROM p)
+        |, w AS (
+        |  SELECT *,
+        |    last_value(pid IGNORE NULLS) OVER win AS m_pid,
+        |    last_value(val IGNORE NULLS) OVER win AS m_val,
+        |    last_value(pts IGNORE NULLS) OVER win AS m_pts
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts, tag, coalesce(pid, 0)
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  m_pid AS purchase_id, m_val AS purchase_value,
+        |  epoch_us(CAST(m_pts AS TIMESTAMP)) AS purchase_ts_us
+        |FROM w WHERE tag = 1""".stripMargin,
+    "range_join" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP))
+        |    - epoch_us(CAST(c.ts AS TIMESTAMP)) AS delta_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"""
+        .stripMargin,
+    "dedup_clusters" -> dedupClustersOracle,
+    "pack_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |, c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS "offset"
+        |  FROM d)
+        |SELECT doc_id, n_tok, "offset", "offset" // 2048 AS bin FROM c"""
+        .stripMargin,
+    // Replays the KMV sketch: 60-bit md5 hashes, k-th smallest distinct
+    // hash, (k-1)·2^60/h_k in the same multiply-then-divide order.
+    "sketch_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS hv
+        |  FROM events)
+        |, r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h)
+        |SELECT event_type,
+        |  round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 / CAST(hv AS DOUBLE) END, 4)
+        |    AS nd_est
+        |FROM r WHERE rk = CASE WHEN nd < 64 THEN nd ELSE 64 END"""
+        .stripMargin,
+    "sample_shard" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS hv
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN hv % 10 < 8 THEN 'train'
+        |       WHEN hv % 10 < 9 THEN 'eval' ELSE 'test' END AS split,
+        |  hv % 16 AS shard
+        |FROM b""".stripMargin)
+
+  /** DuckDB replay of dedup_clusters: the minhash and simhash pair
+    * chains (same CTEs as their own oracles, simhash renamed to avoid
+    * collisions), unioned into an undirected edge set, then connected
+    * components as a recursive min-reachable-id closure — the exact
+    * labeling large-star/small-star converges to. */
+  private def dedupClustersOracle: String =
+    s"""${shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}
+       |$hsetsCte
+       |, base AS (SELECT doc_id, unnest(hs) AS h FROM hsets)
+       |, sig AS (
+       |  SELECT doc_id, i,
+       |    min((((1103515245*(i+1) + 12345) % 2147483647)
+       |         * (h % 2147483647)
+       |         + ((69069*(i+1) + 1) % 2147483647)) % 2147483647) AS m
+       |  FROM base, range(16) t(i) GROUP BY 1, 2)
+       |, bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    string_agg(m, '_' ORDER BY i) AS key
+       |  FROM sig GROUP BY 1, 2)
+       |, cands AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |, mh AS (
+       |$verifySql)
+       |, stok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM documents WHERE length(trim(text)) > 0)
+       |, sh3 AS (
+       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+       |  FROM stok)
+       |, svotes AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM sh3, range(60) r(j) GROUP BY 1, 2)
+       |, ssig AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)
+       |      AS s
+       |  FROM svotes GROUP BY 1)
+       |, shp AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM ssig x JOIN ssig y ON x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.s, y.s)) <= 3)
+       |, pairs AS (SELECT a, b FROM mh UNION SELECT a, b FROM shp)
+       |, edges AS (
+       |  SELECT a AS u, b AS v FROM pairs
+       |  UNION SELECT b AS u, a AS v FROM pairs)
+       |, reach AS (
+       |  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u AS node, reach.r FROM edges e
+       |  JOIN reach ON e.v = reach.node)
+       |, labels AS (
+       |  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+       |SELECT doc_id, coalesce(cluster_id, doc_id) AS cluster_id,
+       |  CAST(doc_id = coalesce(cluster_id, doc_id) AS INT) AS keep
+       |FROM documents LEFT JOIN labels ON doc_id = node""".stripMargin
 
   /** DuckDB list of the language-ID stopwords, quoted. */
   private def stopwordsSqlList: String =
