@@ -1148,7 +1148,7 @@ object SparkEntry {
         |  SELECT DISTINCT event_type,
         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
         |      AS hv
-        |  FROM events)
+        |  FROM events WHERE user_id IS NOT NULL)
         |, r AS (
         |  SELECT event_type, hv,
         |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,

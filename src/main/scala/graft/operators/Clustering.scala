@@ -27,11 +27,24 @@ object Clustering {
 
   private val MaxRounds = 50
 
+  /** Stats of the last `connectedComponents` run — test hook proving the
+    * exact fixpoint certificate actually executed. */
+  private[graft] final case class CcStats(rounds: Int, certified: Boolean)
+  @volatile private[graft] var lastStats: CcStats = CcStats(0, certified = false)
+
   /** Connected components of the undirected pair graph. Input: one row
     * per edge (aCol, bCol); self-loops ignored. Output: (node,
     * component) for every node appearing in an edge, where component =
     * min node id of the component — a deterministic labeling, so the
     * result is engine-reproducible regardless of iteration order.
+    *
+    * Convergence is detected cheaply by an order-independent checksum,
+    * then *certified exactly* at the fixpoint only: the checksum carries
+    * the exact row count, so counts are provably equal, and a one-sided
+    * `exceptAll(...).isEmpty` then proves set equality. A checksum
+    * collision therefore cannot terminate the loop early with wrong
+    * labels — the certificate fails and iteration continues. Cost: one
+    * extra anti-join at the fixpoint, not per round.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b"): DataFrame = {
@@ -44,11 +57,18 @@ object Clustering {
     var rounds = 0
     while (!converged && rounds < MaxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = checksum(next) == checksum(edges)
+      if (checksum(next) == checksum(edges)) {
+        converged = next.exceptAll(edges).isEmpty
+      }
       edges.unpersist()
       edges = next
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $MaxRounds rounds — " +
+          "component labels would be wrong; raise MaxRounds or check the input graph")
+    lastStats = CcStats(rounds, certified = true)
     // Converged edges are (child, root) stars; roots label themselves.
     edges.select(col("u").as("node"), col("v").as("component"))
       .union(edges.select(col("v").as("node"), col("v").as("component")))

@@ -34,10 +34,11 @@ object RangeJoin {
     val width = upper - lower
     val keys = keyCols.map(col)
     // floorDiv semantics (negative-safe) in exact integer math: subtract
-    // the positive remainder first, so the division is a whole multiple
-    // and the double `/` introduces no rounding at timestamp magnitudes.
+    // the positive remainder first (pmod is non-negative), then divide
+    // with SQL `div` (IntegralDivide) — exact at ALL long magnitudes,
+    // including beyond 2^53 where a double `/` would round.
     def fdiv(c: Column): Column =
-      ((c - pmod(c, lit(width))) / lit(width)).cast("long")
+      call_function("div", c - pmod(c, lit(width)), lit(width))
     val lo = col(leftTs) + lit(lower + 1L) // window is half-open: (lower, upper]
     val hi = col(leftTs) + lit(upper)
     val lSide = left

@@ -34,6 +34,18 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("fixpoint is certified exactly (multi-round run, labels unchanged)") {
+    Clustering.lastStats = Clustering.CcStats(0, certified = false)
+    val chain = (1L until 32L).map(i => (i, i + 1))
+    val got = ccLabels(chain)
+    assert(got.values.toSet == Set(1L))
+    val stats = Clustering.lastStats
+    // a 32-chain cannot converge in one star round — the exact
+    // exceptAll certificate must have run at the detected fixpoint
+    assert(stats.rounds >= 2, s"expected >=2 rounds, got ${stats.rounds}")
+    assert(stats.certified, "exact fixpoint certificate did not run")
+  }
+
   test("disjoint structures: star, triangle, isolated edge") {
     val edges = Seq((10L, 11L), (10L, 12L), (10L, 13L), // star at 10
       (20L, 21L), (21L, 22L), (22L, 20L),               // cycle

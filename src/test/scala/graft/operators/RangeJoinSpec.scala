@@ -60,6 +60,28 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(bucketed(l, r, 0L, 50L).isEmpty)
   }
 
+  test("exact bucket math beyond 2^53 (nanosecond-scale timestamps)") {
+    // Double division rounds above 2^53 (~9.0e15); epoch-nanos today are
+    // ~1.7e18. The `div` (IntegralDivide) path must bucket these exactly:
+    // base is chosen so that base and base+width land in adjacent buckets
+    // and a rounded double division would merge or shift them.
+    val base = 1_700_000_000_000_000_123L // ~1.7e18, not bucket-aligned
+    val l = Seq((1L, base, 1L)).toDF("k", "ts", "id")
+    val r = Seq(
+      (1L, base, 10L),        // excluded: window is strictly-after lower
+      (1L, base + 1L, 11L),   // included
+      (1L, base + 50L, 12L),  // included: inclusive upper
+      (1L, base + 51L, 13L),  // excluded
+      (1L, base - 1L, 14L))   // excluded
+      .toDF("k", "ts", "id")
+    assert(bucketed(l, r, 0L, 50L) == Set((1L, 11L), (1L, 12L)))
+    // negative side of the same magnitude
+    val ln = Seq((1L, -base, 1L)).toDF("k", "ts", "id")
+    val rn = Seq((1L, -base + 25L, 20L), (1L, -base - 25L, 21L))
+      .toDF("k", "ts", "id")
+    assert(bucketed(ln, rn, 0L, 50L) == Set((1L, 20L)))
+  }
+
   test("no duplicate pairs from the two-bucket left explode") {
     val l = randDf(3, 200)
     val r = randDf(4, 200)
