@@ -1,6 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 object Bench {
 
   /** 1-minute load average — the contention signal on this shared VM. */
@@ -9,6 +12,54 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.mkString.split("\\s+").head.toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
+
+  /** A measurement ≥3× its floor AND ≥0.5 s over it is contamination
+    * (the absolute guard keeps sub-second noise from tripping the ratio). */
+  private val Ratio = 3.0
+  private val AbsSlack = 0.5
+
+  /** `BENCH_floor.json`: `{"sf0.1": {"query": secs, …}, …}` — best-known
+    * clean per-query times, monotonically min'd across rounds. Min-of-3
+    * with a min/median-divergence retry is blind to SUSTAINED host load
+    * (min ≈ median when the whole run is slow), which shipped two garbage
+    * official records in four rounds; comparing against a persisted
+    * cross-round floor catches exactly that case and lets the record
+    * flag itself instead of lying. */
+  private def floorPath: java.nio.file.Path = {
+    val local = Paths.get(sys.env.getOrElse("SPARK_GRAFT_FLOOR", "BENCH_floor.json"))
+    if (Files.exists(local)) local else {
+      val repo = Paths.get("/root/repo/BENCH_floor.json")
+      if (Files.exists(repo)) repo else local
+    }
+  }
+
+  private def readAllFloors(): Map[String, Map[String, Double]] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val txt = new String(Files.readAllBytes(floorPath), StandardCharsets.UTF_8)
+      JsonMethods.parse(txt) match {
+        case JObject(sfs) => sfs.collect { case (sf, JObject(qs)) =>
+          sf -> qs.collect {
+            case (q, JDouble(v))  => q -> v
+            case (q, JInt(v))     => q -> v.toDouble
+            case (q, JDecimal(v)) => q -> v.toDouble
+          }.toMap
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  private def writeAllFloors(all: Map[String, Map[String, Double]]): Unit =
+    try {
+      val body = all.toSeq.sortBy(_._1).map { case (sf, qs) =>
+        val inner = qs.toSeq.sortBy(_._1)
+          .map { case (q, v) => s""" "$q": ${math.rint(v * 1e4) / 1e4}""" }
+          .mkString(",\n")
+        s""" "$sf": {\n$inner\n }"""
+      }.mkString("{\n", ",\n", "\n}\n")
+      Files.write(floorPath, body.getBytes(StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // floors are best-effort persistence
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,6 +82,12 @@ object Bench {
       .map(_.split(",").toSet)
     val loadBefore = loadavg
 
+    val sfKey = new java.io.File(sfDir).getName
+    val allFloors = readAllFloors()
+    val floors = allFloors.getOrElse(sfKey, Map.empty)
+    def overFloor(name: String, t: Double): Boolean =
+      floors.get(name).exists(f => t >= Ratio * f && t - f >= AbsSlack)
+
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
@@ -43,28 +100,66 @@ object Bench {
       d
     }
 
+    // Canary: the cheapest floor-known query, re-timed after each
+    // measurement. Its trace is load evidence independent of the query
+    // under test — a slow canary on code-untouched trivial work can only
+    // mean host contention.
+    val canary = floors.toSeq.sortBy(_._2).headOption.map(_._1)
+      .filter(SparkEntry.queries.contains)
+    var canaryWorst = 0.0
+    def probeCanary(): Unit = canary.foreach { c =>
+      val t = timeOnce(SparkEntry.queries(c))
+      val r = t / math.max(floors(c), 1e-3)
+      if (r > canaryWorst && t - floors(c) >= AbsSlack) canaryWorst = r
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1))).map {
       case (name, fn) =>
         // min of three runs: the shared-host VM shows bursty multi-second
         // steal stalls; the min is the least-interfered measurement.
-        // Contention guard: when min and median diverge ≥3× the host was
-        // loaded during the runs — re-measure (bounded) until they agree
-        // or the retry budget runs out, so one noisy burst can't ship a
-        // 10-100× garbage number as the official record.
+        // Two contamination triggers re-measure (bounded): min/median
+        // divergence ≥3× (bursty load) and min ≥3× the persisted floor
+        // (sustained load — invisible to self-consistency checks).
         var ts = (0 until 3).map(_ => timeOnce(fn)).sorted
         var retries = 0
-        while (ts(1) / math.max(ts.head, 1e-9) >= 3.0 && retries < 4) {
+        while ((ts(1) / math.max(ts.head, 1e-9) >= Ratio ||
+            overFloor(name, ts.head)) && retries < 4) {
           ts = (ts :+ timeOnce(fn)).sorted.take(3)
           retries += 1
         }
+        probeCanary()
         name -> ts.head
     }
     val loadAfter = loadavg
+
+    // Self-describing record: queries still ≥3× their floor after the
+    // retry budget are listed with their ratios, and the record carries
+    // an explicit contaminated flag — a reader never has to guess
+    // whether a blowup is code or host load.
+    val deltas = results.collect {
+      case (name, t) if overFloor(name, t) =>
+        name -> math.rint(t / floors(name) * 100) / 100
+    }
+    val contaminated = deltas.nonEmpty || canaryWorst >= Ratio
+
+    // Monotone floor update: existing floors only ever decrease; new
+    // queries are seeded only from a run whose record is clean, so a
+    // loaded first measurement can't poison its own future baseline.
+    val updated = floors ++ results.collect {
+      case (name, t) if t > 0 &&
+          (floors.get(name).exists(t < _) ||
+            (!floors.contains(name) && !contaminated)) => name -> t
+    }
+    if (updated != floors)
+      writeAllFloors(allFloors + (sfKey -> updated))
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ds = deltas.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","contaminated":$contaminated,"floor_deltas":$ds,"canary_worst_ratio":${math.rint(canaryWorst * 100) / 100},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
     spark.stop()
   }
 }
