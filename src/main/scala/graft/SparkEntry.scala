@@ -498,10 +498,14 @@ object SparkEntry {
   // ------------------------------------------- multimodal (SURVEY §7.9)
 
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    // REAL decode: payloads are genuine PNG / animated-GIF bytes and the
+    // metadata comes out of javax.imageio, not a side channel. n_bytes
+    // (encoded size) is codec-dependent, so the oracle-checked projection
+    // sticks to decoder-reported facts a SQL oracle can predict.
     Multimodal.decodeMeta(
-      Multimodal.attachPayload(t(s, dir, "documents")))
+      Multimodal.attachImagePayload(t(s, dir, "documents")))
       .select(col("doc_id"), col("mime"), col("width"), col("height"),
-        col("n_frames"), col("n_bytes"))
+        col("n_frames"))
 
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.featureHistogram(
@@ -513,14 +517,14 @@ object SparkEntry {
 
   private def multimodalResize(s: SparkSession, dir: String): DataFrame =
     Multimodal.resizePlan(
-      Multimodal.decodeMeta(Multimodal.attachPayload(
-        t(s, dir, "documents"))), maxDim = 448)
+      Multimodal.decodeMeta(Multimodal.attachImagePayload(
+        t(s, dir, "documents"))), maxDim = 48)
       .select(col("doc_id"), col("width"), col("height"),
         col("out_w"), col("out_h"))
 
   private def frameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
-      Multimodal.decodeMeta(Multimodal.attachPayload(
+      Multimodal.decodeMeta(Multimodal.attachImagePayload(
         t(s, dir, "documents"))), step = 4)
 
   // -------------------------------- training-pipeline ops (round 4)
@@ -1051,12 +1055,19 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    // The oracle predicts what javax.imageio must REPORT after decoding
+    // the synthetic payload bytes: geometry/frame-count are pure
+    // functions of (doc_id, strlen(text)) by construction
+    // (Multimodal.synthWidth/synthHeight/synthFrames), so a hash match
+    // proves the decoder read real PNG/GIF structure correctly.
     "multimodal_meta" ->
-      """SELECT doc_id, 'image/fake' AS mime,
-        | CAST(strlen(text) % 640 + 1 AS INT) AS width,
-        | CAST(strlen(text) % 480 + 1 AS INT) AS height,
-        | CAST(strlen(text) % 16 + 1 AS INT) AS n_frames,
-        | CAST(strlen(text) AS BIGINT) AS n_bytes
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 4 = 0 THEN 'image/gif'
+        |      ELSE 'image/png' END AS mime,
+        | CAST(strlen(text) % 96 + 1 AS INT) AS width,
+        | CAST(strlen(text) % 64 + 1 AS INT) AS height,
+        | CASE WHEN doc_id % 4 = 0 THEN CAST(strlen(text) % 8 + 2 AS INT)
+        |      ELSE 1 END AS n_frames
         |FROM documents""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id,
@@ -1068,24 +1079,26 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id,
-        | CAST(strlen(text) % 640 + 1 AS INT) AS width,
-        | CAST(strlen(text) % 480 + 1 AS INT) AS height,
-        | CASE WHEN greatest(strlen(text) % 640 + 1,
-        |                    strlen(text) % 480 + 1) <= 448
-        |      THEN CAST(strlen(text) % 640 + 1 AS INT)
-        |      ELSE CAST(floor((strlen(text) % 640 + 1) * 448
-        |        / greatest(strlen(text) % 640 + 1,
-        |                   strlen(text) % 480 + 1)) AS INT) END AS out_w,
-        | CASE WHEN greatest(strlen(text) % 640 + 1,
-        |                    strlen(text) % 480 + 1) <= 448
-        |      THEN CAST(strlen(text) % 480 + 1 AS INT)
-        |      ELSE CAST(floor((strlen(text) % 480 + 1) * 448
-        |        / greatest(strlen(text) % 640 + 1,
-        |                   strlen(text) % 480 + 1)) AS INT) END AS out_h
+        | CAST(strlen(text) % 96 + 1 AS INT) AS width,
+        | CAST(strlen(text) % 64 + 1 AS INT) AS height,
+        | CASE WHEN greatest(strlen(text) % 96 + 1,
+        |                    strlen(text) % 64 + 1) <= 48
+        |      THEN CAST(strlen(text) % 96 + 1 AS INT)
+        |      ELSE CAST(floor((strlen(text) % 96 + 1) * 48
+        |        / greatest(strlen(text) % 96 + 1,
+        |                   strlen(text) % 64 + 1)) AS INT) END AS out_w,
+        | CASE WHEN greatest(strlen(text) % 96 + 1,
+        |                    strlen(text) % 64 + 1) <= 48
+        |      THEN CAST(strlen(text) % 64 + 1 AS INT)
+        |      ELSE CAST(floor((strlen(text) % 64 + 1) * 48
+        |        / greatest(strlen(text) % 96 + 1,
+        |                   strlen(text) % 64 + 1)) AS INT) END AS out_h
         |FROM documents""".stripMargin,
     "frame_sample" ->
       """SELECT doc_id,
-        | unnest(range(0, strlen(text) % 16 + 1, 4)) AS frame_idx
+        | unnest(range(0, CASE WHEN doc_id % 4 = 0
+        |                      THEN strlen(text) % 8 + 2
+        |                      ELSE 1 END, 4)) AS frame_idx
         |FROM documents""".stripMargin,
     // Replays AsofJoin's union+running-window formulation verbatim:
     // right rows (tag 0) sort before left rows (tag 1) at equal ts, the
