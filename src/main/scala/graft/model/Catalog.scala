@@ -46,6 +46,10 @@ final class Catalog(skipNoPkTable: Boolean = false) {
   def refresh(schema: String, table: String, defn: TableDef): Boolean =
     register(schema, table, defn)
 
+  /** Remove a table (wire-driven DROP TABLE). Returns false if absent. */
+  def drop(schema: String, table: String): Boolean =
+    tables.remove((schema, table)) != null
+
   def get(schema: String, table: String): Option[TableDef] =
     Option(tables.get((schema, table)))
 

@@ -1,7 +1,7 @@
 package graft.sources
 
-import graft.model.ChangeEvent
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.model.{Catalog, ChangeEvent}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -31,8 +31,14 @@ import org.apache.spark.sql.types._
   *     its master.info checkpointed (river/master.go:53-83). A Kafka
   *     deployment can instead pass its partition offset via `seqCol`.
   *
-  * Rows that do not parse as change events (heartbeats, schema-change
-  * topics, tombstones) have no op and are dropped.
+  * Rows that do not parse as change events (heartbeats, tombstones) have
+  * no op and are dropped by [[fromJson]]. Schema-change messages are NOT
+  * noise: [[applySchemaChanges]] parses them (structured `tableChanges`
+  * first, DDL-string fallback) and applies CREATE/ALTER/DROP to the
+  * [[graft.model.Catalog]], closing the reference's wire-driven DDL loop
+  * (`OnTableChanged` → re-fetch TableInfo → `updateRule`,
+  * river/sync.go:54-60, river/river.go:166-180) with no caller
+  * involvement — [[ingest]] does both in one call per batch.
   */
 object DebeziumSource {
 
@@ -92,5 +98,203 @@ object DebeziumSource {
         after.as("after"))
       .filter(col("op").isNotNull && col("schema").isNotNull &&
         col("table").isNotNull)
+  }
+
+  // ------------------------------------------------------------------
+  // Wire-driven DDL (reference: OnTableChanged → updateRule,
+  // river/sync.go:54-60): Debezium schema-change messages carry either a
+  // structured `tableChanges` array (the connector's own post-DDL view of
+  // the table — the analogue of the reference re-fetching TableInfo) or
+  // just the raw `ddl` string. Both are recognized.
+  // ------------------------------------------------------------------
+
+  private val ddlColumnSchema = StructType(Seq(
+    StructField("name", StringType),
+    StructField("typeName", StringType),
+    StructField("typeExpression", StringType),
+    StructField("optional", BooleanType)))
+
+  /** Debezium schema-change payload (public format of the schema-history /
+    * schema-change topic). `tableChanges[].table` is the FULL post-DDL
+    * table definition, so applying it is a swap, not a diff. */
+  val ddlPayloadSchema: StructType = StructType(Seq(
+    StructField("source", StructType(Seq(
+      StructField("db", StringType),
+      StructField("file", StringType),
+      StructField("pos", LongType)))),
+    StructField("databaseName", StringType),
+    StructField("ddl", StringType),
+    StructField("tableChanges", ArrayType(StructType(Seq(
+      StructField("type", StringType),
+      StructField("id", StringType),
+      StructField("table", StructType(Seq(
+        StructField("primaryKeyColumnNames", ArrayType(StringType)),
+        StructField("columns", ArrayType(ddlColumnSchema)))))))))))
+
+  private val ddlWrapperSchema: StructType =
+    StructType(Seq(StructField("payload", ddlPayloadSchema)))
+
+  /** Extract schema-change messages (in binlog order) from a mixed feed.
+    * The cheap substring prefilter keeps the second JSON parse off row
+    * events — in a real deployment schema changes also arrive on their
+    * own topic, so this frame is usually tiny. */
+  def schemaChanges(lines: DataFrame, jsonCol: String = "value")
+      : DataFrame = {
+    val candidates = lines.filter(
+      col(jsonCol).contains("\"ddl\"") ||
+        col(jsonCol).contains("tableChanges"))
+    val wrapped =
+      from_json(col(jsonCol), ddlWrapperSchema).getField("payload")
+    val bare = from_json(col(jsonCol), ddlPayloadSchema)
+    val p = when(wrapped.getField("ddl").isNotNull ||
+        wrapped.getField("tableChanges").isNotNull, wrapped)
+      .otherwise(bare)
+    val src = p.getField("source")
+    candidates
+      .select(
+        binlogSeq(src.getField("file"), src.getField("pos")).as("seq"),
+        coalesce(p.getField("databaseName"), src.getField("db"))
+          .as("db"),
+        p.getField("ddl").as("ddl"),
+        p.getField("tableChanges").as("table_changes"))
+      .filter(col("ddl").isNotNull ||
+        (col("table_changes").isNotNull && size(col("table_changes")) > 0))
+  }
+
+  /** `"db"."tbl"` / `` `db`.`tbl` `` / `tbl` → (db-or-default, tbl). */
+  private def splitId(id: String, defaultDb: String): (String, String) = {
+    val parts = id.split("\\.").map(_.replaceAll("[`\"]", "").trim)
+    if (parts.length >= 2) (parts(0), parts(1)) else (defaultDb, parts(0))
+  }
+
+  /** Split a CREATE TABLE body on commas not nested in parentheses. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  // one column declaration: name, MySQL type (with optional (args) and
+  // unsigned), then the remainder (NOT NULL / DEFAULT / PRIMARY KEY ...)
+  private val ColumnDef =
+    """(?is)[`"]?(\w+)[`"]?\s+([a-z]\w*(?:\s*\([^)]*\))?(?:\s+unsigned)?)(.*)""".r
+  private val AlterAdd =
+    """(?is)\s*alter\s+table\s+(\S+)\s+add\s+(?:column\s+)?[`"]?(\w+)[`"]?\s+([a-z]\w*(?:\s*\([^)]*\))?(?:\s+unsigned)?).*""".r
+  private val AlterDrop =
+    """(?is)\s*alter\s+table\s+(\S+)\s+drop\s+(?:column\s+)?[`"]?(\w+)[`"]?\s*;?\s*""".r
+  private val DropTableDdl =
+    """(?is)\s*drop\s+table\s+(?:if\s+exists\s+)?(\S+?);?\s*""".r
+  private val CreateTableDdl =
+    """(?is)\s*create\s+table\s+(?:if\s+not\s+exists\s+)?(\S+?)\s*\((.*)\)\s*[^)]*""".r
+  private val TableConstraint =
+    """(?is)\s*(primary|unique|key|index|constraint|foreign|check)\b.*""".r
+  private val PkConstraint =
+    """(?is)\s*primary\s+key\s*\(([^)]*)\).*""".r
+
+  /** Parse a CREATE TABLE body into a TableDef via [[TypeMapper]]. */
+  private def parseCreate(body: String): graft.model.TableDef = {
+    val defs = splitTop(body)
+    val pkFromConstraint = defs.collectFirst {
+      case PkConstraint(cols) =>
+        cols.split(",").map(_.replaceAll("[`\"\\s]", "")).toSeq
+    }
+    val cols = defs.filterNot(TableConstraint.matches).collect {
+      case ColumnDef(name, tpe, rest) =>
+        val inlinePk = rest.toLowerCase.contains("primary key")
+        (graft.functions.TypeMapper.toField(name, tpe,
+          nullable = !rest.toLowerCase.contains("not null")), inlinePk)
+    }
+    val pks = pkFromConstraint.getOrElse(
+      cols.collect { case (f, true) => f.name })
+    graft.model.TableDef(StructType(cols.map(_._1)), pks)
+  }
+
+  /** Apply every schema-change message in `lines` to `catalog`, in
+    * binlog order. Structured `tableChanges` wins (full post-DDL column
+    * list); otherwise the DDL string is parsed for CREATE TABLE /
+    * ALTER ADD / ALTER DROP COLUMN / DROP TABLE. Unknown or unparseable
+    * DDL (triggers, grants, ...) is skipped — same as the reference,
+    * which only reacts to changes on ruled tables. Returns the number of
+    * catalog mutations applied. DDL events are rare, so the collect is
+    * a handful of rows, never data-sized. */
+  def applySchemaChanges(lines: DataFrame, catalog: Catalog,
+      jsonCol: String = "value"): Int = {
+    import graft.functions.TypeMapper
+    import graft.model.TableDef
+    var applied = 0
+    schemaChanges(lines, jsonCol).orderBy("seq").collect().foreach { row =>
+      val db = row.getAs[String]("db")
+      val changes: scala.collection.Seq[Row] =
+        row.getSeq[Row](row.fieldIndex("table_changes"))
+      if (changes != null && changes.nonEmpty) {
+        changes.foreach { ch =>
+          val (chDb, tbl) = splitId(ch.getAs[String]("id"), db)
+          ch.getAs[String]("type").toUpperCase match {
+            case "DROP" =>
+              if (catalog.drop(chDb, tbl)) applied += 1
+            case _ => // CREATE and ALTER both carry the full table
+              val t = ch.getAs[Row]("table")
+              if (t != null) {
+                val pks = Option(t.getSeq[String](
+                    t.fieldIndex("primaryKeyColumnNames")))
+                  .getOrElse(Seq.empty).toSeq
+                val fields = t.getSeq[Row](t.fieldIndex("columns")).map { c =>
+                  TypeMapper.toField(
+                    c.getAs[String]("name"),
+                    Option(c.getAs[String]("typeExpression"))
+                      .getOrElse(c.getAs[String]("typeName")),
+                    nullable = !java.lang.Boolean.FALSE.equals(
+                      c.getAs[java.lang.Boolean]("optional")))
+                }
+                if (catalog.refresh(chDb, tbl,
+                    TableDef(StructType(fields.toSeq), pks))) applied += 1
+              }
+          }
+        }
+      } else row.getAs[String]("ddl") match {
+        case AlterAdd(id, colName, tpe) =>
+          val (tDb, tbl) = splitId(id, db)
+          catalog.get(tDb, tbl).foreach { defn =>
+            catalog.refresh(tDb, tbl, defn.copy(schema = StructType(
+              defn.schema.fields.filterNot(_.name == colName) :+
+                TypeMapper.toField(colName, tpe))))
+            applied += 1
+          }
+        case AlterDrop(id, colName) =>
+          val (tDb, tbl) = splitId(id, db)
+          catalog.get(tDb, tbl).foreach { defn =>
+            catalog.refresh(tDb, tbl, TableDef(
+              StructType(defn.schema.fields.filterNot(_.name == colName)),
+              defn.pkColumns.filterNot(_ == colName)))
+            applied += 1
+          }
+        case CreateTableDdl(id, body) =>
+          val (tDb, tbl) = splitId(id, db)
+          if (catalog.refresh(tDb, tbl, parseCreate(body))) applied += 1
+        case DropTableDdl(id) =>
+          val (tDb, tbl) = splitId(id, db)
+          if (catalog.drop(tDb, tbl)) applied += 1
+        case _ => () // not table-shape DDL — ignore
+      }
+    }
+    applied
+  }
+
+  /** One call per (micro-)batch over a mixed Debezium feed: first apply
+    * any schema-change messages to the catalog (wire-driven DDL — the
+    * next route/merge sees the new definition with no restart and no
+    * manual Catalog call), then parse the row events. */
+  def ingest(lines: DataFrame, catalog: Catalog,
+      jsonCol: String = "value"): DataFrame = {
+    applySchemaChanges(lines, catalog, jsonCol)
+    fromJson(lines, jsonCol)
   }
 }

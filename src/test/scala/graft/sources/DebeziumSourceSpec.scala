@@ -98,4 +98,106 @@ class DebeziumSourceSpec extends AnyFunSuite {
       .as[(Int, String, Double)].collect().toSet
     assert(state == Set((1, "ann2", 11.0)))
   }
+
+  // ---- wire-driven DDL (reference OnTableChanged -> updateRule) ----
+
+  private def custRow(op: String, pos: Long, after: String,
+      before: String = "null"): String =
+    s"""{"before": $before, "after": $after,
+       | "source": {"db": "inv", "table": "cust",
+       |   "file": "mysql-bin.000009", "pos": $pos, "ts_ms": 1},
+       | "op": "$op", "ts_ms": 2}""".stripMargin.replaceAll("\n", "")
+
+  test("wire-driven DDL: CREATE via tableChanges, ALTER via ddl string," +
+      " rows pick up the new column with no restart or manual call") {
+    val cat = new Catalog()
+    // batch 1: CREATE TABLE arrives as a structured schema-change
+    // message (Debezium tableChanges) interleaved BEFORE its rows
+    val batch1 = Seq(
+      """{"source": {"db": "inv", "file": "mysql-bin.000009", "pos": 1},
+        | "databaseName": "inv",
+        | "ddl": "CREATE TABLE cust (id int, name varchar(64))",
+        | "tableChanges": [{"type": "CREATE", "id": "\"inv\".\"cust\"",
+        |   "table": {"primaryKeyColumnNames": ["id"], "columns": [
+        |     {"name": "id", "typeName": "INT", "typeExpression": "INT",
+        |      "optional": false},
+        |     {"name": "name", "typeName": "VARCHAR",
+        |      "typeExpression": "VARCHAR(64)", "optional": true}]}}]}"""
+        .stripMargin.replaceAll("\n", ""),
+      custRow("c", 10, """{"id": 1, "name": "ann"}"""),
+      custRow("c", 20, """{"id": 2, "name": "bob"}""")
+    ).toDF("value")
+    val rule = Rule("inv", "cust", "sink", "cust")
+    val env1 = DebeziumSource.ingest(batch1, cat) // registers cust itself
+    assert(cat.get("inv", "cust").exists(_.schema.fieldNames.toSeq ==
+      Seq("id", "name")))
+    val t1 = Envelope.route(env1, Seq(rule), cat)(("inv", "cust"))
+    assert(CdcMerge.lastWriteWins(t1, Seq("id")).count() == 2)
+
+    // batch 2: ALTER ADD COLUMN arrives as a ddl-string-only message
+    // (no tableChanges), interleaved mid-batch; post-DDL rows carry the
+    // new column — same stream, no restart, no manual Catalog call
+    val batch2 = Seq(
+      custRow("u", 30, """{"id": 1, "name": "ann2"}""",
+        """{"id": 1, "name": "ann"}"""),
+      """{"source": {"db": "inv", "file": "mysql-bin.000009", "pos": 35},
+        | "databaseName": "inv",
+        | "ddl": "ALTER TABLE cust ADD COLUMN bal decimal(8,2) DEFAULT NULL"}"""
+        .stripMargin.replaceAll("\n", ""),
+      custRow("u", 40, """{"id": 2, "name": "bob", "bal": "7.50"}""",
+        """{"id": 2, "name": "bob"}""")
+    ).toDF("value")
+    val env2 = DebeziumSource.ingest(batch2, cat)
+    assert(cat.get("inv", "cust").exists(_.schema.fieldNames.toSeq ==
+      Seq("id", "name", "bal")))
+    val t2 = Envelope.route(env2, Seq(rule), cat)(("inv", "cust"))
+    val state = CdcMerge.lastWriteWins(t2, Seq("id"))
+      .selectExpr("id", "name", "cast(bal as string) bal")
+      .as[(Int, String, String)].collect().toSet
+    // pre-DDL row decodes with bal=null, post-DDL row carries 7.50
+    assert(state == Set((1, "ann2", null), (2, "bob", "7.50")))
+  }
+
+  test("wire-driven DDL: ALTER DROP COLUMN and DROP TABLE") {
+    val cat = new Catalog()
+    DebeziumSource.applySchemaChanges(Seq(
+      """{"source": {"db": "inv", "file": "f.000001", "pos": 1},
+        | "databaseName": "inv",
+        | "ddl": "CREATE TABLE t (id bigint NOT NULL PRIMARY KEY, a int, b text)"}"""
+        .stripMargin.replaceAll("\n", "")).toDF("value"), cat)
+    assert(cat.get("inv", "t").exists(d =>
+      d.schema.fieldNames.toSeq == Seq("id", "a", "b") &&
+        d.pkColumns == Seq("id") &&
+        !d.schema("id").nullable))
+    val n = DebeziumSource.applySchemaChanges(Seq(
+      """{"source": {"db": "inv", "file": "f.000001", "pos": 2},
+        | "databaseName": "inv", "ddl": "ALTER TABLE t DROP COLUMN a"}"""
+        .stripMargin.replaceAll("\n", ""),
+      """{"source": {"db": "inv", "file": "f.000001", "pos": 3},
+        | "databaseName": "inv", "ddl": "GRANT SELECT ON t TO x"}"""
+        .stripMargin.replaceAll("\n", "")).toDF("value"), cat)
+    assert(n == 1) // the GRANT is skipped
+    assert(cat.get("inv", "t").exists(_.schema.fieldNames.toSeq ==
+      Seq("id", "b")))
+    DebeziumSource.applySchemaChanges(Seq(
+      """{"source": {"db": "inv", "file": "f.000001", "pos": 4},
+        | "databaseName": "inv", "ddl": "DROP TABLE t"}"""
+        .stripMargin.replaceAll("\n", "")).toDF("value"), cat)
+    assert(cat.get("inv", "t").isEmpty)
+  }
+
+  test("wire-driven DDL: constraint-clause PK and quoted enum types") {
+    val cat = new Catalog()
+    DebeziumSource.applySchemaChanges(Seq(
+      """{"source": {"db": "inv", "file": "f.000001", "pos": 1},
+        | "databaseName": "inv",
+        | "ddl": "CREATE TABLE e (x int NOT NULL, y enum('a','b,c'), PRIMARY KEY (x))"}"""
+        .stripMargin.replaceAll("\n", "")).toDF("value"), cat)
+    val d = cat.get("inv", "e").get
+    assert(d.pkColumns == Seq("x"))
+    // the enum's quoted 'b,c' must not split the column list
+    assert(d.schema.fieldNames.toSeq == Seq("x", "y"))
+    assert(d.schema("y").metadata.getString(
+      graft.functions.TypeMapper.MysqlTypeKey) == "enum")
+  }
 }
