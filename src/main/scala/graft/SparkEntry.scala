@@ -547,6 +547,28 @@ object SparkEntry {
         unix_micros(col("p_ts")).as("purchase_ts_us"))
   }
 
+  /** Same semantics as [[asofJoin]] through the hot-key pre-split path:
+    * the running window partitions on (user, 6h time bucket) with
+    * per-bucket boundary carries, so one hot user spans many tasks.
+    * Shares asof_join's oracle — a hash match proves the pre-split is
+    * an exact rewrite. */
+  private def asofJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("pid"), col("value"))
+    AsofJoin.asofBucketed(clicks, purchases, Seq("user_id"), "ts", "ts",
+        payload = Seq("pid", "value"), tiebreak = "pid", prefix = "p_",
+        bucketWidth = 6L * 3600 * 1000000) // 6h in µs
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("p_pid").as("purchase_id"),
+        col("p_value").as("purchase_value"),
+        unix_micros(col("p_ts")).as("purchase_ts_us"))
+  }
+
   /** Bucketed interval join: purchases within the hour after a click by
     * the same user — the equi-join rewrite of a range predicate. */
   private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
@@ -656,6 +678,7 @@ object SparkEntry {
     "multimodal_resize" -> (multimodalResize _),
     "frame_sample" -> (frameSample _),
     "asof_join" -> (asofJoin _),
+    "asof_join_bucketed" -> (asofJoinBucketed _),
     "range_join" -> (rangeJoin _),
     "dedup_clusters" -> (dedupClusters _),
     "pack_budget" -> (packBudget _),
@@ -1104,6 +1127,36 @@ object SparkEntry {
     // right rows (tag 0) sort before left rows (tag 1) at equal ts, the
     // greatest purchase id wins a same-ts tie, last non-null wins.
     "asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |, p AS (
+        |  SELECT user_id, ts, event_id AS pid, value FROM events
+        |  WHERE event_type = 'purchase')
+        |, u AS (
+        |  SELECT user_id, ts, 1 AS tag, event_id,
+        |    NULL::BIGINT AS pid, NULL::DOUBLE AS val,
+        |    NULL::TIMESTAMP_NS AS pts
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, pid, value, ts FROM p)
+        |, w AS (
+        |  SELECT *,
+        |    last_value(pid IGNORE NULLS) OVER win AS m_pid,
+        |    last_value(val IGNORE NULLS) OVER win AS m_val,
+        |    last_value(pts IGNORE NULLS) OVER win AS m_pts
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts, tag, coalesce(pid, 0)
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  m_pid AS purchase_id, m_val AS purchase_value,
+        |  epoch_us(CAST(m_pts AS TIMESTAMP)) AS purchase_ts_us
+        |FROM w WHERE tag = 1""".stripMargin,
+    // identical semantics through the (key, time-bucket) pre-split path;
+    // a hash match against the SAME formulation proves exact-rewrite
+    "asof_join_bucketed" ->
       """WITH c AS (
         |  SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click')

@@ -63,4 +63,88 @@ class AsofJoinSpec extends AnyFunSuite {
       .select("r_qid", "r_px", "r_rts").as[(Long, Double, Long)].head()
     assert(r == ((4L, 4.0, 40L)))
   }
+
+  test("caller columns that look like working columns are fine; " +
+      "actual _gaj_ collisions fail loudly") {
+    // a caller column literally named _ts / _tag must NOT break the
+    // union (the old failure mode ADVICE flagged for two rounds)
+    val l = trades.withColumnRenamed("lts", "_ts")
+      .withColumn("_tag", $"tid" % 2)
+    val got = AsofJoin.asof(l, quotes, Seq("k"), "_ts", "rts",
+      Seq("qid"), tiebreak = "qid")
+      .select("tid", "r_qid").as[(Long, Option[Long])].collect().toMap
+    assert(got(101L).contains(3L) && got(105L).isEmpty)
+    // the reserved prefix itself is rejected with a clear message
+    val bad = trades.withColumn("_gaj_ts", $"lts")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(bad, quotes, Seq("k"), "lts", "rts",
+        Seq("qid"), tiebreak = "qid")
+    }
+    assert(e.getMessage.contains("_gaj_"))
+  }
+
+  // deterministic pseudo-random workload shared by the bucketed tests:
+  // hot key "h" emits densely over a long span, others sparsely
+  private def lcg(seed: Long): LongStream = {
+    var s = seed
+    () => { s = (s * 6364136223846793005L + 1442695040888963407L); s }
+  }
+  private type LongStream = () => Long
+  private lazy val skewLeft = {
+    val r = lcg(7)
+    (1 to 400).map { i =>
+      val k = if (i % 4 != 0) "h" else "k" + (math.abs(r()) % 3)
+      (k, math.abs(r()) % 10000L, i.toLong)
+    }.toDF("k", "lts", "tid")
+  }
+  private lazy val skewRight = {
+    val r = lcg(13)
+    (1 to 300).map { i =>
+      val k = if (i % 3 != 0) "h" else "k" + (math.abs(r()) % 3)
+      (k, math.abs(r()) % 10000L, 1000L + i, i * 1.5)
+    }.toDF("k", "rts", "qid", "px")
+  }
+
+  test("asofBucketed == asof on a skewed workload, both directions") {
+    for (fwd <- Seq(false, true); width <- Seq(100L, 1000L, 100000L)) {
+      val plain = AsofJoin.asof(skewLeft, skewRight, Seq("k"),
+        "lts", "rts", Seq("qid", "px"), tiebreak = "qid", forward = fwd)
+      val bucketed = AsofJoin.asofBucketed(skewLeft, skewRight, Seq("k"),
+        "lts", "rts", Seq("qid", "px"), tiebreak = "qid", forward = fwd,
+        bucketWidth = width)
+      assert(bucketed.count() == skewLeft.count())
+      val diff = plain.exceptAll(bucketed).count() +
+        bucketed.exceptAll(plain).count()
+      assert(diff == 0, s"forward=$fwd width=$width diverged")
+    }
+  }
+
+  test("asofBucketed edge semantics: ties, equal-ts visibility, " +
+      "carry across empty buckets") {
+    // quotes at 10,20,20,40 with width 16 put trade 99 several empty
+    // buckets past the last quote — the carry must still arrive
+    val got = AsofJoin.asofBucketed(trades, quotes, Seq("k"),
+      "lts", "rts", Seq("qid", "px"), tiebreak = "qid", bucketWidth = 16L)
+      .select("tid", "r_qid").as[(Long, Option[Long])].collect().toMap
+    assert(got(100L).isEmpty)
+    assert(got(101L).contains(3L)) // tie at 20: greatest qid, cross-check
+    assert(got(102L).contains(3L))
+    assert(got(103L).contains(4L)) // carried over buckets (40..99)/16
+    assert(got(104L).contains(5L)) // equal ts visible
+    assert(got(105L).isEmpty)
+  }
+
+  test("asofBucketed splits a hot key across buckets in the plan") {
+    val bucketed = AsofJoin.asofBucketed(skewLeft, skewRight, Seq("k"),
+      "lts", "rts", Seq("qid", "px"), tiebreak = "qid",
+      bucketWidth = 1000L)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    // the data-sized window must partition by (k, bucket), not k alone:
+    // its spec appears as "partitionBy [k..., _gaj_bkt...]" in the plan
+    assert(plan.contains("_gaj_bkt"), plan)
+    // and the hot key genuinely spans many buckets at this width
+    val hotBuckets = skewLeft.filter($"k" === "h")
+      .selectExpr("cast(lts div 1000 as long) b").distinct().count()
+    assert(hotBuckets > 5)
+  }
 }
