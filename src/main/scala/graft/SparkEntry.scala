@@ -598,6 +598,35 @@ object SparkEntry {
         col("keep").cast("int").as("keep"))
   }
 
+  /** The full training-corpus pipeline composed as ONE query — the
+    * end-to-end gate proving the building blocks compose, not just pass
+    * individually: near-dup pairs from all three modalities (minhash
+    * text, simhash text, embedding LSH) → connected components →
+    * keep-one-per-cluster → token counts → contiguous token-budget
+    * packing → deterministic split/shard assignment. Every stage is the
+    * same operator its standalone query gates. */
+  private def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val mh = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.8).select("a", "b")
+    val sh = Dedup.simhashPairsBlocked(docs, "doc_id", "text",
+      maxDist = 3).select("a", "b")
+    val em = Similarity.lshCosinePairs(t(s, dir, "embeddings"),
+      threshold = 0.45, bits = 8, probeDist = 1, tables = 4,
+      native = true).select("a", "b")
+    val pairs = mh.unionByName(sh).unionByName(em)
+    val kept = Clustering.canonicalize(docs.select("doc_id"), pairs,
+      "doc_id").filter(col("keep")).select("doc_id")
+    val toks = docs.join(kept, Seq("doc_id"))
+      .select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tok"))
+    val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
+      budget = 2048L)
+    Sampling.hashSplit(packed, "doc_id",
+        Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+      .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+  }
+
   /** Token-budget packing of the corpus into contiguous training bins
     * via the two-pass distributed prefix sum (no global-window reducer). */
   private def packBudget(s: SparkSession, dir: String): DataFrame =
@@ -682,6 +711,7 @@ object SparkEntry {
     "range_join" -> (rangeJoin _),
     "dedup_clusters" -> (dedupClusters _),
     "pack_budget" -> (packBudget _),
+    "corpus_clean" -> (corpusClean _),
     "sketch_kmv" -> (sketchKmv _),
     "sample_shard" -> (sampleShard _))
 
@@ -1194,6 +1224,7 @@ object SparkEntry {
         |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"""
         .stripMargin,
     "dedup_clusters" -> dedupClustersOracle,
+    "corpus_clean" -> corpusCleanOracle,
     "pack_budget" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -1238,15 +1269,12 @@ object SparkEntry {
         |  hv % 16 AS shard
         |FROM b""".stripMargin)
 
-  /** DuckDB replay of dedup_clusters: the minhash and simhash pair
-    * chains (same CTEs as their own oracles, simhash renamed to avoid
-    * collisions), unioned into an undirected edge set, then connected
-    * components as a recursive min-reachable-id closure — the exact
-    * labeling large-star/small-star converges to. */
-  private def dedupClustersOracle: String =
-    s"""${shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}
-       |$hsetsCte
-       |, base AS (SELECT doc_id, unnest(hs) AS h FROM hsets)
+  /** Shared CTE chain producing the text near-dup pair sets `mh`
+    * (minhash-banded, Jaccard-verified) and `shp` (simhash ≤3 bits) —
+    * the same CTEs as their standalone oracles, simhash renamed to
+    * avoid collisions. Follows `shingleCte` + `hsetsCte`. */
+  private def textPairCtes: String =
+    s""", base AS (SELECT doc_id, unnest(hs) AS h FROM hsets)
        |, sig AS (
        |  SELECT doc_id, i,
        |    min((((1103515245*(i+1) + 12345) % 2147483647)
@@ -1281,21 +1309,92 @@ object SparkEntry {
        |, shp AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b
        |  FROM ssig x JOIN ssig y ON x.doc_id < y.doc_id
-       |  WHERE bit_count(xor(x.s, y.s)) <= 3)
+       |  WHERE bit_count(xor(x.s, y.s)) <= 3)""".stripMargin
+
+  /** Shared CTE chain: undirected edge set over a `pairs(a, b)` CTE,
+    * then connected components as a recursive min-reachable-id closure
+    * (`labels(node, cluster_id)`) — the exact labeling
+    * large-star/small-star converges to. */
+  private val ccGraphCtes: String =
+    """, edges AS (
+      |  SELECT a AS u, b AS v FROM pairs
+      |  UNION SELECT b AS u, a AS v FROM pairs)
+      |, reach AS (
+      |  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u AS node, reach.r FROM edges e
+      |  JOIN reach ON e.v = reach.node)
+      |, labels AS (
+      |  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)"""
+      .stripMargin
+
+  /** DuckDB replay of dedup_clusters: minhash ∪ simhash pairs → CC. */
+  private def dedupClustersOracle: String =
+    s"""${shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}
+       |$hsetsCte
+       |$textPairCtes
        |, pairs AS (SELECT a, b FROM mh UNION SELECT a, b FROM shp)
-       |, edges AS (
-       |  SELECT a AS u, b AS v FROM pairs
-       |  UNION SELECT b AS u, a AS v FROM pairs)
-       |, reach AS (
-       |  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
-       |  UNION
-       |  SELECT e.u AS node, reach.r FROM edges e
-       |  JOIN reach ON e.v = reach.node)
-       |, labels AS (
-       |  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+       |$ccGraphCtes
        |SELECT doc_id, coalesce(cluster_id, doc_id) AS cluster_id,
        |  CAST(doc_id = coalesce(cluster_id, doc_id) AS INT) AS keep
        |FROM documents LEFT JOIN labels ON doc_id = node""".stripMargin
+
+  /** DuckDB replay of corpus_clean — the full training-corpus pipeline
+    * as ONE query: text pairs (mh, shp) ∪ embedding LSH pairs (ep, the
+    * dedup_embed_bucketed chain with e-prefixed CTE names) → connected
+    * components → keep-one-per-cluster → BPE-ish token counts →
+    * contiguous 2048-token bin packing over the kept docs in doc_id
+    * order → md5 train/eval/test split + 16-way shard. */
+  private def corpusCleanOracle: String =
+    s"""${shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}
+       |$hsetsCte
+       |$textPairCtes
+       |${lshPlanesCtes(32).replaceFirst("^WITH ", ", ")}
+       |, ebucketed AS (
+       |  SELECT e.vec_id, j // 8 AS tbl,
+       |    sum(CASE WHEN ${dotSql("e.v", "planes.p")} >= 0
+       |        THEN (1::BIGINT << (j % 8)) ELSE 0::BIGINT END)::BIGINT AS b
+       |  FROM e, planes GROUP BY e.vec_id, j // 8)
+       |, eprobe AS (
+       |  SELECT vec_id AS a, tbl, xor(b, f) AS bucket
+       |  FROM ebucketed, (SELECT unnest($probeMasksSql) AS f))
+       |, ecand AS (
+       |  SELECT DISTINCT p.a, c.vec_id AS b
+       |  FROM eprobe p JOIN ebucketed c
+       |    ON c.tbl = p.tbl AND c.b = p.bucket
+       |  WHERE p.a < c.vec_id)
+       |, ep AS (
+       |  SELECT ecand.a, ecand.b
+       |  FROM ecand
+       |  JOIN e ea ON ea.vec_id = ecand.a
+       |  JOIN e eb ON eb.vec_id = ecand.b
+       |  WHERE round(${cosineSql("ea.v", "eb.v")}, 4) >= 0.45)
+       |, pairs AS (SELECT a, b FROM mh UNION SELECT a, b FROM shp
+       |  UNION SELECT a, b FROM ep)
+       |$ccGraphCtes
+       |, kept AS (
+       |  SELECT doc_id FROM documents LEFT JOIN labels ON doc_id = node
+       |  WHERE doc_id = coalesce(cluster_id, doc_id))
+       |, toks AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(regexp_extract_all(d.text,
+       |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+       |  FROM documents d JOIN kept USING (doc_id))
+       |, c AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS "offset"
+       |  FROM toks)
+       |, hv AS (
+       |  SELECT doc_id, n_tok, "offset", "offset" // 2048 AS bin,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      AS h
+       |  FROM c)
+       |SELECT doc_id, n_tok, "offset", bin,
+       |  CASE WHEN h % 10 < 8 THEN 'train'
+       |       WHEN h % 10 < 9 THEN 'eval' ELSE 'test' END AS split,
+       |  h % 16 AS shard
+       |FROM hv""".stripMargin
 
   /** DuckDB list of the language-ID stopwords, quoted. */
   private def stopwordsSqlList: String =
