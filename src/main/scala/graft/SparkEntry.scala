@@ -598,6 +598,44 @@ object SparkEntry {
         col("keep").cast("int").as("keep"))
   }
 
+  /** AvailableNow replay of the as-of enrich through the STREAMING
+    * path: clicks re-written as four files → four micro-batches, each
+    * enriched per batch by StreamJoins.streamAsofEnrich against the
+    * static purchase history, results appended and read back. Same
+    * oracle as asof_join — a hash match proves the per-batch
+    * composition is batch-boundary independent end-to-end. */
+  private def streamAsof(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_sasof_").toString
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("pid"), col("value"))
+    clicks.repartition(4).write.parquet(s"$work/in")
+    val stream = s.readStream.schema(clicks.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val q = streaming.StreamJoins.streamAsofEnrich(stream,
+      () => purchases, Seq("user_id"), "ts", "ts",
+      payload = Seq("pid", "value"), tiebreak = "pid",
+      prefix = "p_") { (batch, _) =>
+      batch
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("p_pid").as("purchase_id"),
+          col("p_value").as("purchase_value"),
+          unix_micros(col("p_ts")).as("purchase_ts_us"))
+        .write.mode("append").parquet(s"$work/out")
+    }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
   /** The full training-corpus pipeline composed as ONE query — the
     * end-to-end gate proving the building blocks compose, not just pass
     * individually: near-dup pairs from all three modalities (minhash
@@ -708,6 +746,7 @@ object SparkEntry {
     "frame_sample" -> (frameSample _),
     "asof_join" -> (asofJoin _),
     "asof_join_bucketed" -> (asofJoinBucketed _),
+    "stream_asof" -> (streamAsof _),
     "range_join" -> (rangeJoin _),
     "dedup_clusters" -> (dedupClusters _),
     "pack_budget" -> (packBudget _),
@@ -1153,67 +1192,12 @@ object SparkEntry {
         |                      THEN strlen(text) % 8 + 2
         |                      ELSE 1 END, 4)) AS frame_idx
         |FROM documents""".stripMargin,
-    // Replays AsofJoin's union+running-window formulation verbatim:
-    // right rows (tag 0) sort before left rows (tag 1) at equal ts, the
-    // greatest purchase id wins a same-ts tie, last non-null wins.
-    "asof_join" ->
-      """WITH c AS (
-        |  SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'click')
-        |, p AS (
-        |  SELECT user_id, ts, event_id AS pid, value FROM events
-        |  WHERE event_type = 'purchase')
-        |, u AS (
-        |  SELECT user_id, ts, 1 AS tag, event_id,
-        |    NULL::BIGINT AS pid, NULL::DOUBLE AS val,
-        |    NULL::TIMESTAMP_NS AS pts
-        |  FROM c
-        |  UNION ALL
-        |  SELECT user_id, ts, 0, NULL, pid, value, ts FROM p)
-        |, w AS (
-        |  SELECT *,
-        |    last_value(pid IGNORE NULLS) OVER win AS m_pid,
-        |    last_value(val IGNORE NULLS) OVER win AS m_val,
-        |    last_value(pts IGNORE NULLS) OVER win AS m_pts
-        |  FROM u
-        |  WINDOW win AS (PARTITION BY user_id
-        |    ORDER BY ts, tag, coalesce(pid, 0)
-        |    ROWS UNBOUNDED PRECEDING))
-        |SELECT event_id, user_id,
-        |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-        |  m_pid AS purchase_id, m_val AS purchase_value,
-        |  epoch_us(CAST(m_pts AS TIMESTAMP)) AS purchase_ts_us
-        |FROM w WHERE tag = 1""".stripMargin,
-    // identical semantics through the (key, time-bucket) pre-split path;
-    // a hash match against the SAME formulation proves exact-rewrite
-    "asof_join_bucketed" ->
-      """WITH c AS (
-        |  SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'click')
-        |, p AS (
-        |  SELECT user_id, ts, event_id AS pid, value FROM events
-        |  WHERE event_type = 'purchase')
-        |, u AS (
-        |  SELECT user_id, ts, 1 AS tag, event_id,
-        |    NULL::BIGINT AS pid, NULL::DOUBLE AS val,
-        |    NULL::TIMESTAMP_NS AS pts
-        |  FROM c
-        |  UNION ALL
-        |  SELECT user_id, ts, 0, NULL, pid, value, ts FROM p)
-        |, w AS (
-        |  SELECT *,
-        |    last_value(pid IGNORE NULLS) OVER win AS m_pid,
-        |    last_value(val IGNORE NULLS) OVER win AS m_val,
-        |    last_value(pts IGNORE NULLS) OVER win AS m_pts
-        |  FROM u
-        |  WINDOW win AS (PARTITION BY user_id
-        |    ORDER BY ts, tag, coalesce(pid, 0)
-        |    ROWS UNBOUNDED PRECEDING))
-        |SELECT event_id, user_id,
-        |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-        |  m_pid AS purchase_id, m_val AS purchase_value,
-        |  epoch_us(CAST(m_pts AS TIMESTAMP)) AS purchase_ts_us
-        |FROM w WHERE tag = 1""".stripMargin,
+    // asofOracle serves three queries: the plain operator, the
+    // (key, time-bucket) pre-split rewrite, and the streaming replay —
+    // a hash match against the SAME formulation proves each path exact
+    "asof_join" -> asofOracle,
+    "asof_join_bucketed" -> asofOracle,
+    "stream_asof" -> asofOracle,
     "range_join" ->
       """SELECT c.user_id, c.event_id AS click_id,
         |  p.event_id AS purchase_id,
@@ -1268,6 +1252,39 @@ object SparkEntry {
         |       WHEN hv % 10 < 9 THEN 'eval' ELSE 'test' END AS split,
         |  hv % 16 AS shard
         |FROM b""".stripMargin)
+
+  /** Replays AsofJoin's union+running-window formulation verbatim:
+    * right rows (tag 0) sort before left rows (tag 1) at equal ts, the
+    * greatest purchase id wins a same-ts tie, last non-null wins.
+    * Shared by asof_join / asof_join_bucketed / stream_asof. */
+  private def asofOracle: String =
+    """WITH c AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'click')
+      |, p AS (
+      |  SELECT user_id, ts, event_id AS pid, value FROM events
+      |  WHERE event_type = 'purchase')
+      |, u AS (
+      |  SELECT user_id, ts, 1 AS tag, event_id,
+      |    NULL::BIGINT AS pid, NULL::DOUBLE AS val,
+      |    NULL::TIMESTAMP_NS AS pts
+      |  FROM c
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, NULL, pid, value, ts FROM p)
+      |, w AS (
+      |  SELECT *,
+      |    last_value(pid IGNORE NULLS) OVER win AS m_pid,
+      |    last_value(val IGNORE NULLS) OVER win AS m_val,
+      |    last_value(pts IGNORE NULLS) OVER win AS m_pts
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id
+      |    ORDER BY ts, tag, coalesce(pid, 0)
+      |    ROWS UNBOUNDED PRECEDING))
+      |SELECT event_id, user_id,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |  m_pid AS purchase_id, m_val AS purchase_value,
+      |  epoch_us(CAST(m_pts AS TIMESTAMP)) AS purchase_ts_us
+      |FROM w WHERE tag = 1""".stripMargin
 
   /** Shared CTE chain producing the text near-dup pair sets `mh`
     * (minhash-banded, Jaccard-verified) and `shp` (simhash ≤3 bits) —

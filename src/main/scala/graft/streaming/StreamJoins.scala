@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Streaming joins — engine surface the reference lacks entirely (its
   * only correlation is the sink-side `WHERE pk = ?`, SURVEY §2.3), but
@@ -36,5 +37,44 @@ object StreamJoins {
     val timeCond = col(s"r.$rightTs") >= col(s"l.$leftTs") &&
       col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within")
     l.join(r, keyCond && timeCond)
+  }
+
+  /** Streaming as-of enrich — "enrich each click with the user's latest
+    * profile version at click time": every micro-batch as-of joins its
+    * rows against the history frame using
+    * [[graft.operators.AsofJoin.asof]]'s union+running-window trick,
+    * which composes per batch unchanged because a left row's match
+    * depends only on the right-side history, never on other left rows —
+    * so the result is independent of batch boundaries (spec-asserted:
+    * any split == one batch == the batch operator).
+    *
+    * `history` is re-invoked at every batch, like [[streamStatic]]'s
+    * re-read dimension: an append-only version log or a CDC-merged
+    * store (e.g. `BucketedState.currentView`) is picked up live. The
+    * stream itself holds NO state — history is storage-resident, which
+    * is what keeps this shape viable at 100 TB (Spark's stateful
+    * stream-stream join would buffer the full history in the state
+    * store). For hot keys pass `bucketWidth` to run the pre-split
+    * [[graft.operators.AsofJoin.asofBucketed]] variant per batch.
+    *
+    * Returns the configured writer; caller adds checkpoint/trigger and
+    * starts — same contract as the CDC pipeline's foreachBatch sinks.
+    */
+  def streamAsofEnrich(stream: DataFrame, history: () => DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      payload: Seq[String], tiebreak: String, prefix: String = "r_",
+      bucketWidth: Option[Long] = None)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.AsofJoin
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val h = history()
+      val enriched = bucketWidth match {
+        case Some(w) => AsofJoin.asofBucketed(batch, h, keys, leftTs,
+          rightTs, payload, tiebreak, prefix, forward = false, w)
+        case None => AsofJoin.asof(batch, h, keys, leftTs, rightTs,
+          payload, tiebreak, prefix)
+      }
+      sink(enriched, id)
+    }
   }
 }

@@ -64,4 +64,54 @@ class StreamJoinsSpec extends AnyFunSuite {
       r => r.getInt(0).toString)
     assert(got == Seq("1"))
   }
+
+  test("streaming as-of enrich replay == batch AsofJoin.asof, " +
+      "any batch split, plain and bucketed") {
+    import graft.operators.AsofJoin
+    val work = Files.createTempDirectory("graft_sasof_").toString
+    // profile versions: (uid, ts, ver); clicks: (uid, ts, cid)
+    val profiles = Seq(
+      (1, 10L, 100L), (1, 30L, 101L), (1, 30L, 102L), // tie at ts=30
+      (2, 20L, 200L),
+      (3, 99L, 300L))
+      .toDF("uid", "pts", "ver")
+    profiles.write.parquet(s"$work/profiles")
+    val clicks = Seq(
+      (1, 5L, 1L), (1, 10L, 2L), (1, 35L, 3L),  // before / tie / after
+      (2, 25L, 4L), (2, 19L, 5L),
+      (4, 50L, 6L))                             // key with no profile
+      .toDF("uid", "cts", "cid")
+    // three files -> three micro-batches
+    (0 until 3).foreach { i =>
+      clicks.filter($"cid" % 3 === i).repartition(1)
+        .write.mode("append").parquet(s"$work/clicks")
+    }
+    val expected = AsofJoin.asof(clicks, profiles, Seq("uid"),
+      "cts", "pts", Seq("ver"), tiebreak = "ver")
+      .select("cid", "r_ver").as[(Long, Option[Long])]
+      .collect().toMap
+    for (width <- Seq(None, Some(16L))) {
+      val outDir = s"$work/out_${width.getOrElse(0L)}"
+      val q = StreamJoins.streamAsofEnrich(
+        spark.readStream.schema(clicks.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$work/clicks"),
+        () => spark.read.parquet(s"$work/profiles"),
+        Seq("uid"), "cts", "pts", Seq("ver"), tiebreak = "ver",
+        bucketWidth = width) { (batch, _) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+        .option("checkpointLocation", s"$outDir.ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.read.parquet(outDir)
+        .select("cid", "r_ver").as[(Long, Option[Long])]
+        .collect().toMap
+      assert(got == expected, s"bucketWidth=$width")
+    }
+    // spot semantics: tie at ts=30 -> greatest ver wins; no-profile null
+    assert(expected(3L).contains(102L))
+    assert(expected(2L).contains(100L)) // equal ts visible
+    assert(expected(1L).isEmpty && expected(6L).isEmpty)
+  }
 }
