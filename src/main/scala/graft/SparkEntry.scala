@@ -1,7 +1,7 @@
 package graft
 
 import graft.config.{Rule, SyncConfig}
-import graft.functions.{TextFunctions, TypeNorm}
+import graft.functions.{Pii, TextFunctions, TypeNorm}
 import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -687,6 +687,78 @@ object SparkEntry {
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
 
+  /** Stratified deterministic sample: per-language keep rates over the
+    * corpus (the standard language-rebalancing pass), zero shuffle. */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSampleByHash(
+      t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+      Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1),
+      defaultFraction = 0.05)
+
+  /** Exact k-per-stratum deterministic reservoir via two-level top-k —
+    * identical to a naive per-stratum rank window, without the one-
+    * task-per-stratum skew (ReservoirSpec asserts the equivalence). */
+  private def sampleReservoir(s: SparkSession, dir: String): DataFrame =
+    Sampling.reservoirByHash(
+      t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+      k = 20)
+
+  /** Benchmark decontamination: 5-gram overlap of every document
+    * against the held-out "benchmark" subset (hash bucket 0 of the
+    * same corpus — deterministic and oracle-replayable); a doc sharing
+    * ≥5 distinct 5-grams or half its 5-grams with any bench doc is
+    * flagged. */
+  private def decontamNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs
+      .filter(Sampling.hashBucket(col("doc_id"), 10) === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    Decontam.flag(docs, bench, "doc_id", "text", "bench_id", "text",
+      n = 5, minMatched = 5L, minOverlap = 0.5)
+  }
+
+  /** PII scrub gate: deterministic synthetic PII (derived from doc_id,
+    * so the oracle rebuilds the identical text) is injected ahead of
+    * each document, then counted and redacted — the hash compare on the
+    * redacted string proves regex + replacement-order equivalence. */
+  private def textPii(s: SparkSession, dir: String): DataFrame = {
+    val t0 = concat(
+      lit("u"), col("doc_id"), lit("@mail.example.com ip 10.0."),
+      pmod(col("doc_id"), lit(256)), lit(".7 tel 555-123-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" card 4111-1111-1111-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" "), col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), t0.as("t"))
+      .select(col("doc_id"),
+        Pii.emailCount(col("t")).as("n_email"),
+        Pii.ipv4Count(col("t")).as("n_ip"),
+        Pii.phoneCount(col("t")).as("n_phone"),
+        Pii.cardCount(col("t")).as("n_card"),
+        Pii.redact(col("t")).as("redacted"))
+  }
+
+  /** Gopher repetition signals + gate. Every 5th doc gets its text
+    * duplicated as a second line so the line-level signals fire on
+    * deterministic, oracle-reconstructible input. */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val t0 = when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(col("text"), lit("\n"), col("text"))).otherwise(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), t0.as("t"))
+      .select(col("doc_id"),
+        round(TextFunctions.duplicateLineFraction(col("t")), 6)
+          .as("dup_line_frac"),
+        round(TextFunctions.duplicateLineCharFraction(col("t")), 6)
+          .as("dup_line_char_frac"),
+        round(TextFunctions.topNgramCharFraction(col("t"), 2), 6)
+          .as("top2gram_frac"),
+        round(TextFunctions.dupNgramCharFraction(col("t"), 5), 6)
+          .as("dup5gram_frac"),
+        TextFunctions.repetitionGate(col("t")).cast("int").as("keep"))
+  }
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -752,7 +824,12 @@ object SparkEntry {
     "pack_budget" -> (packBudget _),
     "corpus_clean" -> (corpusClean _),
     "sketch_kmv" -> (sketchKmv _),
-    "sample_shard" -> (sampleShard _))
+    "sample_shard" -> (sampleShard _),
+    "sample_stratified" -> (sampleStratified _),
+    "sample_reservoir" -> (sampleReservoir _),
+    "decontam_ngram" -> (decontamNgram _),
+    "text_pii" -> (textPii _),
+    "text_repetition" -> (textRepetition _))
 
   /** Last-write-wins replay of the synthetic I/U/D feed — the oracle for
     * both the batch (cdc_lww) and streaming (cdc_stream_replay) paths. */
@@ -1251,7 +1328,149 @@ object SparkEntry {
         |  CASE WHEN hv % 10 < 8 THEN 'train'
         |       WHEN hv % 10 < 9 THEN 'eval' ELSE 'test' END AS split,
         |  hv % 16 AS shard
-        |FROM b""".stripMargin)
+        |FROM b""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 1000000 <
+        |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+        |       WHEN 'zh' THEN 100000 ELSE 50000 END""".stripMargin,
+    "sample_reservoir" ->
+      """SELECT doc_id, lang, row_number() OVER w AS sample_rank
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |QUALIFY row_number() OVER w <= 20""".stripMargin,
+    "decontam_ngram" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |, sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct(list_transform(
+        |           generate_series(1, len(toks) - 4),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS s
+        |  FROM d)
+        |, dx AS (
+        |  SELECT doc_id, len(s) AS n_ngrams,
+        |    unnest(list_transform(s,
+        |      g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS h
+        |  FROM sh WHERE len(s) > 0)
+        |, bx AS (
+        |  SELECT DISTINCT doc_id AS bench_id, h FROM dx
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT % 10 = 0)
+        |, pairs AS (
+        |  SELECT d.doc_id, b.bench_id, d.n_ngrams, count(*) AS matched
+        |  FROM dx d JOIN bx b USING (h) GROUP BY 1, 2, 3)
+        |, agg AS (
+        |  SELECT doc_id,
+        |    max(round(matched / CAST(n_ngrams AS DOUBLE), 6))
+        |      AS max_overlap,
+        |    max(matched) AS max_matched
+        |  FROM pairs WHERE doc_id <> bench_id GROUP BY 1)
+        |SELECT doc.doc_id,
+        |  coalesce(a.max_overlap, 0.0) AS max_overlap,
+        |  coalesce(a.max_matched, 0) AS max_matched,
+        |  CAST(coalesce(a.max_matched, 0) >= 5
+        |    OR coalesce(a.max_overlap, 0.0) >= 0.5 AS INT) AS contaminated
+        |FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id"""
+        .stripMargin,
+    "text_pii" -> {
+      val email = Pii.EmailRe
+      val ip = Pii.Ipv4Re
+      val phone = Pii.PhoneRe
+      val card = Pii.CardRe
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    'u' || doc_id || '@mail.example.com ip 10.0.'
+         |    || (doc_id % 256) || '.7 tel 555-123-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' card 4111-1111-1111-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' ' || text AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$email')) AS n_email,
+         |  len(regexp_extract_all(t, '$ip')) AS n_ip,
+         |  len(regexp_extract_all(t, '$phone')) AS n_phone,
+         |  len(regexp_extract_all(t, '$card')) AS n_card,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$card', '<CARD>', 'g'),
+         |    '$phone', '<PHONE>', 'g'),
+         |    '$ip', '<IP>', 'g') AS redacted
+         |FROM p""".stripMargin
+    },
+    "text_repetition" -> {
+      def ngSql(n: Int): String = {
+        val cat = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+        s"CASE WHEN len(toks) < $n THEN []::VARCHAR[] ELSE " +
+          s"list_transform(generate_series(1, len(toks) - ${n - 1}), " +
+          s"i -> $cat) END AS ng$n"
+      }
+      def topSql(n: Int): String =
+        s"CASE WHEN len(ng$n) = 0 OR length(t) = 0 THEN 0.0 ELSE " +
+          s"least(list_max(list_transform(list_distinct(ng$n), " +
+          s"g -> len(list_filter(ng$n, x -> x = g))::BIGINT * length(g)))" +
+          s" / CAST(length(t) AS DOUBLE), 1.0) END AS top$n"
+      def dupSql(n: Int): String =
+        s"CASE WHEN len(ng$n) = 0 OR length(t) = 0 THEN 0.0 ELSE " +
+          s"least(coalesce(list_sum(list_transform(list_distinct(ng$n), " +
+          s"g -> CASE WHEN len(list_filter(ng$n, x -> x = g)) > 1 THEN " +
+          s"len(list_filter(ng$n, x -> x = g))::BIGINT * length(g) " +
+          s"ELSE 0 END)), 0) / CAST(length(t) AS DOUBLE), 1.0) END AS dup$n"
+      val ngDefs = (2 to 10).map(ngSql).mkString(",\n    ")
+      val topDefs = (2 to 4).map(topSql).mkString(",\n    ")
+      val dupDefs = (5 to 10).map(dupSql).mkString(",\n    ")
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text
+         |         ELSE text END AS t
+         |  FROM documents)
+         |, d AS (
+         |  SELECT doc_id, t,
+         |    list_filter(list_transform(string_split(t, chr(10)),
+         |      l -> trim(l)), l -> length(l) > 0) AS ls,
+         |    CASE WHEN length(trim(t)) = 0 THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(t), '\\s+') END AS toks
+         |  FROM p)
+         |, g AS (
+         |  SELECT doc_id, t, ls,
+         |    $ngDefs
+         |  FROM d)
+         |, m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ls) = 0 THEN 0.0
+         |         ELSE (len(ls) - len(list_distinct(ls)))
+         |              / CAST(len(ls) AS DOUBLE) END AS dlf,
+         |    CASE WHEN coalesce(list_sum(list_transform(ls,
+         |           l -> length(l)::BIGINT)), 0) = 0 THEN 0.0
+         |         ELSE coalesce(list_sum(list_transform(list_distinct(ls),
+         |             l -> CASE WHEN len(list_filter(ls, x -> x = l)) > 1
+         |                  THEN len(list_filter(ls, x -> x = l))::BIGINT
+         |                       * length(l) ELSE 0 END)), 0)
+         |           / CAST(list_sum(list_transform(ls,
+         |               l -> length(l)::BIGINT)) AS DOUBLE) END AS dlcf,
+         |    $topDefs,
+         |    $dupDefs
+         |  FROM g)
+         |SELECT doc_id,
+         |  round(dlf, 6) AS dup_line_frac,
+         |  round(dlcf, 6) AS dup_line_char_frac,
+         |  round(top2, 6) AS top2gram_frac,
+         |  round(dup5, 6) AS dup5gram_frac,
+         |  CAST(dlf <= 0.30 AND dlcf <= 0.20
+         |    AND top2 <= 0.20 AND top3 <= 0.18 AND top4 <= 0.16
+         |    AND dup5 <= 0.15 AND dup6 <= 0.14 AND dup7 <= 0.13
+         |    AND dup8 <= 0.12 AND dup9 <= 0.11 AND dup10 <= 0.10
+         |    AS INT) AS keep
+         |FROM m""".stripMargin
+    })
 
   /** Replays AsofJoin's union+running-window formulation verbatim:
     * right rows (tag 0) sort before left rows (tag 1) at equal ts, the

@@ -192,4 +192,90 @@ object TextFunctions {
     val lenSignal = least(tokenCount(text) / lit(200.0), lit(1.0))
     (lenSignal + uniqueTokenRatio(text) + alphaRatio(text)) / 3.0
   }
+
+  // ------------------------- repetition signals (Gopher, Rae et al. 2021)
+  // Per-document repetition measures from the Gopher quality pipeline
+  // (§A1.1): duplicate lines and repeated word n-grams flag boilerplate,
+  // spam, and scraper loops. All pure array expressions — O(lines²) /
+  // O(ngrams·distinct) per DOCUMENT, embarrassingly parallel, zero
+  // shuffle; documents are short relative to executors, so the 100 TB
+  // cost is CPU on the scan, which is exactly where it should be.
+
+  /** Non-blank trimmed lines of a document. */
+  def docLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+
+  /** Fraction of lines that are duplicates of an earlier line
+    * (0.0 for docs with ≤1 line). */
+  def duplicateLineFraction(text: Column): Column = {
+    val ls = docLines(text)
+    when(size(ls) === 0, lit(0.0))
+      .otherwise((size(ls) - size(array_distinct(ls))) /
+        size(ls).cast("double"))
+  }
+
+  /** Fraction of CHARACTERS sitting in lines that occur more than once
+    * — catches a giant boilerplate block repeated twice that the line-
+    * count fraction underweights. */
+  def duplicateLineCharFraction(text: Column): Column = {
+    val ls = docLines(text)
+    val total = aggregate(ls, lit(0L), (acc, l) => acc + length(l))
+    val dup = aggregate(array_distinct(ls), lit(0L), (acc, l) => {
+      val c = size(filter(ls, x => x === l))
+      acc + when(c > 1, c * length(l).cast("long")).otherwise(lit(0L))
+    })
+    when(total === 0, lit(0.0)).otherwise(dup / total.cast("double"))
+  }
+
+  /** ALL word n-grams in order (duplicates kept — this is the
+    * occurrence list, unlike [[shingles]] which is the distinct set). */
+  def ngramList(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(toks, i + lit(j + 1))): _*)))
+  }
+
+  /** Fraction of the document's characters covered by the single most
+    * repeated n-gram: max over distinct n-grams g of count(g)·len(g),
+    * over the doc's char count, capped at 1 (occurrences can overlap).
+    * Gopher gates top-2/3/4-grams at 0.20/0.18/0.16. */
+  def topNgramCharFraction(text: Column, n: Int): Column = {
+    val ng = ngramList(text, n)
+    val best = array_max(transform(array_distinct(ng), g =>
+      size(filter(ng, x => x === g)).cast("long") * length(g)))
+    when(size(ng) === 0 || length(text) === 0, lit(0.0))
+      .otherwise(least(best / length(text).cast("double"), lit(1.0)))
+  }
+
+  /** Fraction of characters in n-grams that occur more than once (all
+    * occurrences counted, overlaps double-counted — hence the cap).
+    * Gopher gates duplicated 5..10-grams at 0.15 down to 0.10. */
+  def dupNgramCharFraction(text: Column, n: Int): Column = {
+    val ng = ngramList(text, n)
+    val dup = aggregate(array_distinct(ng), lit(0L), (acc, g) => {
+      val c = size(filter(ng, x => x === g))
+      acc + when(c > 1, c.cast("long") * length(g)).otherwise(lit(0L))
+    })
+    when(size(ng) === 0 || length(text) === 0, lit(0.0))
+      .otherwise(least(dup / length(text).cast("double"), lit(1.0)))
+  }
+
+  /** The Gopher repetition gate: true when every repetition signal is
+    * under its published threshold (line fractions 0.30/0.20; top
+    * 2/3/4-gram 0.20/0.18/0.16; dup 5..10-gram 0.15..0.10). */
+  def repetitionGate(text: Column): Column = {
+    val topThr = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupThr = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    val checks =
+      Seq(duplicateLineFraction(text) <= 0.30,
+        duplicateLineCharFraction(text) <= 0.20) ++
+      topThr.map { case (n, t) => topNgramCharFraction(text, n) <= t } ++
+      dupThr.map { case (n, t) => dupNgramCharFraction(text, n) <= t }
+    checks.reduce(_ && _)
+  }
 }

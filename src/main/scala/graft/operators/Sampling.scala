@@ -54,6 +54,61 @@ object Sampling {
     * source ordering, yet reproducible. */
   def shardId(id: Column, shards: Int): Column = hashBucket(id, shards)
 
+  /** Stratified deterministic sample: per-stratum Bernoulli-by-hash
+    * rates (e.g. downsample web text, keep all books). Same scan-local
+    * zero-shuffle shape as [[sampleByHash]] — the stratum column picks
+    * the threshold row-by-row; unlisted strata fall back to
+    * `defaultFraction`. Thresholds are exact bucket counts, so the
+    * assignment replays identically in any engine with md5. */
+  def stratifiedSampleByHash(df: DataFrame, idCol: String,
+      strataCol: String, fractions: Seq[(String, Double)],
+      defaultFraction: Double = 0.0, buckets: Int = 1000000): DataFrame = {
+    require(fractions.forall { case (_, f) => f >= 0 && f <= 1 },
+      "stratifiedSampleByHash: fractions must be in [0,1]")
+    require(defaultFraction >= 0 && defaultFraction <= 1,
+      "stratifiedSampleByHash: defaultFraction must be in [0,1]")
+    val thr = fractions.foldRight(
+        lit(math.round(defaultFraction * buckets))) {
+      case ((name, f), rest) =>
+        when(col(strataCol) === name,
+          lit(math.round(f * buckets))).otherwise(rest)
+    }
+    df.filter(hashBucket(col(idCol), buckets) < thr)
+  }
+
+  /** Exact deterministic "reservoir" of `k` rows per stratum: the k
+    * rows whose id-hash ranks smallest within the stratum — a uniform,
+    * reproducible choice (a true randomized reservoir is neither
+    * re-runnable nor engine-replayable).
+    *
+    * A naive per-stratum rank is a window partitioned by stratum — one
+    * task per stratum, the usual skew death when one stratum holds half
+    * the corpus. Instead: two-level top-k. Rows first rank within
+    * (stratum, hash-sub-bucket) — `subParts`-way parallel per stratum —
+    * and only each sub-bucket's top k (≤ subParts·k rows per stratum, a
+    * few thousand) reach the per-stratum final rank. The global top-k
+    * is exactly the top-k of the union of per-bucket top-ks, so the
+    * result is identical to the naive window, row for row.
+    *
+    * @return input rows + `sample_rank` (1..k within the stratum)
+    */
+  def reservoirByHash(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, subParts: Int = 32): DataFrame = {
+    require(k > 0, "reservoirByHash: k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(idCol).cast("string"))
+    val pre = Window
+      .partitionBy(col(strataCol), hashBucket(col(idCol), subParts))
+      .orderBy(h.asc, col(idCol).asc)
+    val fin = Window.partitionBy(col(strataCol))
+      .orderBy(h.asc, col(idCol).asc)
+    df.withColumn("_prerank", row_number().over(pre))
+      .filter(col("_prerank") <= k)
+      .withColumn("sample_rank", row_number().over(fin))
+      .filter(col("sample_rank") <= k)
+      .drop("_prerank")
+  }
+
   /** Write `df` as `shards` self-contained training shards under
     * `outDir/shard=K/`, each shard one file, rows ordered by id hash
     * within the shard (a stable pseudo-random order). One hash-partition
