@@ -33,31 +33,78 @@ object Bench {
     }
   }
 
-  private def readAllFloors(): Map[String, Map[String, Double]] =
+  /** `BENCH_floor_resets.json`: `{"query": "reset-id", …}` — checked into
+    * the repo alongside a code change that moves a query's cost class
+    * (e.g. stub → real image decode). A floor measured against the old
+    * implementation is unreachable by the new one, so without a reset the
+    * record brands itself contaminated forever and `queries_clean`
+    * substitutes a number the shipped code can never hit. The floor file
+    * tracks applied reset ids per sf under `"_applied"`; a pending reset
+    * drops the stale floor at load time so the query reseeds like a brand
+    * new one (and seeding still only happens from a clean run). */
+  private def resetsPath: java.nio.file.Path = {
+    val local = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_FLOOR_RESETS", "BENCH_floor_resets.json"))
+    if (Files.exists(local)) local else Paths.get("/root/repo/BENCH_floor_resets.json")
+  }
+
+  private def readResets(): Map[String, String] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val txt = new String(Files.readAllBytes(resetsPath), StandardCharsets.UTF_8)
+      JsonMethods.parse(txt) match {
+        case JObject(qs) => qs.collect { case (q, JString(id)) => q -> id }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** (floors per sf, applied reset ids per sf). */
+  private def readAllFloors()
+      : (Map[String, Map[String, Double]], Map[String, Map[String, String]]) =
     try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       val txt = new String(Files.readAllBytes(floorPath), StandardCharsets.UTF_8)
       JsonMethods.parse(txt) match {
-        case JObject(sfs) => sfs.collect { case (sf, JObject(qs)) =>
-          sf -> qs.collect {
-            case (q, JDouble(v))  => q -> v
-            case (q, JInt(v))     => q -> v.toDouble
-            case (q, JDecimal(v)) => q -> v.toDouble
+        case JObject(top) =>
+          val floors = top.collect {
+            case (sf, JObject(qs)) if sf != "_applied" =>
+              sf -> qs.collect {
+                case (q, JDouble(v))  => q -> v
+                case (q, JInt(v))     => q -> v.toDouble
+                case (q, JDecimal(v)) => q -> v.toDouble
+              }.toMap
           }.toMap
-        }.toMap
-        case _ => Map.empty
+          val applied = top.collectFirst { case ("_applied", JObject(sfs)) =>
+            sfs.collect { case (sf, JObject(qs)) =>
+              sf -> qs.collect { case (q, JString(id)) => q -> id }.toMap
+            }.toMap
+          }.getOrElse(Map.empty[String, Map[String, String]])
+          (floors, applied)
+        case _ => (Map.empty, Map.empty)
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
 
-  private def writeAllFloors(all: Map[String, Map[String, Double]]): Unit =
+  private def writeAllFloors(all: Map[String, Map[String, Double]],
+      applied: Map[String, Map[String, String]]): Unit =
     try {
-      val body = all.toSeq.sortBy(_._1).map { case (sf, qs) =>
+      val sfBodies = all.toSeq.sortBy(_._1).map { case (sf, qs) =>
         val inner = qs.toSeq.sortBy(_._1)
           .map { case (q, v) => s""" "$q": ${math.rint(v * 1e4) / 1e4}""" }
           .mkString(",\n")
         s""" "$sf": {\n$inner\n }"""
-      }.mkString("{\n", ",\n", "\n}\n")
+      }
+      val appliedBody =
+        if (applied.forall(_._2.isEmpty)) Seq.empty
+        else Seq(applied.toSeq.sortBy(_._1).filter(_._2.nonEmpty).map {
+          case (sf, qs) =>
+            val inner = qs.toSeq.sortBy(_._1)
+              .map { case (q, id) => s"""  "$q": "$id"""" }
+              .mkString(",\n")
+            s"""  "$sf": {\n$inner\n  }"""
+        }.mkString(" \"_applied\": {\n", ",\n", "\n }"))
+      val body = (sfBodies ++ appliedBody).mkString("{\n", ",\n", "\n}\n")
       Files.write(floorPath, body.getBytes(StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // floors are best-effort persistence
 
@@ -83,8 +130,14 @@ object Bench {
     val loadBefore = loadavg
 
     val sfKey = new java.io.File(sfDir).getName
-    val allFloors = readAllFloors()
-    val floors = allFloors.getOrElse(sfKey, Map.empty)
+    val (allFloors, allApplied) = readAllFloors()
+    val appliedSf = allApplied.getOrElse(sfKey, Map.empty)
+    // Resets not yet applied at this sf: drop the stale floor so the
+    // query is treated as new (reseeded only from a clean run).
+    val pendingResets = readResets().filter { case (q, id) =>
+      !appliedSf.get(q).contains(id)
+    }
+    val floors = allFloors.getOrElse(sfKey, Map.empty) -- pendingResets.keys
     def overFloor(name: String, t: Double): Boolean =
       floors.get(name).exists(f => t >= Ratio * f && t - f >= AbsSlack)
 
@@ -177,8 +230,14 @@ object Bench {
           (floors.get(name).exists(t < _) ||
             (!floors.contains(name) && !contaminated)) => name -> t
     }
-    if (updated != floors)
-      writeAllFloors(allFloors + (sfKey -> updated))
+    // A pending reset is marked applied once its query reseeds; until
+    // then the stale floor keeps being dropped at load on every run.
+    val newApplied = appliedSf ++ pendingResets.collect {
+      case (q, id) if updated.contains(q) => q -> id
+    }
+    if (updated != allFloors.getOrElse(sfKey, Map.empty) || newApplied != appliedSf)
+      writeAllFloors(allFloors + (sfKey -> updated),
+        allApplied + (sfKey -> newApplied))
 
     // queries_clean: per-query min(measured, best-known floor) — the
     // defensible number either way. On a quiet host it equals the
@@ -196,7 +255,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalClean = clean.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_clean":$totalClean,"queries":$qs,"queries_clean":$cs,"sf":"$sfDir","contaminated":$contaminated,"rescue_passes":$rescues,"floor_deltas":$ds,"canary_worst_ratio":${math.rint(canaryWorst * 100) / 100},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
+    val rs = pendingResets.keys.toSeq.sorted
+      .map(q => "\"" + q + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_clean":$totalClean,"queries":$qs,"queries_clean":$cs,"sf":"$sfDir","contaminated":$contaminated,"rescue_passes":$rescues,"floor_deltas":$ds,"floor_resets_applied":$rs,"canary_worst_ratio":${math.rint(canaryWorst * 100) / 100},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
     spark.stop()
   }
 }
