@@ -182,14 +182,18 @@ object DebeziumSource {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // one column declaration: name, MySQL type (with optional (args) and
   // unsigned), then the remainder (NOT NULL / DEFAULT / PRIMARY KEY ...)
   private val ColumnDef =
     """(?is)[`"]?(\w+)[`"]?\s+([a-z]\w*(?:\s*\([^)]*\))?(?:\s+unsigned)?)(.*)""".r
-  private val AlterAdd =
-    """(?is)\s*alter\s+table\s+(\S+)\s+add\s+(?:column\s+)?[`"]?(\w+)[`"]?\s+([a-z]\w*(?:\s*\([^)]*\))?(?:\s+unsigned)?).*""".r
-  private val AlterDrop =
-    """(?is)\s*alter\s+table\s+(\S+)\s+drop\s+(?:column\s+)?[`"]?(\w+)[`"]?\s*;?\s*""".r
+  private val AlterTableDdl =
+    """(?is)\s*alter\s+table\s+(\S+)\s+(.*?)\s*;?\s*""".r
+  private val RenameTableDdl =
+    """(?is)\s*rename\s+table\s+(.*?)\s*;?\s*""".r
+  private val RenamePair =
+    """(?is)\s*(\S+)\s+to\s+(\S+)\s*""".r
   private val DropTableDdl =
     """(?is)\s*drop\s+table\s+(?:if\s+exists\s+)?(\S+?);?\s*""".r
   private val CreateTableDdl =
@@ -198,6 +202,25 @@ object DebeziumSource {
     """(?is)\s*(primary|unique|key|index|constraint|foreign|check)\b.*""".r
   private val PkConstraint =
     """(?is)\s*primary\s+key\s*\(([^)]*)\).*""".r
+
+  // ALTER TABLE clauses, one per top-level comma (MySQL multi-clause
+  // ALTER). Index/key/constraint surgery has no column-schema effect and
+  // is skipped without logging; anything unrecognized logs a skip so a
+  // type change can never flow stale through the Catalog silently.
+  private val ClauseNonColumn =
+    """(?is)(?:add|drop)\s+(?:index|key|primary|unique|constraint|foreign|fulltext|spatial|partition)\b.*""".r
+  private val ClauseAdd =
+    """(?is)add\s+(?:column\s+)?[`"]?(\w+)[`"]?\s+([a-z]\w*(?:\s*\([^)]*\))?(?:\s+unsigned)?)(.*)""".r
+  private val ClauseDrop =
+    """(?is)drop\s+(?:column\s+)?[`"]?(\w+)[`"]?\s*""".r
+  private val ClauseModify =
+    """(?is)modify\s+(?:column\s+)?[`"]?(\w+)[`"]?\s+([a-z]\w*(?:\s*\([^)]*\))?(?:\s+unsigned)?)(.*)""".r
+  private val ClauseChange =
+    """(?is)change\s+(?:column\s+)?[`"]?(\w+)[`"]?\s+[`"]?(\w+)[`"]?\s+([a-z]\w*(?:\s*\([^)]*\))?(?:\s+unsigned)?)(.*)""".r
+  private val ClauseRenameCol =
+    """(?is)rename\s+column\s+[`"]?(\w+)[`"]?\s+to\s+[`"]?(\w+)[`"]?\s*""".r
+  private val ClauseRenameTable =
+    """(?is)rename\s+(?:to\s+|as\s+)?(\S+)\s*""".r
 
   /** Parse a CREATE TABLE body into a TableDef via [[TypeMapper]]. */
   private def parseCreate(body: String): graft.model.TableDef = {
@@ -217,14 +240,89 @@ object DebeziumSource {
     graft.model.TableDef(StructType(cols.map(_._1)), pks)
   }
 
+  /** Apply a bare-DDL `ALTER TABLE` clause list to the catalog: ADD /
+    * DROP / MODIFY / CHANGE / RENAME COLUMN / RENAME [TO|AS], any number
+    * of clauses per statement (top-level-comma separated, MySQL
+    * multi-clause ALTER). The reference handles every one of these
+    * implicitly by re-fetching the whole table on any DDL
+    * (river/river.go:172-180); here each clause is a functional edit of
+    * the cached TableDef. Returns true if the catalog changed. */
+  private def applyAlter(catalog: Catalog, tDb: String, tbl0: String,
+      clauses: String): Boolean = {
+    import graft.functions.TypeMapper
+    import graft.model.TableDef
+    catalog.get(tDb, tbl0) match {
+      case None =>
+        log.info(s"ALTER for unruled table $tDb.$tbl0 skipped")
+        false
+      case Some(defn0) =>
+        var defn = defn0
+        var tbl = tbl0
+        var changed = false
+        def notNull(rest: String) = rest.toLowerCase.contains("not null")
+        def requireCol(name: String)(edit: => Unit): Unit =
+          if (defn.schema.fieldNames.contains(name)) { edit; changed = true }
+          else log.warn(
+            s"ALTER on $tDb.$tbl0: column $name not in cached schema, clause skipped")
+        splitTop(clauses).foreach {
+          case ClauseNonColumn() => () // index/constraint surgery — no column effect
+          case ClauseAdd(name, tpe, rest) =>
+            defn = defn.copy(schema = StructType(
+              defn.schema.fields.filterNot(_.name == name) :+
+                TypeMapper.toField(name, tpe, nullable = !notNull(rest))))
+            changed = true
+          case ClauseDrop(name) => requireCol(name) {
+            defn = TableDef(
+              StructType(defn.schema.fields.filterNot(_.name == name)),
+              defn.pkColumns.filterNot(_ == name))
+          }
+          case ClauseModify(name, tpe, rest) => requireCol(name) {
+            defn = defn.copy(schema = StructType(defn.schema.fields.map { f =>
+              if (f.name == name)
+                TypeMapper.toField(name, tpe, nullable = !notNull(rest))
+              else f
+            }))
+          }
+          case ClauseChange(oldName, newName, tpe, rest) => requireCol(oldName) {
+            defn = TableDef(
+              StructType(defn.schema.fields.map { f =>
+                if (f.name == oldName)
+                  TypeMapper.toField(newName, tpe, nullable = !notNull(rest))
+                else f
+              }),
+              defn.pkColumns.map(c => if (c == oldName) newName else c))
+          }
+          case ClauseRenameCol(oldName, newName) => requireCol(oldName) {
+            defn = TableDef(
+              StructType(defn.schema.fields.map { f =>
+                if (f.name == oldName) f.copy(name = newName) else f
+              }),
+              defn.pkColumns.map(c => if (c == oldName) newName else c))
+          }
+          case ClauseRenameTable(newId) =>
+            tbl = splitId(newId, tDb)._2
+            changed = true
+          case other =>
+            log.warn(s"ALTER on $tDb.$tbl0: unrecognized clause skipped: " +
+              other.take(120))
+        }
+        if (changed) {
+          if (tbl != tbl0) catalog.drop(tDb, tbl0)
+          catalog.refresh(tDb, tbl, defn)
+        }
+        changed
+    }
+  }
+
   /** Apply every schema-change message in `lines` to `catalog`, in
     * binlog order. Structured `tableChanges` wins (full post-DDL column
-    * list); otherwise the DDL string is parsed for CREATE TABLE /
-    * ALTER ADD / ALTER DROP COLUMN / DROP TABLE. Unknown or unparseable
-    * DDL (triggers, grants, ...) is skipped — same as the reference,
-    * which only reacts to changes on ruled tables. Returns the number of
-    * catalog mutations applied. DDL events are rare, so the collect is
-    * a handful of rows, never data-sized. */
+    * list); otherwise the DDL string is parsed for CREATE TABLE, DROP
+    * TABLE, RENAME TABLE, and multi-clause ALTER TABLE (ADD / DROP /
+    * MODIFY / CHANGE / RENAME COLUMN / RENAME TO). Unknown or
+    * unparseable DDL (triggers, grants, ...) is skipped with a log line —
+    * same effect as the reference, which only reacts to changes on ruled
+    * tables. Returns the number of catalog mutations applied. DDL events
+    * are rare, so the collect is a handful of rows, never data-sized. */
   def applySchemaChanges(lines: DataFrame, catalog: Catalog,
       jsonCol: String = "value"): Int = {
     import graft.functions.TypeMapper
@@ -260,29 +358,34 @@ object DebeziumSource {
           }
         }
       } else row.getAs[String]("ddl") match {
-        case AlterAdd(id, colName, tpe) =>
-          val (tDb, tbl) = splitId(id, db)
-          catalog.get(tDb, tbl).foreach { defn =>
-            catalog.refresh(tDb, tbl, defn.copy(schema = StructType(
-              defn.schema.fields.filterNot(_.name == colName) :+
-                TypeMapper.toField(colName, tpe))))
-            applied += 1
-          }
-        case AlterDrop(id, colName) =>
-          val (tDb, tbl) = splitId(id, db)
-          catalog.get(tDb, tbl).foreach { defn =>
-            catalog.refresh(tDb, tbl, TableDef(
-              StructType(defn.schema.fields.filterNot(_.name == colName)),
-              defn.pkColumns.filterNot(_ == colName)))
-            applied += 1
-          }
         case CreateTableDdl(id, body) =>
           val (tDb, tbl) = splitId(id, db)
           if (catalog.refresh(tDb, tbl, parseCreate(body))) applied += 1
+        case AlterTableDdl(id, clauses) =>
+          val (tDb, tbl) = splitId(id, db)
+          if (applyAlter(catalog, tDb, tbl, clauses)) applied += 1
+        case RenameTableDdl(pairs) =>
+          // RENAME TABLE a TO b [, c TO d ...]
+          splitTop(pairs).foreach {
+            case RenamePair(oldId, newId) =>
+              val (oDb, oTbl) = splitId(oldId, db)
+              val (nDb, nTbl) = splitId(newId, db)
+              catalog.get(oDb, oTbl) match {
+                case Some(defn) =>
+                  catalog.drop(oDb, oTbl)
+                  if (catalog.refresh(nDb, nTbl, defn)) applied += 1
+                case None =>
+                  log.info(s"RENAME TABLE for unruled table $oDb.$oTbl skipped")
+              }
+            case other =>
+              log.warn(s"unrecognized RENAME TABLE pair skipped: $other")
+          }
         case DropTableDdl(id) =>
           val (tDb, tbl) = splitId(id, db)
           if (catalog.drop(tDb, tbl)) applied += 1
-        case _ => () // not table-shape DDL — ignore
+        case other =>
+          // not table-shape DDL (grants, triggers, ...) — no column effect
+          log.info(s"non-table DDL skipped: ${Option(other).getOrElse("").take(120)}")
       }
     }
     applied

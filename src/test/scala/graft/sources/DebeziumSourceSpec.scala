@@ -186,6 +186,94 @@ class DebeziumSourceSpec extends AnyFunSuite {
     assert(cat.get("inv", "t").isEmpty)
   }
 
+  private def ddlMsg(pos: Long, ddl: String): String =
+    s"""{"source": {"db": "inv", "file": "f.000001", "pos": $pos},
+       | "databaseName": "inv", "ddl": "$ddl"}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("wire-driven DDL: MODIFY changes a column's type in place") {
+    val cat = new Catalog()
+    DebeziumSource.applySchemaChanges(Seq(
+      ddlMsg(1, "CREATE TABLE t (id bigint NOT NULL PRIMARY KEY, a int, b text)")
+    ).toDF("value"), cat)
+    val n = DebeziumSource.applySchemaChanges(Seq(
+      ddlMsg(2, "ALTER TABLE t MODIFY COLUMN a varchar(32) NOT NULL")
+    ).toDF("value"), cat)
+    assert(n == 1)
+    val d = cat.get("inv", "t").get
+    // type changed, position preserved, nullability applied
+    assert(d.schema.fieldNames.toSeq == Seq("id", "a", "b"))
+    assert(d.schema("a").dataType == StringType)
+    assert(!d.schema("a").nullable)
+  }
+
+  test("wire-driven DDL: CHANGE renames and retypes; pk rename follows") {
+    val cat = new Catalog()
+    DebeziumSource.applySchemaChanges(Seq(
+      ddlMsg(1, "CREATE TABLE t (id int NOT NULL PRIMARY KEY, a int)"),
+      ddlMsg(2, "ALTER TABLE t CHANGE COLUMN id cust_id bigint NOT NULL"),
+      ddlMsg(3, "ALTER TABLE t RENAME COLUMN a TO amount")
+    ).toDF("value"), cat)
+    val d = cat.get("inv", "t").get
+    assert(d.schema.fieldNames.toSeq == Seq("cust_id", "amount"))
+    assert(d.schema("cust_id").dataType == LongType)
+    assert(d.pkColumns == Seq("cust_id"))
+    // RENAME COLUMN keeps the original type
+    assert(d.schema("amount").dataType == IntegerType)
+  }
+
+  test("wire-driven DDL: multi-clause ALTER applies every clause") {
+    val cat = new Catalog()
+    val n = DebeziumSource.applySchemaChanges(Seq(
+      ddlMsg(1, "CREATE TABLE t (id int NOT NULL PRIMARY KEY, a int, b int)"),
+      ddlMsg(2, "ALTER TABLE t ADD COLUMN c decimal(8,2), DROP COLUMN b, " +
+        "MODIFY a text, ADD INDEX idx_a (a)")
+    ).toDF("value"), cat)
+    assert(n == 2)
+    val d = cat.get("inv", "t").get
+    assert(d.schema.fieldNames.toSeq == Seq("id", "a", "c"))
+    assert(d.schema("a").dataType == StringType)
+    // the ADD INDEX clause is recognized as non-column surgery, not a
+    // bogus column named "index"
+    assert(!d.schema.fieldNames.contains("index"))
+  }
+
+  test("wire-driven DDL: RENAME TABLE and ALTER ... RENAME TO") {
+    val cat = new Catalog()
+    DebeziumSource.applySchemaChanges(Seq(
+      ddlMsg(1, "CREATE TABLE t (id int NOT NULL PRIMARY KEY, a int)"),
+      ddlMsg(2, "RENAME TABLE t TO t2")
+    ).toDF("value"), cat)
+    assert(cat.get("inv", "t").isEmpty)
+    assert(cat.get("inv", "t2").exists(_.schema.fieldNames.toSeq ==
+      Seq("id", "a")))
+    DebeziumSource.applySchemaChanges(Seq(
+      ddlMsg(3, "ALTER TABLE t2 ADD COLUMN b int, RENAME TO t3")
+    ).toDF("value"), cat)
+    assert(cat.get("inv", "t2").isEmpty)
+    assert(cat.get("inv", "t3").exists(_.schema.fieldNames.toSeq ==
+      Seq("id", "a", "b")))
+  }
+
+  test("wire-driven DDL: unknown clause / unruled table leave catalog intact") {
+    val cat = new Catalog()
+    DebeziumSource.applySchemaChanges(Seq(
+      ddlMsg(1, "CREATE TABLE t (id int NOT NULL PRIMARY KEY, a int)")
+    ).toDF("value"), cat)
+    val before = cat.get("inv", "t").get
+    val n = DebeziumSource.applySchemaChanges(Seq(
+      // MODIFY of a column the cached schema doesn't have
+      ddlMsg(2, "ALTER TABLE t MODIFY COLUMN zz int"),
+      // ALTER of a table the catalog never registered
+      ddlMsg(3, "ALTER TABLE nosuch ADD COLUMN x int"),
+      // storage-option clause with no column effect
+      ddlMsg(4, "ALTER TABLE t ENGINE=InnoDB")
+    ).toDF("value"), cat)
+    assert(n == 0)
+    assert(cat.get("inv", "t").contains(before))
+    assert(cat.get("inv", "nosuch").isEmpty)
+  }
+
   test("wire-driven DDL: constraint-clause PK and quoted enum types") {
     val cat = new Catalog()
     DebeziumSource.applySchemaChanges(Seq(
