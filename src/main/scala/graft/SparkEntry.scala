@@ -17,6 +17,32 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Streaming queries stage their feed/output under a temp dir that
+    * must outlive the (lazily consumed) returned DataFrame, so inline
+    * deletion is impossible — instead every scratch dir is registered
+    * with ONE JVM-exit hook that removes it, and Bench/Verify runs stop
+    * accumulating orphaned multi-GB dirs under /tmp. */
+  private lazy val scratchDirs: scala.collection.mutable.Buffer[String] = {
+    val dirs = scala.collection.mutable.Buffer.empty[String]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.synchronized(dirs.toSeq).foreach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq
+              .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () } // best-effort hygiene
+      }))
+    dirs
+  }
+
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    scratchDirs.synchronized { scratchDirs += d }
+    d
+  }
+
   /** `events` with its TIMESTAMP(NANOS) `ts` (read as long via
     * spark.sql.legacy.parquet.nanosAsLong) restored to a timestamp. The
     * data is µs-granular, so integer-dividing the ns count by 1000 is
@@ -255,8 +281,7 @@ object SparkEntry {
     * cdc_lww — the streaming path must agree with the batch LWW. */
   private def cdcStreamReplay(s: SparkSession, dir: String): DataFrame =
       withShufflePartitions(s, 8) {
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_stream_").toString
+    val work = scratchDir("graft_stream_")
     ChangeFeed.full(s, dir).repartition(4)
       .write.mode("overwrite").parquet(s"$work/changes")
     val schema = ChangeFeed.full(s, dir).schema
@@ -349,8 +374,7 @@ object SparkEntry {
     * batch join — streaming must not change the result. */
   private def streamJoinStatic(s: SparkSession, dir: String): DataFrame =
       withShufflePartitions(s, 8) {
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_sjoin_").toString
+    val work = scratchDir("graft_sjoin_")
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
       col("event_type"))
     ev.repartition(2).write.parquet(s"$work/in")
@@ -432,8 +456,7 @@ object SparkEntry {
 
   private def streamingDedup(s: SparkSession, dir: String): DataFrame =
       withShufflePartitions(s, 8) {
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_sdedup_").toString
+    val work = scratchDir("graft_sdedup_")
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     // two files -> two micro-batches: the second is a full duplicate of
     // the first, so every drop crosses a batch boundary through state
@@ -588,9 +611,13 @@ object SparkEntry {
     * components (min-id labels) over minhash ∪ simhash near-dup pairs. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val mh = Dedup.minhashDedupPairs(docs, "doc_id", "text",
-      n = 3, k = 16, bands = 4, threshold = 0.8).select("a", "b")
-    val sh = Dedup.simhashPairsBlocked(docs, "doc_id", "text", maxDist = 3)
+    // one tokenization pass feeds both signature paths; the persisted
+    // frame is ids + hashes, never the raw text
+    val sigs = Dedup.textSignatures(docs, "doc_id", "text", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mh = Dedup.minhashDedupPairsFromSets(sigs,
+      k = 16, bands = 4, threshold = 0.8).select("a", "b")
+    val sh = Dedup.simhashPairsBlockedFromSigs(sigs, maxDist = 3)
       .select("a", "b")
     Clustering.canonicalize(docs.select("doc_id"),
         mh.unionByName(sh), "doc_id")
@@ -606,8 +633,7 @@ object SparkEntry {
     * composition is batch-boundary independent end-to-end. */
   private def streamAsof(s: SparkSession, dir: String): DataFrame =
       withShufflePartitions(s, 8) {
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_sasof_").toString
+    val work = scratchDir("graft_sasof_")
     val ev = events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts")
@@ -645,10 +671,14 @@ object SparkEntry {
     * same operator its standalone query gates. */
   private def corpusClean(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val mh = Dedup.minhashDedupPairs(docs, "doc_id", "text",
-      n = 3, k = 16, bands = 4, threshold = 0.8).select("a", "b")
-    val sh = Dedup.simhashPairsBlocked(docs, "doc_id", "text",
-      maxDist = 3).select("a", "b")
+    // shared tokenization: both text-signature paths derive from one
+    // persisted (doc_id, hs, sig) frame instead of re-scanning documents
+    val sigs = Dedup.textSignatures(docs, "doc_id", "text", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mh = Dedup.minhashDedupPairsFromSets(sigs,
+      k = 16, bands = 4, threshold = 0.8).select("a", "b")
+    val sh = Dedup.simhashPairsBlockedFromSigs(sigs, maxDist = 3)
+      .select("a", "b")
     val em = Similarity.lshCosinePairs(t(s, dir, "embeddings"),
       threshold = 0.45, bits = 8, probeDist = 1, tables = 4,
       native = true).select("a", "b")

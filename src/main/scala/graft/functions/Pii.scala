@@ -50,7 +50,11 @@ object Pii {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
-  /** Total PII hits on the original text (what `redact` will replace). */
+  /** Total PII hits: the sum of the four per-category match counts, each
+    * computed independently on the ORIGINAL text. Overlapping matches
+    * (e.g. a phone- or IP-shaped substring inside an email local part)
+    * count once per category, while `redact` replaces that region once —
+    * so this count can exceed the number of replacements. */
   def piiCount(text: Column): Column =
     emailCount(text) + ipv4Count(text) + phoneCount(text) + cardCount(text)
 }

@@ -63,6 +63,25 @@ object Dedup {
   def hashedShinglesDeclarative(text: Column, n: Int): Column =
     array_sort(transform(shingles(text, n), s => hash60(s)))
 
+  /** One-pass combined signature frame for pipelines that run BOTH the
+    * MinHash and SimHash paths over the same corpus (e.g. the composed
+    * corpus clean): tokenization happens once and both signatures are
+    * computed in the same projection, so a caller can persist this one
+    * frame (id + the doc's shingle-hash set + one 64-bit sig — the hash
+    * set is comparable to the text in bytes, but tokenize + md5 run
+    * ONCE instead of once per path) and feed [[minhashDedupPairsFromSets]] and
+    * [[simhashPairsBlockedFromSigs]] from it instead of re-scanning and
+    * re-tokenizing the documents per path. Unlike [[hashedShingleSets]]
+    * this does NOT drop shingle-less docs — the SimHash path keeps every
+    * doc; the MinHash consumers filter `n_sh > 0` themselves. */
+  def textSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
+        call_function("hashed_shingles", col("_toks"), lit(n)).as("hs"),
+        call_function("simhash60", col("_toks")).as("sig"))
+      .withColumn("n_sh", size(col("hs")))
+
   private def intersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
 
@@ -146,6 +165,17 @@ object Dedup {
       threshold)
   }
 
+  /** [[minhashDedupPairs]] over a pre-built `(doc_id, hs, n_sh)` frame
+    * (e.g. a persisted [[textSignatures]]); applies the `n_sh > 0`
+    * filter [[hashedShingleSets]] would have applied. */
+  def minhashDedupPairsFromSets(sets: DataFrame, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val s = sets.select(col("doc_id"), col("hs"), col("n_sh"))
+      .filter(col("n_sh") > 0)
+    verifiedPairs(minhashCandidatesFromSets(s, k, bands), s, threshold)
+  }
+
   /** 60-bit SimHash over whitespace tokens, one fused native pass
     * ([[graft.functions.expr.SimHash60]]). */
   def simhash(text: Column): Column =
@@ -198,9 +228,16 @@ object Dedup {
     * self-equi-join on (block, key), verify Hamming distance on the
     * collisions only. Same result as [[simhashPairs]], linear shuffle. */
   def simhashPairsBlocked(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame =
+    simhashPairsBlockedFromSigs(
+      docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig")),
+      maxDist)
+
+  /** [[simhashPairsBlocked]] over a pre-built `(doc_id, sig)` frame
+    * (e.g. a persisted [[textSignatures]]). */
+  def simhashPairsBlockedFromSigs(sigFrame: DataFrame,
       maxDist: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("doc_id"),
-      simhash(col(textCol)).as("sig"))
+    val sigs = sigFrame.select(col("doc_id"), col("sig"))
     val keyed = sigs.select(col("doc_id"), col("sig"),
       explode(simhashBlockKeys(col("sig"), maxDist)).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.block"), col("bk.key"))
