@@ -196,10 +196,11 @@ object TextFunctions {
   // ------------------------- repetition signals (Gopher, Rae et al. 2021)
   // Per-document repetition measures from the Gopher quality pipeline
   // (§A1.1): duplicate lines and repeated word n-grams flag boilerplate,
-  // spam, and scraper loops. All pure array expressions — O(lines²) /
-  // O(ngrams·distinct) per DOCUMENT, embarrassingly parallel, zero
-  // shuffle; documents are short relative to executors, so the 100 TB
-  // cost is CPU on the scan, which is exactly where it should be.
+  // spam, and scraper loops. All pure array expressions — O(n log n) per
+  // DOCUMENT (sorted run-length fold, see runFold), embarrassingly
+  // parallel, zero shuffle; documents are short relative to executors,
+  // so the 100 TB cost is CPU on the scan, which is exactly where it
+  // should be.
 
   /** Non-blank trimmed lines of a document. */
   def docLines(text: Column): Column =
@@ -215,16 +216,46 @@ object TextFunctions {
         size(ls).cast("double"))
   }
 
+  /** Per-distinct-element fold without the O(distinct × n) nested
+    * filter: sort once, then walk the sorted array tracking the current
+    * equal-run; `contrib(elem, runLen)` enters the accumulator via
+    * `combine` at every run boundary. Equivalent to "for each distinct
+    * g: combine(contrib(g, count(g)))" at O(n log n) per document —
+    * which matters because higher-order functions evaluate interpreted
+    * (no whole-stage codegen), and the nested-filter form burned
+    * MINUTES per task on long boilerplate-heavy documents. */
+  private def runFold(arr: Column,
+      contrib: (Column, Column) => Column,
+      combine: (Column, Column) => Column): Column = {
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("acc"))
+    def roll(st: Column) = combine(st.getField("acc"),
+      contrib(st.getField("prev"), st.getField("run")))
+    aggregate(array_sort(arr), zero,
+      (st, x) => {
+        val run = st.getField("run")
+        when(run === 0L,
+          struct(x.as("prev"), lit(1L).as("run"),
+            st.getField("acc").as("acc")))
+          .when(x === st.getField("prev"),
+            struct(x.as("prev"), (run + 1L).as("run"),
+              st.getField("acc").as("acc")))
+          .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+            roll(st).as("acc")))
+      },
+      st => when(st.getField("run") === 0L, st.getField("acc"))
+        .otherwise(roll(st)))
+  }
+
   /** Fraction of CHARACTERS sitting in lines that occur more than once
     * — catches a giant boilerplate block repeated twice that the line-
     * count fraction underweights. */
   def duplicateLineCharFraction(text: Column): Column = {
     val ls = docLines(text)
     val total = aggregate(ls, lit(0L), (acc, l) => acc + length(l))
-    val dup = aggregate(array_distinct(ls), lit(0L), (acc, l) => {
-      val c = size(filter(ls, x => x === l))
-      acc + when(c > 1, c * length(l).cast("long")).otherwise(lit(0L))
-    })
+    val dup = runFold(ls,
+      (l, c) => when(c > 1, c * length(l).cast("long")).otherwise(lit(0L)),
+      (a, b) => a + b)
     when(total === 0, lit(0.0)).otherwise(dup / total.cast("double"))
   }
 
@@ -245,8 +276,9 @@ object TextFunctions {
     * Gopher gates top-2/3/4-grams at 0.20/0.18/0.16. */
   def topNgramCharFraction(text: Column, n: Int): Column = {
     val ng = ngramList(text, n)
-    val best = array_max(transform(array_distinct(ng), g =>
-      size(filter(ng, x => x === g)).cast("long") * length(g)))
+    val best = runFold(ng,
+      (g, c) => c * length(g).cast("long"),
+      (a, b) => greatest(a, b))
     when(size(ng) === 0 || length(text) === 0, lit(0.0))
       .otherwise(least(best / length(text).cast("double"), lit(1.0)))
   }
@@ -256,10 +288,9 @@ object TextFunctions {
     * Gopher gates duplicated 5..10-grams at 0.15 down to 0.10. */
   def dupNgramCharFraction(text: Column, n: Int): Column = {
     val ng = ngramList(text, n)
-    val dup = aggregate(array_distinct(ng), lit(0L), (acc, g) => {
-      val c = size(filter(ng, x => x === g))
-      acc + when(c > 1, c.cast("long") * length(g)).otherwise(lit(0L))
-    })
+    val dup = runFold(ng,
+      (g, c) => when(c > 1, c * length(g).cast("long")).otherwise(lit(0L)),
+      (a, b) => a + b)
     when(size(ng) === 0 || length(text) === 0, lit(0.0))
       .otherwise(least(dup / length(text).cast("double"), lit(1.0)))
   }
