@@ -133,19 +133,40 @@ object Bench {
     val (allFloors, allApplied) = readAllFloors()
     val appliedSf = allApplied.getOrElse(sfKey, Map.empty)
     // Resets not yet applied at this sf: drop the stale floor so the
-    // query is treated as new (reseeded only from a clean run).
-    val pendingResets = readResets().filter { case (q, id) =>
-      !appliedSf.get(q).contains(id)
+    // query is treated as new (reseeded only from a clean run). A "*"
+    // entry invalidates every floor (a bench-wide change, e.g. the
+    // measured action itself); it composes with per-query ids so the
+    // two kinds of invalidation stay independent.
+    val resets = readResets()
+    def effectiveResetId(q: String): Option[String] = {
+      val ids = Seq(resets.get(q), resets.get("*")).flatten
+      if (ids.isEmpty) None else Some(ids.mkString("+"))
     }
-    val floors = allFloors.getOrElse(sfKey, Map.empty) -- pendingResets.keys
+    def resetPending(q: String): Boolean =
+      effectiveResetId(q).exists(id => !appliedSf.get(q).contains(id))
+    val floorsAll = allFloors.getOrElse(sfKey, Map.empty)
+    val pendingKeys = floorsAll.keySet.filter(resetPending)
+    val floors = floorsAll -- pendingKeys
     def overFloor(name: String, t: Double): Boolean =
       floors.get(name).exists(f => t >= Ratio * f && t - f >= AbsSlack)
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      // Force FULL row materialization, not count(): under count() the
+      // optimizer prunes every projected column (an Aggregate needs
+      // none of them), so expression-heavy map-only queries measured as
+      // bare scans while the correctness gate (Verify, which writes the
+      // rows) paid the real cost. toRdd executes the optimized plan
+      // with the query's own output schema — nothing above it to prune
+      // for — and draining the iterator evaluates every column of every
+      // row, with no sink I/O in the timing.
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.foreachPartition { it =>
+          while (it.hasNext) it.next()
+        }
+      }
+      catch { case _: Throwable => () }
       val d = (System.nanoTime() - t0) / 1e9
       // drop cache blocks/broadcasts a query left behind so later
       // queries aren't taxed by this one's working set
@@ -232,8 +253,9 @@ object Bench {
     }
     // A pending reset is marked applied once its query reseeds; until
     // then the stale floor keeps being dropped at load on every run.
-    val newApplied = appliedSf ++ pendingResets.collect {
-      case (q, id) if updated.contains(q) => q -> id
+    val newApplied = appliedSf ++ results.collect {
+      case (q, _) if updated.contains(q) && resetPending(q) =>
+        q -> effectiveResetId(q).get
     }
     if (updated != allFloors.getOrElse(sfKey, Map.empty) || newApplied != appliedSf)
       writeAllFloors(allFloors + (sfKey -> updated),
@@ -255,7 +277,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalClean = clean.map(_._2).sum
-    val rs = pendingResets.keys.toSeq.sorted
+    val rs = pendingKeys.toSeq.sorted
       .map(q => "\"" + q + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","value_clean":$totalClean,"queries":$qs,"queries_clean":$cs,"sf":"$sfDir","contaminated":$contaminated,"rescue_passes":$rescues,"floor_deltas":$ds,"floor_resets_applied":$rs,"canary_worst_ratio":${math.rint(canaryWorst * 100) / 100},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
     spark.stop()
