@@ -147,4 +147,57 @@ class AsofJoinSpec extends AnyFunSuite {
       .selectExpr("cast(lts div 1000 as long) b").distinct().count()
     assert(hotBuckets > 5)
   }
+
+  test("asofBucketed EXECUTES a hot key on >1 task; plain asof on exactly 1") {
+    // 90% of rows on one key, spanning 16 one-"second" buckets: the
+    // claim under test is execution spread, not data math — count which
+    // PHYSICAL partitions of the final stage hold the hot key's output.
+    // The data-sized window partitions by (key, bucket) and nothing
+    // reshuffles after it, so output partitions ARE the sort tasks.
+    // AQE would coalesce these small test partitions into one and mask
+    // the spread, so it is pinned off for this test only.
+    val n = 40000
+    val hotL = (1 to n * 9 / 10).map(i =>
+      ("h", (i.toLong * 16000L * 10 / (n * 9 / 10)) % 16000L, i.toLong))
+    val coldL = (1 to n / 10).map(i =>
+      ("c" + (i % 37), (i * 401L) % 16000L, (n + i).toLong))
+    val left = (hotL ++ coldL).toDF("k", "lts", "tid")
+    val right = (1 to 4000).map(i =>
+      (if (i % 10 != 0) "h" else "c" + (i % 37),
+        (i * 379L) % 16000L, i.toLong, i * 0.5)).toDF("k", "rts", "qid", "px")
+
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // full rows, not select("k"): projecting the key alone lets the
+      // optimizer prune the window (and its exchange) out of the plan,
+      // and the partition count observed would be the input's
+      def hotTaskCount(df: org.apache.spark.sql.DataFrame): Int =
+        df.rdd.mapPartitionsWithIndex { case (i, it) =>
+          if (it.exists(_.getAs[String]("k") == "h")) Iterator(i)
+          else Iterator.empty
+        }.distinct().count().toInt
+
+      def timed[A](a: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = a
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (plainTasks, tPlain) = timed(hotTaskCount(
+        AsofJoin.asof(left, right, Seq("k"), "lts", "rts",
+          Seq("qid", "px"), tiebreak = "qid")))
+      val (bucketTasks, tBucket) = timed(hotTaskCount(
+        AsofJoin.asofBucketed(left, right, Seq("k"), "lts", "rts",
+          Seq("qid", "px"), tiebreak = "qid", bucketWidth = 1000L)))
+
+      // per-key partitioning concentrates the hot key on ONE task;
+      // (key, bucket) partitioning spreads it over its 16 buckets
+      assert(plainTasks == 1,
+        s"plain asof put the hot key on $plainTasks tasks")
+      assert(bucketTasks > 1,
+        s"bucketed asof left the hot key on $bucketTasks task(s)")
+      info(f"hot-key tasks: plain=$plainTasks bucketed=$bucketTasks; " +
+        f"wall: plain=$tPlain%.2fs bucketed=$tBucket%.2fs " +
+        f"(shared-host timing, informational)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+  }
 }
