@@ -167,16 +167,39 @@ object DebeziumSource {
     if (parts.length >= 2) (parts(0), parts(1)) else (defaultDb, parts(0))
   }
 
-  /** Split a CREATE TABLE body on commas not nested in parentheses. */
+  /** Split a CREATE TABLE body (or ALTER clause list) on commas not
+    * nested in parentheses and not inside single-quoted strings —
+    * enum/set values may legally contain commas AND parens
+    * (`enum('a','b,c','d(e')`), and an unbalanced paren inside a quote
+    * would otherwise corrupt the depth count and silently swallow every
+    * later column. Handles MySQL's doubled-quote and backslash escapes
+    * inside values. (A close-paren inside a value still defeats the
+    * type REGEXES, same as TypeMapper's — the structured tableChanges
+    * path has no such limit.) */
   private def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.Buffer.empty[String]
     val sb = new StringBuilder
     var depth = 0
-    s.foreach {
-      case '(' => depth += 1; sb += '('
-      case ')' => depth -= 1; sb += ')'
-      case ',' if depth == 0 => out += sb.toString; sb.clear()
-      case c => sb += c
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        sb += c
+        if (c == '\\' && i + 1 < s.length) { sb += s.charAt(i + 1); i += 1 }
+        else if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            sb += '\''; i += 1 // doubled-quote escape stays inside
+          } else inQ = false
+        }
+      } else c match {
+        case '\'' => inQ = true; sb += c
+        case '(' => depth += 1; sb += c
+        case ')' => depth -= 1; sb += c
+        case ',' if depth == 0 => out += sb.toString; sb.clear()
+        case other => sb += other
+      }
+      i += 1
     }
     out += sb.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
