@@ -773,20 +773,35 @@ object SparkEntry {
     * duplicated as a second line so the line-level signals fire on
     * deterministic, oracle-reconstructible input. */
   private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import TextFunctions._
     val t0 = when(pmod(col("doc_id"), lit(5)) === 0,
       concat(col("text"), lit("\n"), col("text"))).otherwise(col("text"))
-    t(s, dir, "documents")
+    // CPU shape, not data shape: eleven per-doc signal trees evaluate
+    // interpreted (higher-order functions), so (a) the small local
+    // corpus is repartitioned off its single parquet split to use every
+    // core — at 100 TB maxPartitionBytes does this naturally — and
+    // (b) each signal is computed ONCE as a column, with the gate
+    // assembled from those columns instead of re-deriving all eleven
+    // trees (which doubled the query's CPU).
+    val signals = t(s, dir, "documents")
       .select(col("doc_id"), t0.as("t"))
-      .select(col("doc_id"),
-        round(TextFunctions.duplicateLineFraction(col("t")), 6)
-          .as("dup_line_frac"),
-        round(TextFunctions.duplicateLineCharFraction(col("t")), 6)
-          .as("dup_line_char_frac"),
-        round(TextFunctions.topNgramCharFraction(col("t"), 2), 6)
-          .as("top2gram_frac"),
-        round(TextFunctions.dupNgramCharFraction(col("t"), 5), 6)
-          .as("dup5gram_frac"),
-        TextFunctions.repetitionGate(col("t")).cast("int").as("keep"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(Seq(col("doc_id"),
+        duplicateLineFraction(col("t")).as("dlf"),
+        duplicateLineCharFraction(col("t")).as("dlcf")) ++
+        TopNgramThresholds.map { case (n, _) =>
+          topNgramCharFraction(col("t"), n).as(s"top$n") } ++
+        DupNgramThresholds.map { case (n, _) =>
+          dupNgramCharFraction(col("t"), n).as(s"dup$n") }: _*)
+    signals.select(col("doc_id"),
+      round(col("dlf"), 6).as("dup_line_frac"),
+      round(col("dlcf"), 6).as("dup_line_char_frac"),
+      round(col("top2"), 6).as("top2gram_frac"),
+      round(col("dup5"), 6).as("dup5gram_frac"),
+      repetitionGateFromSignals(col("dlf"), col("dlcf"),
+        TopNgramThresholds.map { case (n, _) => n -> col(s"top$n") }.toMap,
+        DupNgramThresholds.map { case (n, _) => n -> col(s"dup$n") }.toMap)
+        .cast("int").as("keep"))
   }
 
   // --------------------------------------------------------------- registry

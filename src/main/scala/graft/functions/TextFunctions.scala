@@ -295,18 +295,39 @@ object TextFunctions {
       .otherwise(least(dup / length(text).cast("double"), lit(1.0)))
   }
 
-  /** The Gopher repetition gate: true when every repetition signal is
-    * under its published threshold (line fractions 0.30/0.20; top
-    * 2/3/4-gram 0.20/0.18/0.16; dup 5..10-gram 0.15..0.10). */
-  def repetitionGate(text: Column): Column = {
-    val topThr = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
-    val dupThr = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
-      9 -> 0.11, 10 -> 0.10)
+  /** Gopher thresholds (published): line fractions, top-n-gram char
+    * fractions, duplicated-n-gram char fractions. Public so callers
+    * that compute the signal COLUMNS anyway (e.g. a query reporting
+    * them) can assemble the gate from those columns via
+    * [[repetitionGateFromSignals]] instead of re-deriving eleven
+    * signal trees — higher-order functions evaluate interpreted, so a
+    * duplicated tree is duplicated CPU, not just a bigger plan. */
+  val DupLineThreshold = 0.30
+  val DupLineCharThreshold = 0.20
+  val TopNgramThresholds: Seq[(Int, Double)] =
+    Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val DupNgramThresholds: Seq[(Int, Double)] =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** The gate assembled from pre-computed signal columns — `top` must
+    * cover n = 2,3,4 and `dup` n = 5..10 (same order/values as the
+    * signal functions). */
+  def repetitionGateFromSignals(dupLine: Column, dupLineChar: Column,
+      top: Map[Int, Column], dup: Map[Int, Column]): Column = {
     val checks =
-      Seq(duplicateLineFraction(text) <= 0.30,
-        duplicateLineCharFraction(text) <= 0.20) ++
-      topThr.map { case (n, t) => topNgramCharFraction(text, n) <= t } ++
-      dupThr.map { case (n, t) => dupNgramCharFraction(text, n) <= t }
+      Seq(dupLine <= DupLineThreshold, dupLineChar <= DupLineCharThreshold) ++
+      TopNgramThresholds.map { case (n, t) => top(n) <= t } ++
+      DupNgramThresholds.map { case (n, t) => dup(n) <= t }
     checks.reduce(_ && _)
   }
+
+  /** The Gopher repetition gate: true when every repetition signal is
+    * under its published threshold. */
+  def repetitionGate(text: Column): Column =
+    repetitionGateFromSignals(
+      duplicateLineFraction(text), duplicateLineCharFraction(text),
+      TopNgramThresholds.map { case (n, _) =>
+        n -> topNgramCharFraction(text, n) }.toMap,
+      DupNgramThresholds.map { case (n, _) =>
+        n -> dupNgramCharFraction(text, n) }.toMap)
 }
