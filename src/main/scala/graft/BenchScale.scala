@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.charset.StandardCharsets
@@ -13,8 +13,10 @@ import graft.functions.TextFunctions
   * "100 TB shape" argument (bounded equi-joins, O(log n) rounds, no
   * global window); this main MEASURES those claims instead of asserting
   * them. It blows the sf0.1 tables up ×N with structure-preserving
-  * transforms, runs the five scale-argued operators at ×1 and ×N, and
-  * records both wall time and load-independent STRUCTURAL evidence:
+  * transforms, runs the eight scale-argued operators (including the
+  * composed corpus_clean pipeline and the streaming as-of enrich) at
+  * ×1 and ×N, and records both wall time and load-independent
+  * STRUCTURAL evidence:
   *
   *   - `dedup_clusters`: connected-components round count must stay
   *     O(log n) — the blow-up replicates the duplicate graph N times
@@ -47,6 +49,16 @@ object BenchScale {
 
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
 
+  /** Copies collide silently if a base id reaches the per-copy offset —
+    * fail loudly instead of misattributing cross-copy evidence. */
+  private def assertIdsBelow(df: DataFrame, idCol: String,
+      bound: Long): Unit = {
+    val m = df.agg(max(col(idCol))).head()
+    val v = if (m.isNullAt(0)) 0L else m.getAs[Number](0).longValue
+    require(v < bound, s"blow-up offset too small: max($idCol)=$v >= " +
+      s"$bound — copy id ranges would collide")
+  }
+
   /** ×N documents: copy i offsets doc_id into a disjoint id range and
     * rotates the lowercase alphabet by i — a char bijection, so the
     * duplicate structure WITHIN a copy is preserved exactly (equal
@@ -55,9 +67,14 @@ object BenchScale {
     * duplicate graph of the base corpus, replicated N times over
     * disjoint nodes — edges ∝ N, components ∝ N, max component size
     * CONSTANT, which is precisely the "independent data grows
-    * linearly" regime the operators claim to scale in. */
+    * linearly" regime the operators claim to scale in. n is capped at
+    * 26: rotation by i ≡ 0 (mod 26) is the identity, which would
+    * recreate exact cross-copy duplicates and invalidate the
+    * cross_copy_pairs == 0 gate. */
   def blowUpDocuments(docs: DataFrame, n: Int): DataFrame = {
-    require(n >= 1, s"scale n=$n must be >= 1")
+    require(n >= 1 && n <= 26,
+      s"scale n=$n must be in [1, 26] (rotation 26 is the identity)")
+    assertIdsBelow(docs, "doc_id", 100000000L)
     (0 until n).map { i =>
       val rot = Alphabet.drop(i % 26) + Alphabet.take(i % 26)
       docs.select(
@@ -74,12 +91,68 @@ object BenchScale {
     * super-linear time is the operator's fault, not the data's. */
   def blowUpEvents(ev: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"scale n=$n must be >= 1")
+    assertIdsBelow(ev, "event_id", 10000000000L)
+    assertIdsBelow(ev, "user_id", 100000000L)
     (0 until n).map { i =>
       ev.select(
         (col("event_id") + lit(i.toLong * 10000000000L)).as("event_id"),
         col("ts"),
         (col("user_id") + lit(i.toLong * 100000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** One fast Walsh–Hadamard butterfly stage over a 64-dim array
+    * column. Each stage is materialized as its own column (attribute
+    * reference), never inlined into the next stage's tree — inlining
+    * would duplicate the subtree 128× per stage. */
+  private def fwhtStage(x: Column, bit: Int): Column =
+    transform(sequence(lit(0), lit(63)), d => {
+      val partner = d.bitwiseXOR(lit(bit))
+      when(d.bitwiseAND(lit(bit)) === 0,
+        element_at(x, d + 1) + element_at(x, partner + 1))
+        .otherwise(element_at(x, partner + 1) - element_at(x, d + 1))
+    })
+
+  /** ×N embeddings: copy i offsets vec_id and applies an orthonormal
+    * per-copy transform: one shared Walsh–Hadamard rotation (H/8,
+    * 6 butterfly stages) followed by a per-copy deterministic sign
+    * flip. Orthonormality preserves every within-copy dot product and
+    * norm — hence every cosine — exactly (up to float re-rounding on
+    * write); across copies a formerly-identical pair's cosine becomes
+    * a sign-weighted sum over the DENSE rotated coordinates, i.e.
+    * ~N(0, 1/dim): std ≈ 0.125, so P(cos > 0.45) ≈ 1.6e-4. That tail
+    * is the THEORETICAL FLOOR for any dim-64 orthogonal scheme — a few
+    * cross-copy pairs out of the ~C(N,2)·V identical-vector trials are
+    * expected and deterministic, which is why the harness gates
+    * emb_cross_pairs against a small bound instead of zero. (Sign
+    * flips WITHOUT the rotation leave the tail at ~3% on these
+    * mass-concentrated vectors — hundreds of cross pairs — which the
+    * same bound rejects.) The copies are rotated relative to the fixed
+    * LSH hyperplanes, so per-copy bucket recall varies; pair-count
+    * evidence is therefore gated against the rotation-invariant TRUE
+    * pair count, never exact ×N. Copy 0 is the identity (the ×1
+    * measurement scans byte-identical data). */
+  def blowUpEmbeddings(emb: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"scale n=$n must be >= 1")
+    assertIdsBelow(emb, "vec_id", 100000000L)
+    (0 until n).map { i =>
+      if (i == 0)
+        emb.select(col("vec_id"), col("embedding"), col("label"))
+      else {
+        val rotated = (0 until 6)
+          .foldLeft(emb.withColumn("_e",
+            col("embedding").cast("array<double>"))) { (df, k) =>
+            df.withColumn("_e", fwhtStage(col("_e"), 1 << k))
+          }
+          .withColumn("_e", transform(col("_e"), x => x / lit(8.0)))
+        rotated.select(
+          (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+          transform(col("_e"), (x, d) =>
+            when(pmod(xxhash64(lit(i), d), lit(2)) === 0, x).otherwise(-x))
+            .cast("array<float>").as("embedding"),
+          col("label"))
+      }
     }.reduce(_ unionByName _)
   }
 
@@ -109,6 +182,25 @@ object BenchScale {
 
   // ------------------------------------------------------------ operators
 
+  /** Every temp dir created by a run, deleted in main's finally — bench
+    * runs must not accumulate multi-GB orphans under /tmp. */
+  private val tempDirs = scala.collection.mutable.Buffer.empty[String]
+
+  private def newTempDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toString
+    tempDirs += d
+    d
+  }
+
+  private def deleteRecursively(path: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(path)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => () } // best-effort hygiene
+
   private def clicksAndPurchases(s: SparkSession, evDir: String)
       : (DataFrame, DataFrame) = {
     val ev = s.read.parquet(evDir)
@@ -132,15 +224,21 @@ object BenchScale {
     OpResult(secs, Map("out_rows" -> rows) ++ extra)
   }
 
-  private def runDedupClusters(s: SparkSession, docsDir: String): OpResult = {
-    val docs = s.read.parquet(docsDir)
-    def pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
-        n = 3, k = 16, bands = 4, threshold = 0.8).select("a", "b")
-      .unionByName(Dedup.simhashPairsBlocked(docs, "doc_id", "text",
-        maxDist = 3).select("a", "b"))
-    val r = timed {
-      Clustering.canonicalize(docs.select("doc_id"), pairs, "doc_id").count()
+  private def runDedupClusters(s: SparkSession, dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    // mirror the shipped query shape: one tokenization pass, persisted
+    // signature frame feeding both pair generators
+    def pairsFrom(sg: DataFrame) =
+      Dedup.minhashDedupPairsFromSets(sg).select("a", "b")
+        .unionByName(Dedup.simhashPairsBlockedFromSigs(sg).select("a", "b"))
+    def pairs = pairsFrom(Dedup.textSignatures(docs, "doc_id", "text", n = 3))
+    val sigs = Dedup.textSignatures(docs, "doc_id", "text", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = try timed {
+      Clustering.canonicalize(docs.select("doc_id"), pairsFrom(sigs),
+        "doc_id").count()
     }(Map("cc_rounds" -> Clustering.lastStats.rounds.toLong))
+    finally sigs.unpersist(blocking = false)
     // pair counts are evidence, not cost: recomputed untimed.
     // `cross_copy_pairs` MUST be 0 — the alphabet rotation makes copies
     // shingle-disjoint, so any cross-copy edge means the blow-up leaked
@@ -156,9 +254,9 @@ object BenchScale {
       "pairs" -> pairs.count(), "cross_copy_pairs" -> cross))
   }
 
-  private def runAsof(s: SparkSession, evDir: String,
+  private def runAsof(s: SparkSession, dir: String,
       bucketed: Boolean): OpResult = {
-    val (clicks, purchases) = clicksAndPurchases(s, evDir)
+    val (clicks, purchases) = clicksAndPurchases(s, s"$dir/events.parquet")
     timed {
       (if (bucketed)
         AsofJoin.asofBucketed(clicks, purchases, Seq("user_id"), "ts", "ts",
@@ -171,8 +269,8 @@ object BenchScale {
     }(Map.empty)
   }
 
-  private def runRangeJoin(s: SparkSession, evDir: String): OpResult = {
-    val ev = s.read.parquet(evDir)
+  private def runRangeJoin(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))
     val clicks = ev.filter(col("event_type") === "click")
       .select("user_id", "ts_us", "event_id")
@@ -187,8 +285,8 @@ object BenchScale {
         "ts_us", "ts_us", 0L, 3600L * 1000000L)))
   }
 
-  private def runPackBudget(s: SparkSession, docsDir: String): OpResult = {
-    val toks = s.read.parquet(docsDir).select(col("doc_id"),
+  private def runPackBudget(s: SparkSession, dir: String): OpResult = {
+    val toks = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"),
       TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tok"))
     def packed = Packing.packByBudget(toks, "doc_id", "n_tok", budget = 2048L)
     val r = timed { packed.count() }(Map.empty)
@@ -196,14 +294,18 @@ object BenchScale {
       ("bins" -> (packed.agg(max("bin")).head().getLong(0) + 1)))
   }
 
-  private def runStreamingDedup(s: SparkSession, docsDir: String): OpResult = {
-    val work = Files.createTempDirectory("graft_scale_sdedup_").toString
-    val docs = s.read.parquet(docsDir).select(col("doc_id"), col("text"))
+  private def runStreamingDedup(s: SparkSession, dir: String): OpResult = {
+    val work = newTempDir("graft_scale_sdedup_")
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // duplicate feed across two micro-batches, as in the gate query:
+    // every drop in batch 2 crosses the state-store boundary. Writing
+    // the feed is linear input prep, not state-store cost — timing it
+    // would dilute the fitted exponent toward 1, masking genuinely
+    // superlinear state behavior.
+    docs.write.parquet(s"$work/in")
+    docs.write.mode("append").parquet(s"$work/in")
     timed {
-      // duplicate feed across two micro-batches, as in the gate query:
-      // every drop in batch 2 crosses the state-store boundary
-      docs.write.parquet(s"$work/in")
-      docs.write.mode("append").parquet(s"$work/in")
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 32).parquet(s"$work/in")
       val q = streaming.StreamingDedup.firstSeen(stream)
@@ -213,6 +315,75 @@ object BenchScale {
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.write.mode("append").parquet(s"$work/out")
         }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out").count()
+    }(Map.empty)
+  }
+
+  /** The composed corpus-clean pipeline (the shipped `corpus_clean`
+    * query verbatim): pairs from three modalities → CC → keep-one →
+    * token count → packing → split/shard. The timed action folds the
+    * packing-bin count into the same aggregation that forces execution,
+    * so the bins evidence costs nothing extra; pair volumes per modality
+    * are recomputed untimed. */
+  private def runCorpusClean(s: SparkSession, dir: String): OpResult = {
+    var bins = 0L
+    val r = timed {
+      val row = SparkEntry.queries("corpus_clean")(s, dir)
+        .agg(count(lit(1)), max("bin")).head()
+      bins = row.getLong(1) + 1
+      row.getLong(0)
+    }(Map("cc_rounds" -> Clustering.lastStats.rounds.toLong,
+      "bins" -> bins))
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val sigs = Dedup.textSignatures(docs, "doc_id", "text", n = 3)
+    val copyOf = (c: org.apache.spark.sql.Column) =>
+      call_function("div", c, lit(100000000L))
+    def crossCount(pairs: DataFrame): Long =
+      pairs.filter(copyOf(col("a")) =!= copyOf(col("b"))).count()
+    val textPairs = Dedup.minhashDedupPairsFromSets(sigs).select("a", "b")
+      .unionByName(Dedup.simhashPairsBlockedFromSigs(sigs).select("a", "b"))
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val embPairs = graft.operators.Similarity.lshCosinePairs(emb,
+      threshold = 0.45, bits = 8, probeDist = 1, tables = 4, native = true)
+      .select("a", "b")
+    // The TRUE within-copy cosine-pair count is invariant under the
+    // sign-flip blow-up (orthogonal transform), so the base brute-force
+    // count bounds every copy's LSH yield: emb_pairs(×N) ≤ N × truth(×1)
+    // is a HARD invariant even though per-copy LSH recall varies with
+    // the rotation. Brute force runs on the ×1 corpus only (quadratic).
+    val embTrue =
+      if (dir.endsWith("/x1"))
+        Map("emb_true_pairs" -> graft.operators.Similarity.cosinePairs(
+          emb, threshold = 0.45).count())
+      else Map.empty[String, Long]
+    r.copy(evidence = r.evidence ++ embTrue ++ Map(
+      "text_pairs" -> textPairs.count(),
+      "text_cross_pairs" -> crossCount(textPairs),
+      "emb_pairs" -> embPairs.count(),
+      "emb_cross_pairs" -> crossCount(embPairs)))
+  }
+
+  /** Streaming as-of enrich: the blown-up click feed replayed as four
+    * micro-batches against the static purchase history. Input
+    * materialization is prep (untimed); the timed span is the streaming
+    * replay plus reading back the enriched output. */
+  private def runStreamAsof(s: SparkSession, dir: String): OpResult = {
+    val work = newTempDir("graft_scale_sasof_")
+    val (clicks, purchases) = clicksAndPurchases(s, s"$dir/events.parquet")
+    clicks.repartition(4).write.parquet(s"$work/in")
+    timed {
+      val stream = s.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      val q = streaming.StreamJoins.streamAsofEnrich(stream,
+        () => purchases, Seq("user_id"), "ts", "ts",
+        payload = Seq("pid", "value"), tiebreak = "pid",
+        prefix = "p_") { (batch, _) =>
+        batch.write.mode("append").parquet(s"$work/out")
+      }
+        .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -239,41 +410,47 @@ object BenchScale {
     GraftExtensions.register(spark)
 
     // materialize ×1 and ×N inputs through the SAME write path, so the
-    // two measurements scan identically-laid-out parquet
-    val work = Files.createTempDirectory("graft_scale_").toString
+    // two measurements scan identically-laid-out parquet; the dirs are
+    // sf-shaped so composed queries (corpus_clean) run against them
+    // through the exact SparkEntry code path the gate runs
+    val work = newTempDir("graft_scale_")
+    try {
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val ev = spark.read.parquet(s"$base/events.parquet")
-    blowUpDocuments(docs, 1).write.parquet(s"$work/docs1")
-    blowUpDocuments(docs, n).write.parquet(s"$work/docsN")
-    blowUpEvents(ev, 1).write.parquet(s"$work/ev1")
-    blowUpEvents(ev, n).write.parquet(s"$work/evN")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    Seq(1 -> "x1", n -> "xN").foreach { case (m, d) =>
+      blowUpDocuments(docs, m).write.parquet(s"$work/$d/documents.parquet")
+      blowUpEvents(ev, m).write.parquet(s"$work/$d/events.parquet")
+      blowUpEmbeddings(emb, m).write.parquet(s"$work/$d/embeddings.parquet")
+    }
 
-    val ops: Seq[(String, (String, String) => OpResult)] = Seq(
-      "dedup_clusters" -> ((d: String, _: String) => runDedupClusters(spark, d)),
-      "asof_join" -> ((_: String, e: String) => runAsof(spark, e, bucketed = false)),
-      "asof_join_bucketed" -> ((_: String, e: String) => runAsof(spark, e, bucketed = true)),
-      "range_join" -> ((_: String, e: String) => runRangeJoin(spark, e)),
-      "pack_budget" -> ((d: String, _: String) => runPackBudget(spark, d)),
-      "streaming_dedup" -> ((d: String, _: String) => runStreamingDedup(spark, d)))
+    val ops: Seq[(String, String => OpResult)] = Seq(
+      "dedup_clusters" -> (d => runDedupClusters(spark, d)),
+      "asof_join" -> (d => runAsof(spark, d, bucketed = false)),
+      "asof_join_bucketed" -> (d => runAsof(spark, d, bucketed = true)),
+      "range_join" -> (d => runRangeJoin(spark, d)),
+      "pack_budget" -> (d => runPackBudget(spark, d)),
+      "streaming_dedup" -> (d => runStreamingDedup(spark, d)),
+      "stream_asof" -> (d => runStreamAsof(spark, d)),
+      "corpus_clean" -> (d => runCorpusClean(spark, d)))
 
     // warmup outside all timings
-    spark.read.parquet(s"$work/docs1").count()
-    spark.read.parquet(s"$work/ev1").count()
+    spark.read.parquet(s"$work/x1/documents.parquet").count()
+    spark.read.parquet(s"$work/x1/events.parquet").count()
 
-    def measure(fn: (String, String) => OpResult, docsDir: String,
-        evDir: String): OpResult = {
+    def measure(fn: String => OpResult, dir: String): OpResult = {
       // min-of-2: shared-host steal stalls are bursty; evidence values
       // are deterministic so either run's are valid
-      val a = fn(docsDir, evDir)
+      val a = fn(dir)
       spark.catalog.clearCache()
-      val b = fn(docsDir, evDir)
+      val b = fn(dir)
       spark.catalog.clearCache()
       OpResult(math.min(a.secs, b.secs), b.evidence)
     }
 
     val rows = ops.map { case (name, fn) =>
-      val at1 = measure(fn, s"$work/docs1", s"$work/ev1")
-      val atN = measure(fn, s"$work/docsN", s"$work/evN")
+      val at1 = measure(fn, s"$work/x1")
+      val atN = measure(fn, s"$work/xN")
       val ratio = atN.secs / math.max(at1.secs, 1e-9)
       val exponent = math.log(ratio) / math.log(n.toDouble)
       val structuralOk = name match {
@@ -283,6 +460,30 @@ object BenchScale {
         case "range_join" =>
           atN.evidence("candidates") <=
             (at1.evidence("candidates") * n * 1.5).toLong
+        case "corpus_clean" =>
+          // Invariants under the blow-up: text cross-copy pairs exactly
+          // zero (alphabet rotation is collision-free); embedding
+          // cross-copy pairs bounded by a small constant — the dim-64
+          // Gaussian tail makes a handful unavoidable for ANY
+          // orthogonal per-copy transform (see blowUpEmbeddings), but
+          // 50 sits ~20× above the expected tail and far below both
+          // failure classes (unrotated flips ≈ hundreds, a quadratic
+          // leak ≈ thousands). Per-copy LSH yield is bounded by the
+          // rotation-invariant TRUE pair count (+2 for float-rounding
+          // boundary flips at the threshold); CC rounds stay O(log n);
+          // bins and kept docs grow ~linearly. text_pairs is reported
+          // evidence, not gated: simhash Hamming distances redraw per
+          // rotated copy, so its count is a per-copy random draw (a
+          // candidate blowup would crash out_rows and the exponent).
+          atN.evidence("cc_rounds") <= at1.evidence("cc_rounds") + 2 &&
+            atN.evidence("text_cross_pairs") == 0L &&
+            atN.evidence("emb_cross_pairs") <= 50L &&
+            // within-copy LSH yield vs invariant truth (cross pairs are
+            // bounded separately above)
+            (atN.evidence("emb_pairs") - atN.evidence("emb_cross_pairs")) <=
+              (at1.evidence("emb_true_pairs") + 2) * n &&
+            atN.evidence("bins") <= (at1.evidence("bins") * n * 1.5).toLong &&
+            atN.evidence("out_rows") >= at1.evidence("out_rows") * (n - 1)
         case _ =>
           atN.evidence("out_rows") == at1.evidence("out_rows") * n
       }
@@ -310,6 +511,9 @@ object BenchScale {
     Files.write(Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
         "BENCH_scale.json")),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
-    spark.stop()
+    } finally {
+      tempDirs.foreach(deleteRecursively)
+      spark.stop()
+    }
   }
 }
