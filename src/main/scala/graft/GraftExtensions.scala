@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{ByteHistogram, CosineSimilarity, HashedShingles, KmvSketch, MinHashSig, SimHash60, SortedIntersectCount}
+import graft.functions.expr.{ByteHistogram, CosineSimilarity, HashedShingles, KmvSketch, MinHashSig, RepetitionSignals, SimHash60, SortedIntersectCount}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -47,7 +47,9 @@ object GraftExtensions {
       ByteHistogram(c.head, c(1).eval().asInstanceOf[Int])),
     // aggregate; k via int literal, e.g. kmv_distinct(v, 64)
     fn("kmv_distinct", classOf[KmvSketch], 2)(c =>
-      KmvSketch(c.head, c(1).eval().asInstanceOf[Int])))
+      KmvSketch(c.head, c(1).eval().asInstanceOf[Int])),
+    fn("repetition_signals", classOf[RepetitionSignals], 1)(c =>
+      RepetitionSignals(c.head)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit = {

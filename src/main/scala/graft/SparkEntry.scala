@@ -353,9 +353,22 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"),
       TextFunctions.langId(col("text")).as("lang_pred"))
 
-  private def textLangIdNgram(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
-      TextFunctions.langIdNgram(col("text")).as("lang_pred"))
+  private def textLangIdNgram(s: SparkSession, dir: String): DataFrame = {
+    import TextFunctions._
+    // trigrams once, scores once, argmax over score COLUMNS — inlined,
+    // the argmax chain re-derives the trigram scan ~50× per row (see
+    // langNgramScores doc); repartition spreads the CPU-bound map off
+    // the single local parquet split
+    val langs = LangTrigramProfiles.map(_._1)
+    t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), charTrigrams(col("text")).as("_tris"))
+      .select(col("doc_id") +: langNgramScores(col("_tris")).map {
+        case (l, c) => c.as(s"_s_$l") }: _*)
+      .select(col("doc_id"),
+        langIdFromScores(langs.map(l => l -> col(s"_s_$l")))
+          .as("lang_pred"))
+  }
 
   private def skewJoin(s: SparkSession, dir: String): DataFrame =
     // salted equi-join must be row-identical to the plain join — the
@@ -739,7 +752,10 @@ object SparkEntry {
     * ≥5 distinct 5-grams or half its 5-grams with any bench doc is
     * flagged. */
   private def decontamNgram(s: SparkSession, dir: String): DataFrame = {
+    // repartition: the shingle kernel is the scan CPU, and the local
+    // corpus is one parquet split (at 100 TB maxPartitionBytes spreads)
     val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
     val bench = docs
       .filter(Sampling.hashBucket(col("doc_id"), 10) === 0)
       .select(col("doc_id").as("bench_id"), col("text"))
@@ -776,31 +792,26 @@ object SparkEntry {
     import TextFunctions._
     val t0 = when(pmod(col("doc_id"), lit(5)) === 0,
       concat(col("text"), lit("\n"), col("text"))).otherwise(col("text"))
-    // CPU shape, not data shape: eleven per-doc signal trees evaluate
-    // interpreted (higher-order functions), so (a) the small local
-    // corpus is repartitioned off its single parquet split to use every
-    // core — at 100 TB maxPartitionBytes does this naturally — and
-    // (b) each signal is computed ONCE as a column, with the gate
-    // assembled from those columns instead of re-deriving all eleven
-    // trees (which doubled the query's CPU).
+    // CPU shape, not data shape: the eleven signals come from ONE fused
+    // native pass per document (repetition_signals — the declarative
+    // higher-order formulations evaluate interpreted and re-derive the
+    // token/n-gram scans per signal; the kernel is spec-pinned equal),
+    // and the small local corpus is repartitioned off its single
+    // parquet split to use every core — at 100 TB maxPartitionBytes
+    // does that naturally.
     val signals = t(s, dir, "documents")
       .select(col("doc_id"), t0.as("t"))
       .repartition(s.sparkContext.defaultParallelism)
-      .select(Seq(col("doc_id"),
-        duplicateLineFraction(col("t")).as("dlf"),
-        duplicateLineCharFraction(col("t")).as("dlcf")) ++
-        TopNgramThresholds.map { case (n, _) =>
-          topNgramCharFraction(col("t"), n).as(s"top$n") } ++
-        DupNgramThresholds.map { case (n, _) =>
-          dupNgramCharFraction(col("t"), n).as(s"dup$n") }: _*)
+      .select(col("doc_id"),
+        call_function("repetition_signals", col("t")).as("r"))
     signals.select(col("doc_id"),
-      round(col("dlf"), 6).as("dup_line_frac"),
-      round(col("dlcf"), 6).as("dup_line_char_frac"),
-      round(col("top2"), 6).as("top2gram_frac"),
-      round(col("dup5"), 6).as("dup5gram_frac"),
-      repetitionGateFromSignals(col("dlf"), col("dlcf"),
-        TopNgramThresholds.map { case (n, _) => n -> col(s"top$n") }.toMap,
-        DupNgramThresholds.map { case (n, _) => n -> col(s"dup$n") }.toMap)
+      round(col("r.dlf"), 6).as("dup_line_frac"),
+      round(col("r.dlcf"), 6).as("dup_line_char_frac"),
+      round(col("r.top2"), 6).as("top2gram_frac"),
+      round(col("r.dup5"), 6).as("dup5gram_frac"),
+      repetitionGateFromSignals(col("r.dlf"), col("r.dlcf"),
+        TopNgramThresholds.map { case (n, _) => n -> col(s"r.top$n") }.toMap,
+        DupNgramThresholds.map { case (n, _) => n -> col(s"r.dup$n") }.toMap)
         .cast("int").as("keep"))
   }
 

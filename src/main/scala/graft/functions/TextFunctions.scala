@@ -124,13 +124,28 @@ object TextFunctions {
     * math — scan-bound, no shuffle — and exactly SQL-replicable (the
     * scores are exact small rationals, so cross-engine comparisons are
     * bit-stable). */
-  def langIdNgram(text: Column, minScore: Double = 0.05): Column = {
-    val tris = charTrigrams(text)
-    def score(profile: Seq[String]): Column =
-      when(size(tris) === 0, lit(0.0)).otherwise(
-        size(filter(tris, t => array_contains(typedlit(profile), t)))
-          .cast("double") / size(tris))
-    val scores = LangTrigramProfiles.map { case (l, p) => (l, score(p)) }
+  def langIdNgram(text: Column, minScore: Double = 0.05): Column =
+    langIdFromScores(langNgramScores(charTrigrams(text)), minScore)
+
+  /** Per-language profile scores from a trigram column. Callers doing
+    * this at scale should materialize `tris` as a column FIRST (one
+    * charTrigrams pass) and these scores as columns SECOND — inlined,
+    * the argmax chain duplicates every subtree (interpreted HOFs =
+    * duplicated CPU). Membership is a literal-MAP lookup, not a
+    * 40-element array scan per trigram. */
+  def langNgramScores(tris: Column): Seq[(String, Column)] =
+    LangTrigramProfiles.map { case (l, p) =>
+      val profile = typedlit(p.map(_ -> true).toMap)
+      l -> (when(size(tris) === 0, lit(0.0)).otherwise(
+        size(filter(tris, t => element_at(profile, t).isNotNull))
+          .cast("double") / size(tris)))
+    }
+
+  /** Argmax with the 'und' floor over (language, score) pairs — pass
+    * score COLUMNS (attribute refs) so the chain duplicates references,
+    * not computation. Ties resolve by profile order (alphabetical). */
+  def langIdFromScores(scores: Seq[(String, Column)],
+      minScore: Double = 0.05): Column = {
     val maxScore = scores.map(_._2).reduce(greatest(_, _))
     scores.foldLeft(when(maxScore < minScore, lit("und"))) {
       case (chain, (l, s)) => chain.when(s === maxScore, lit(l))

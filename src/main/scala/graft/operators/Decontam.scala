@@ -34,19 +34,21 @@ object Decontam {
       textCol: String, benchIdCol: String, benchTextCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"ngram n=$n must be >= 1")
+    // the fused native kernel (hashed_shingles: tokens → distinct
+    // shingles → 60-bit hashes, one pass) replaces the interpreted
+    // shingle transform + per-exploded-row md5 — identical values
+    // (hash60 of each distinct n-gram), ~an order less scan CPU
+    def hashedSet(text: org.apache.spark.sql.Column) =
+      call_function("hashed_shingles", TextFunctions.tokens(text), lit(n))
     val d = docs.select(col(idCol).cast("long").as("doc_id"),
-        TextFunctions.shingles(col(textCol), n).as("_sh"))
-      .withColumn("n_ngrams", size(col("_sh")).cast("long"))
+        hashedSet(col(textCol)).as("_hs"))
+      .withColumn("n_ngrams", size(col("_hs")).cast("long"))
       .filter(col("n_ngrams") > 0)
-      .select(col("doc_id"), col("n_ngrams"),
-        explode(col("_sh")).as("_g"))
-      .select(col("doc_id"), col("n_ngrams"),
-        TextFunctions.hash60(col("_g")).as("_h"))
+      .select(col("doc_id"), col("n_ngrams"), explode(col("_hs")).as("_h"))
     // distinct (bench, hash): duplicate benchmark docs must not double-
     // count a collision
     val b = bench.select(col(benchIdCol).cast("long").as("bench_id"),
-        explode(TextFunctions.shingles(col(benchTextCol), n)).as("_g"))
-      .select(col("bench_id"), TextFunctions.hash60(col("_g")).as("_h"))
+        explode(hashedSet(col(benchTextCol))).as("_h"))
       .distinct()
     d.join(b, "_h")
       .groupBy("doc_id", "bench_id", "n_ngrams")

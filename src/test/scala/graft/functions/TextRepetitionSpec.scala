@@ -112,6 +112,36 @@ class TextRepetitionSpec extends AnyFunSuite {
     for (n <- Seq(2, 3, 5)) check(texts, n)
   }
 
+  test("native repetition_signals kernel == declarative formulations") {
+    val rnd = new Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "longtoken")
+    val texts = Seq("", "one single line", "a\na\na\na", "\n\n \n\t\n",
+      " cc\nbb\n", "tok") ++
+      (1 to 40).map { _ =>
+        (1 to (1 + rnd.nextInt(50))).map { _ =>
+          vocab(rnd.nextInt(vocab.size)) +
+            (if (rnd.nextInt(4) == 0) "\n" else " ")
+        }.mkString
+      }
+    import org.apache.spark.sql.functions.call_function
+    val rows = texts.toDF("text")
+      .select(
+        call_function("repetition_signals", col("text")).as("r"),
+        TextFunctions.duplicateLineFraction(col("text")).as("dlf"),
+        TextFunctions.duplicateLineCharFraction(col("text")).as("dlcf"),
+        TextFunctions.topNgramCharFraction(col("text"), 3).as("top3"),
+        TextFunctions.dupNgramCharFraction(col("text"), 7).as("dup7"))
+      .select(col("r.dlf"), col("dlf"), col("r.dlcf"), col("dlcf"),
+        col("r.top3"), col("top3"), col("r.dup7"), col("dup7"))
+      .as[(Double, Double, Double, Double, Double, Double, Double, Double)]
+      .collect()
+    rows.zip(texts).foreach { case ((a1, a2, b1, b2, c1, c2, d1, d2), t) =>
+      assert(a1 == a2 && b1 == b2 && c1 == c2 && d1 == d2,
+        s"kernel != declarative on <$t>: " +
+          s"($a1,$b1,$c1,$d1) vs ($a2,$b2,$c2,$d2)")
+    }
+  }
+
   test("repetitionGate agrees with the per-signal thresholds") {
     // the clean text must be LONG: with all-unique n-grams the top-
     // n-gram fraction is len(longest n-gram)/len(text), which trips the
