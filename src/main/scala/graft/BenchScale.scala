@@ -452,8 +452,9 @@ object BenchScale {
           // cross-copy pairs are the quantified sign-flip leak (see
           // blowUpEmbeddings): the trial classes that can leak are the
           // C(n,2)·V identical-vector pairs and the 2·C(n,2)·truePairs
-          // near-dup pairs, with a per-trial tail of a few percent
-          // (Var = Σu⁴ ≥ 3/dim) — gate at 5% of those trials. A
+          // near-dup pairs, with a per-trial tail governed by Var = Σu⁴ ≥
+          // 3/dim — measured at 8-10% on this corpus's concentrated
+          // vectors — so the gate sits at 15% of those trials. A
           // genuine quadratic bucket leak draws on C(n,2)·V² trials,
           // orders beyond this bound. Each cross pair can merge two
           // clusters and drop at most one kept doc, so the out_rows
@@ -466,7 +467,7 @@ object BenchScale {
           // candidate blowup would crash out_rows and the exponent).
           val crossTrials = n.toDouble * (n - 1) / 2 *
             (at1.evidence("emb_vectors") + 2 * at1.evidence("emb_true_pairs"))
-          val maxCross = math.max(10L, math.ceil(0.05 * crossTrials).toLong)
+          val maxCross = math.max(10L, math.ceil(0.15 * crossTrials).toLong)
           atN.evidence("cc_rounds") <= at1.evidence("cc_rounds") + 2 &&
             atN.evidence("text_cross_pairs") == 0L &&
             atN.evidence("emb_cross_pairs") <= maxCross &&
