@@ -161,17 +161,25 @@ object Bench {
       // with the query's own output schema — nothing above it to prune
       // for — and draining the iterator evaluates every column of every
       // row, with no sink I/O in the timing.
-      try {
-        fn(spark, sfDir).queryExecution.toRdd.foreachPartition { it =>
-          while (it.hasNext) it.next()
+      val ok =
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.foreachPartition { it =>
+            while (it.hasNext) it.next()
+          }
+          true
         }
-      }
-      catch { case _: Throwable => () }
+        catch { case _: Throwable => false }
       val d = (System.nanoTime() - t0) / 1e9
       // drop cache blocks/broadcasts a query left behind so later
       // queries aren't taxed by this one's working set
       spark.catalog.clearCache()
-      d
+      // NaN sentinel on failure: a query that throws quickly would
+      // otherwise record a tiny positive wall time, seed an
+      // unreachably low floor, and permanently brand later honest
+      // runs contaminated. Failed measurements are excluded from
+      // floors, queries, and queries_clean; the record lists the
+      // query under "failed" instead.
+      if (ok) d else Double.NaN
     }
 
     // Canary: the cheapest floor-known query, re-timed after each
@@ -184,7 +192,9 @@ object Bench {
     var canaryWorst = 0.0
     def probeCanary(): Double = canary.map { c =>
       val t = timeOnce(SparkEntry.queries(c))
-      val r = if (t - floors(c) < AbsSlack) 1.0
+      // a NaN (failed) canary reports clean here; the failure itself
+      // surfaces through the canary query's own "failed" entry
+      val r = if (t.isNaN || t - floors(c) < AbsSlack) 1.0
               else t / math.max(floors(c), 1e-3)
       if (r > canaryWorst) canaryWorst = r
       r
@@ -200,15 +210,19 @@ object Bench {
           // min/median divergence ≥3× (bursty load) and min ≥3× the
           // persisted floor (sustained load — invisible to
           // self-consistency checks).
-          var ts = (0 until 3).map(_ => timeOnce(fn)).sorted
+          var ts = (0 until 3).map(_ => timeOnce(fn))
+            .filterNot(_.isNaN).sorted
           var retries = 0
-          while ((ts(1) / math.max(ts.head, 1e-9) >= Ratio ||
-              overFloor(name, ts.head)) && retries < 4) {
-            ts = (ts :+ timeOnce(fn)).sorted.take(3)
+          def suspect = ts.isEmpty ||
+            (ts.size >= 2 && ts(1) / math.max(ts.head, 1e-9) >= Ratio) ||
+            overFloor(name, ts.head)
+          while (suspect && retries < 4) {
+            val t = timeOnce(fn)
+            if (!t.isNaN) ts = (ts :+ t).sorted.take(3)
             retries += 1
           }
           probeCanary()
-          name -> ts.head
+          name -> (if (ts.isEmpty) Double.NaN else ts.head)
       }: _*)
 
     // Rescue passes: host contamination is transient, so instead of
@@ -244,12 +258,22 @@ object Bench {
     val contaminated = deltas.nonEmpty || canaryNow >= Ratio
 
     // Monotone floor update: existing floors only ever decrease; new
-    // queries are seeded only from a run whose record is clean, so a
-    // loaded first measurement can't poison its own future baseline.
+    // queries are seeded only from a run whose record is clean AND
+    // whose host was measurably quiet. The second condition matters
+    // on a full-reset run ("*"): with every floor dropped, the canary
+    // and overFloor detectors are vacuous, so "clean" alone would let
+    // sustained host load seed poisoned floors — loadavg is the one
+    // contention signal independent of the floors themselves.
+    // (Monotone decreases stay ungated: load only ever inflates a
+    // measurement, so a lower observation is always a real floor.)
+    val quietLoadMax = sys.env.get("SPARK_GRAFT_QUIET_LOAD")
+      .map(_.toDouble).getOrElse(8.0)
+    val quietHost = loadBefore >= 0 && loadBefore <= quietLoadMax
     val updated = floors ++ results.collect {
       case (name, t) if t > 0 &&
           (floors.get(name).exists(t < _) ||
-            (!floors.contains(name) && !contaminated)) => name -> t
+            (!floors.contains(name) && !contaminated && quietHost)) =>
+        name -> t
     }
     // A pending reset is marked applied once its query reseeds; until
     // then the stale floor keeps being dropped at load on every run.
@@ -264,22 +288,40 @@ object Bench {
     // queries_clean: per-query min(measured, best-known floor) — the
     // defensible number either way. On a quiet host it equals the
     // measurement; under load it is the cross-round floor the code has
-    // demonstrably hit before. value_clean = its sum.
-    val clean = results.map { case (n, t) =>
+    // demonstrably hit before. value_clean = its sum. Failed (NaN)
+    // queries are excluded from both maps and listed under "failed".
+    val okResults = results.filterNot(_._2.isNaN)
+    val failed = results.collect { case (n, t) if t.isNaN => n }
+    val clean = okResults.map { case (n, t) =>
       n -> floors.get(n).fold(t)(f => math.min(t, f))
     }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = okResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val cs = clean.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ds = deltas.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = okResults.map(_._2).sum
     val totalClean = clean.map(_._2).sum
-    val rs = pendingKeys.toSeq.sorted
-      .map(q => "\"" + q + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_clean":$totalClean,"queries":$qs,"queries_clean":$cs,"sf":"$sfDir","contaminated":$contaminated,"rescue_passes":$rescues,"floor_deltas":$ds,"floor_resets_applied":$rs,"canary_worst_ratio":${math.rint(canaryWorst * 100) / 100},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
+    // applied = resets whose floors actually reseeded THIS run;
+    // pending = resets still waiting on a clean quiet-host run. The
+    // old single field reported pending keys under the name
+    // "..._applied", so a contaminated run read as a completed reset.
+    val appliedNow = newApplied.collect {
+      case (q, id) if !appliedSf.get(q).contains(id) => q
+    }.toSeq.sorted
+    def jList(xs: Seq[String]): String =
+      xs.map(q => "\"" + q + "\"").mkString("[", ",", "]")
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","value_clean":$totalClean,"queries":$qs,"queries_clean":$cs,"sf":"$sfDir","contaminated":$contaminated,"rescue_passes":$rescues,"floor_deltas":$ds,"failed":${jList(failed)},"floor_resets_applied":${jList(appliedNow)},"floor_resets_pending":${jList((pendingKeys -- appliedNow).toSeq.sorted)},"quiet_host":$quietHost,"canary_worst_ratio":${math.rint(canaryWorst * 100) / 100},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}"""
+    println(record)
+    // Full artifact on disk next to the floor file: the driver's
+    // stdout capture head-truncates long records (BENCH_r07's copy
+    // lost its header), so the round's complete per-query record must
+    // not depend on it.
+    try Files.write(floorPath.toAbsolutePath.getParent.resolve("BENCH_local.json"),
+      (record + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -236,16 +236,63 @@ object SparkEntry {
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))
 
-  private def qMedian(s: SparkSession, dir: String): DataFrame =
-    // exact interpolated percentiles (identical linear-interpolation
-    // formula in Spark and DuckDB over the same doubles)
-    t(s, dir, "lineitem")
+  /** Exact interpolated percentiles via a rank-based two-pass plan.
+    *
+    * `percentile()` keeps a value→count map per group inside
+    * ObjectHashAggregate and merges each group's map on ONE reducer —
+    * with 3 groups that is 3 tasks holding every distinct double in
+    * the corpus at 100 TB, regardless of cluster size. Instead:
+    * pass 1 computes per-group row counts (tiny, broadcast); pass 2
+    * ranks rows inside each group with `row_number` (sort-based
+    * window — Spark's ExternalSorter spills to disk, so task state is
+    * bounded, unlike the aggregate's in-memory map), keeps only the
+    * rows at the floor/ceil interpolation ranks, and a final 3-row
+    * aggregate interpolates. Both rank columns share one exchange
+    * (same partitionBy), so the whole plan is one data-sized shuffle
+    * plus two disk-backed sorts. Same exact linear interpolation
+    * (v_lo + frac·(v_hi − v_lo)) as Spark's percentile and DuckDB's
+    * quantile_cont at these positions.
+    */
+  private def qMedian(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(
+      col("l_returnflag"),
+      col("l_quantity").cast("double").as("qty"),
+      col("l_extendedprice").cast("double").as("price"))
+    val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+    val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+    val counts = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = base
+      .withColumn("rkq", row_number().over(wq))
+      .withColumn("rkp", row_number().over(wp))
+      .join(broadcast(counts), Seq("l_returnflag"))
+
+    // (value col, rank col, fraction, output name); positions are
+    // 0-indexed (p·(n−1)), ranks 1-indexed (floor(pos)+1 / ceil(pos)+1)
+    val specs = Seq(
+      ("qty", "rkq", 0.5, "med_qty"),
+      ("price", "rkp", 0.25, "price_p25"),
+      ("price", "rkp", 0.75, "price_p75"))
+    def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
+    def loRk(p: Double): Column = (floor(pos(p)) + 1).cast("long")
+    def hiRk(p: Double): Column = (ceil(pos(p)) + 1).cast("long")
+
+    val needed = specs.map { case (_, rk, p, _) =>
+      col(rk) === loRk(p) || col(rk) === hiRk(p)
+    }.reduce(_ || _)
+    val aggs = specs.map { case (v, rk, p, out) =>
+      val vLo = max(when(col(rk) === loRk(p), col(v)))
+      val vHi = max(when(col(rk) === hiRk(p), col(v)))
+      val fr = max(when(col(rk) === loRk(p), pos(p) - floor(pos(p))))
+      // symmetric (1−f)·lo + f·hi — the exact FP expression Spark's
+      // percentile and DuckDB's quantile_cont evaluate; the algebraic
+      // twin lo + f·(hi−lo) differs by an ulp on this data
+      ((lit(1.0) - fr) * vLo + fr * vHi).as(out)
+    }
+    ranked.filter(needed)
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
-        // scalar columns (not an array) so the driver's pandas
-        // comparator can sort the result frame
-        expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
-        expr("percentile(l_extendedprice, 0.75)").as("price_p75"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   private def qSetOps(s: SparkSession, dir: String): DataFrame = {
     // set-operation surface: nation keys of customers vs suppliers
