@@ -479,6 +479,25 @@ object SparkEntry {
     Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
       n = 3, k = 16, bands = 4, threshold = 0.8)
 
+  /** Continuous-ingest dedup (the corpus-growth shape batch LSH can't
+    * serve): documents split into two disjoint batches, replayed through
+    * [[graft.operators.IncrementalDedup]]'s persisted signature store —
+    * batch 2 pairs against the STORE, not a recomputed union. The union
+    * of emitted pairs must hash-match the batch `dedup_minhash` oracle
+    * over the whole corpus: within-batch + cross-store pairs together
+    * are exactly the batch pair set. */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val store = scratchDir("graft_incdedup_")
+    IncrementalDedup.ingest(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+      store, batchId = 0L)
+    IncrementalDedup.ingest(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+      store, batchId = 1L)
+    IncrementalDedup.allPairs(s, store)
+  }
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairsBlocked(t(s, dir, "documents"), "doc_id", "text",
       maxDist = 3)
@@ -675,14 +694,20 @@ object SparkEntry {
     // frame is ids + hashes, never the raw text
     val sigs = Dedup.textSignatures(docs, "doc_id", "text", n = 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mh = Dedup.minhashDedupPairsFromSets(sigs,
-      k = 16, bands = 4, threshold = 0.8).select("a", "b")
-    val sh = Dedup.simhashPairsBlockedFromSigs(sigs, maxDist = 3)
-      .select("a", "b")
-    Clustering.canonicalize(docs.select("doc_id"),
-        mh.unionByName(sh), "doc_id")
-      .select(col("doc_id"), col("cluster_id"),
-        col("keep").cast("int").as("keep"))
+    // canonicalize eagerly checkpoints the edge set (lineage truncated
+    // inside connectedComponents), so sigs has no remaining consumer
+    // after it returns — unpersist here instead of leaking cached
+    // blocks into whatever the session runs next
+    try {
+      val mh = Dedup.minhashDedupPairsFromSets(sigs,
+        k = 16, bands = 4, threshold = 0.8).select("a", "b")
+      val sh = Dedup.simhashPairsBlockedFromSigs(sigs, maxDist = 3)
+        .select("a", "b")
+      Clustering.canonicalize(docs.select("doc_id"),
+          mh.unionByName(sh), "doc_id")
+        .select(col("doc_id"), col("cluster_id"),
+          col("keep").cast("int").as("keep"))
+    } finally sigs.unpersist(false)
   }
 
   /** AvailableNow replay of the as-of enrich through the STREAMING
@@ -735,16 +760,20 @@ object SparkEntry {
     // persisted (doc_id, hs, sig) frame instead of re-scanning documents
     val sigs = Dedup.textSignatures(docs, "doc_id", "text", n = 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mh = Dedup.minhashDedupPairsFromSets(sigs,
-      k = 16, bands = 4, threshold = 0.8).select("a", "b")
-    val sh = Dedup.simhashPairsBlockedFromSigs(sigs, maxDist = 3)
-      .select("a", "b")
-    val em = Similarity.lshCosinePairs(t(s, dir, "embeddings"),
-      threshold = 0.45, bits = 8, probeDist = 1, tables = 4,
-      native = true).select("a", "b")
-    val pairs = mh.unionByName(sh).unionByName(em)
-    val kept = Clustering.canonicalize(docs.select("doc_id"), pairs,
-      "doc_id").filter(col("keep")).select("doc_id")
+    // sigs' last consumer is canonicalize's eager edge checkpoint —
+    // unpersist as soon as it returns (see dedupClusters)
+    val kept = try {
+      val mh = Dedup.minhashDedupPairsFromSets(sigs,
+        k = 16, bands = 4, threshold = 0.8).select("a", "b")
+      val sh = Dedup.simhashPairsBlockedFromSigs(sigs, maxDist = 3)
+        .select("a", "b")
+      val em = Similarity.lshCosinePairs(t(s, dir, "embeddings"),
+        threshold = 0.45, bits = 8, probeDist = 1, tables = 4,
+        native = true).select("a", "b")
+      val pairs = mh.unionByName(sh).unionByName(em)
+      Clustering.canonicalize(docs.select("doc_id"), pairs,
+        "doc_id").filter(col("keep")).select("doc_id")
+    } finally sigs.unpersist(false)
     val toks = docs.join(kept, Seq("doc_id"))
       .select(col("doc_id"),
         TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tok"))
@@ -905,6 +934,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "dedup_embed_bucketed" -> (dedupEmbedBucketed _),
@@ -1254,25 +1284,10 @@ object SparkEntry {
          |  FROM prefix x JOIN prefix y
          |    ON x.h = y.h AND x.doc_id < y.doc_id)
          |$verifySql""".stripMargin,
-    "dedup_minhash" ->
-      s"""$shingleCte
-         |$hsetsCte
-         |, base AS (SELECT doc_id, unnest(hs) AS h FROM hsets)
-         |, sig AS (
-         |  SELECT doc_id, i,
-         |    min((((1103515245*(i+1) + 12345) % 2147483647)
-         |         * (h % 2147483647)
-         |         + ((69069*(i+1) + 1) % 2147483647)) % 2147483647) AS m
-         |  FROM base, range(16) t(i) GROUP BY 1, 2)
-         |, bands AS (
-         |  SELECT doc_id, i // 4 AS band,
-         |    string_agg(m, '_' ORDER BY i) AS key
-         |  FROM sig GROUP BY 1, 2)
-         |, cands AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-         |$verifySql""".stripMargin,
+    "dedup_minhash" -> minhashPairsOracle,
+    // the incremental 2-batch replay must land on the SAME pair set as
+    // batch minhash over the whole corpus — that equality IS the gate
+    "dedup_incremental" -> minhashPairsOracle,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
@@ -1803,8 +1818,33 @@ object SparkEntry {
       |    len(s) AS n
       |  FROM sh WHERE len(s) > 0)""".stripMargin
 
+  /** Banded-MinHash near-dup pairs over the full documents table — the
+    * oracle for BOTH `dedup_minhash` (batch) and `dedup_incremental`
+    * (2-batch replay through the signature store): the incremental
+    * path's correctness claim is exactly that its emitted union equals
+    * the batch pair set. */
+  private def minhashPairsOracle: String =
+    s"""$shingleCte
+       |$hsetsCte
+       |, base AS (SELECT doc_id, unnest(hs) AS h FROM hsets)
+       |, sig AS (
+       |  SELECT doc_id, i,
+       |    min((((1103515245*(i+1) + 12345) % 2147483647)
+       |         * (h % 2147483647)
+       |         + ((69069*(i+1) + 1) % 2147483647)) % 2147483647) AS m
+       |  FROM base, range(16) t(i) GROUP BY 1, 2)
+       |, bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    string_agg(m, '_' ORDER BY i) AS key
+       |  FROM sig GROUP BY 1, 2)
+       |, cands AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |$verifySql""".stripMargin
+
   /** Shared verification tail: exact Jaccard on the hash sets over a
-    * `cands(a, b)` CTE (mirrors Dedup.verifiedPairs). */
+    * `cands(a, b)` CTE (mirrors Dedup.jaccardVerify). */
   private val verifySql: String =
     """SELECT c.a, c.b,
       |  len(list_intersect(ha.hs, hb.hs))

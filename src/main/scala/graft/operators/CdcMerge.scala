@@ -164,15 +164,24 @@ object CdcMerge {
   /** PK null guard (P7): a change row with a null key column is a hard
     * error — the reference aborts the stream on it (river/sync.go:402-405).
     * `raise_error` fires during the scan of the offending partition, so
-    * the batch fails before any state is written. */
-  def requireKeys(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    * the batch fails before any state is written. The message names the
+    * route/table and the specific null column(s), so an operator reading
+    * the abort (or Observability's last_error) knows WHICH table and key
+    * killed the stream without replaying the batch. */
+  def requireKeys(changes: DataFrame, keyCols: Seq[String],
+      route: String = ""): DataFrame = {
     val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    // per-row list of exactly the key columns that are null
+    // (concat_ws skips the non-null ones' whens)
+    val nullCols = concat_ws(",",
+      keyCols.map(k => when(col(k).isNull, lit(k))): _*)
+    val table = if (route.isEmpty) "?" else route
     // a filter (not a dropped projection) so the optimizer cannot prune
     // the error expression away
     changes.filter(
       when(anyNull, raise_error(concat(
-        lit("null primary key in change event (cols: " +
-          s"${keyCols.mkString(",")}) op="), col(OpCol))).cast("boolean"))
+        lit(s"null primary key in change event: table=$table null_cols="),
+        nullCols, lit(" op="), col(OpCol))).cast("boolean"))
         .otherwise(lit(true)))
   }
 

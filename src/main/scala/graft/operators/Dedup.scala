@@ -85,7 +85,11 @@ object Dedup {
   private def intersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
 
-  private def verifiedPairs(cands: DataFrame, sets: DataFrame,
+  /** Exact-Jaccard verification of candidate pairs `(a, b)` against a
+    * `(doc_id, hs, n_sh)` set frame — the shared tail of every LSH
+    * path, also fed by [[IncrementalDedup]] with a store-pruned set
+    * frame. */
+  def jaccardVerify(cands: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame =
     cands
       .join(sets.select(col("doc_id").as("a"), col("hs").as("hsa"),
@@ -118,7 +122,7 @@ object Dedup {
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    verifiedPairs(cands, sets, threshold)
+    jaccardVerify(cands, sets, threshold)
   }
 
   /** LSH candidate pairs: split the k-wide MinHash signature into `bands`
@@ -161,7 +165,7 @@ object Dedup {
       n: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val sets = hashedShingleSets(docs, idCol, textCol, n)
-    verifiedPairs(minhashCandidatesFromSets(sets, k, bands), sets,
+    jaccardVerify(minhashCandidatesFromSets(sets, k, bands), sets,
       threshold)
   }
 
@@ -173,7 +177,7 @@ object Dedup {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val s = sets.select(col("doc_id"), col("hs"), col("n_sh"))
       .filter(col("n_sh") > 0)
-    verifiedPairs(minhashCandidatesFromSets(s, k, bands), s, threshold)
+    jaccardVerify(minhashCandidatesFromSets(s, k, bands), s, threshold)
   }
 
   /** 60-bit SimHash over whitespace tokens, one fused native pass

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental MinHash-LSH dedup: new documents against a persisted
+  * signature store, without re-pairing the whole corpus per ingest.
+  *
+  * A growing training corpus is deduplicated continuously — each ingest
+  * brings a batch of NEW documents that must be checked against
+  * everything already accepted. Recomputing batch LSH over the union
+  * costs O(corpus) per ingest; this operator keeps the corpus's
+  * signatures on disk and makes each ingest cost O(batch + collisions):
+  *
+  *   - `sigs/`  — one row per stored doc: (doc_id, hs, n_sh), the
+  *     sorted shingle-hash set that exact-Jaccard verification needs.
+  *     Hive-partitioned by `bucket` = hash(doc_id) % buckets.
+  *   - `bands/` — one row per (doc, band): (doc_id, band, key), the
+  *     LSH band keys that candidate generation equi-joins on.
+  *     Hive-partitioned by `bucket` = hash(key) % buckets.
+  *   - `pairs/batch=N/` — the pairs each ingest emitted (its audit log
+  *     and the return value's backing store).
+  *
+  * Per batch: signatures and band keys are computed once for the new
+  * docs (the fused `hashed_shingles`/`minhash_sig` kernels);
+  * within-batch pairs come from the standard banded join; cross pairs
+  * join the batch's band keys against ONLY the store partitions whose
+  * bucket appears in the batch (partition-pruned scan — the batch's
+  * distinct bucket list is ≤ `buckets` values, a bounded driver-side
+  * collect, never data-sized). Verification reads store `hs` sets for
+  * candidate ids only, again bucket-pruned. The emitted pair set over a
+  * replay of disjoint batches is EXACTLY the batch LSH pair set over
+  * the unioned corpus: every pair is within one batch or across two,
+  * band collision is a per-pair predicate, and verification uses the
+  * same per-doc `hs` either way (gated by `dedup_incremental` against
+  * the `dedup_minhash` oracle on the same corpus).
+  *
+  * The reference has no analytics surface; the shape it does have —
+  * continuous ingest against accumulated state, exactly-once per batch
+  * (river/sync.go's position-tracked apply loop) — is what this
+  * reproduces for the dedup pipeline.
+  *
+  * 100 TB shape: the store shuffles only ids + 60-bit hashes (text
+  * never enters), ingest reads `O(batch × bands / buckets)` of the band
+  * store per bucket touched, and all joins are equi-joins. Raise
+  * `buckets` with corpus size so pruning keeps pace (buckets ≈
+  * store-partitions a single batch should touch).
+  */
+object IncrementalDedup {
+
+  final case class Config(n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8, buckets: Int = 32)
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Band keys (doc_id, band, key) of a `(doc_id, hs, n_sh)` frame —
+    * the same key construction [[Dedup.minhashCandidates]] joins on. */
+  private def bandKeys(sets: DataFrame, cfg: Config): DataFrame = {
+    val r = cfg.k / cfg.bands
+    sets.filter(col("n_sh") > 0)
+      .withColumn("sig", call_function("minhash_sig", col("hs"), lit(cfg.k)))
+      .select(col("doc_id"),
+        explode(array((0 until cfg.bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until r).map(i =>
+              element_at(col("sig"), b * r + i + 1).cast("string")): _*)
+              .as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Ingest one batch of documents. Appends the batch's signatures and
+    * band keys to the store, writes the newly discovered duplicate
+    * pairs to `pairs/batch=<batchId>`, and returns those pairs
+    * (read back from disk — the result is stable however late it is
+    * consumed, even after further ingests). Caller contract: batch doc
+    * ids are new (not already in the store) and batches are replayed in
+    * order with distinct `batchId`s. */
+  def ingest(docs: DataFrame, idCol: String, textCol: String,
+      storeDir: String, batchId: Long,
+      cfg: Config = Config()): DataFrame = {
+    require(cfg.k % cfg.bands == 0,
+      s"k=${cfg.k} not divisible by bands=${cfg.bands}")
+    val spark = docs.sparkSession
+    val newSigs = Dedup.textSignatures(docs, idCol, textCol, cfg.n)
+      .select(col("doc_id"), col("hs"), col("n_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newBands = bandKeys(newSigs, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // within-batch pairs: the standard banded LSH join
+        val within = Dedup.minhashDedupPairsFromSets(
+          newSigs, cfg.k, cfg.bands, cfg.threshold)
+
+        // cross pairs: batch band keys vs ONLY the store buckets the
+        // batch touches. The bucket list is ≤ cfg.buckets ints.
+        val cross =
+          if (!exists(spark, s"$storeDir/bands")) within.limit(0)
+          else {
+            val batchBuckets = newBands
+              .select(pmod(hash(col("key")), lit(cfg.buckets)).as("bucket"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            val storeBands = spark.read.parquet(s"$storeDir/bands")
+              .filter(col("bucket").isin(batchBuckets: _*))
+            val cands = storeBands.as("x")
+              .join(newBands.as("y"),
+                col("x.band") === col("y.band") &&
+                  col("x.key") === col("y.key"))
+              .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+                greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+              .distinct()
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              // hs sets for verification: the batch's own, plus store
+              // sets for exactly the candidates' bucket partitions
+              val candBuckets = cands
+                .select(explode(array(col("a"), col("b"))).as("id"))
+                .select(pmod(hash(col("id")), lit(cfg.buckets)).as("bucket"))
+                .distinct().collect().map(_.getInt(0)).toSeq
+              val storeSigs = spark.read.parquet(s"$storeDir/sigs")
+                .filter(col("bucket").isin(candBuckets: _*))
+                .select(col("doc_id"), col("hs"), col("n_sh"))
+              val sets = newSigs.unionByName(storeSigs)
+              Dedup.jaccardVerify(cands, sets, cfg.threshold)
+                .localCheckpoint(true)
+            } finally cands.unpersist(false)
+          }
+
+        val emitted = within.unionByName(cross)
+        emitted.write.mode("overwrite")
+          .parquet(s"$storeDir/pairs/batch=$batchId")
+
+        // append the batch to the store AFTER pair emission: a batch
+        // must never pair against its own store rows
+        newSigs
+          .withColumn("bucket", pmod(hash(col("doc_id")), lit(cfg.buckets)))
+          .write.mode("append").partitionBy("bucket")
+          .parquet(s"$storeDir/sigs")
+        newBands
+          .withColumn("bucket", pmod(hash(col("key")), lit(cfg.buckets)))
+          .write.mode("append").partitionBy("bucket")
+          .parquet(s"$storeDir/bands")
+
+        spark.read.parquet(s"$storeDir/pairs/batch=$batchId")
+      } finally newBands.unpersist(false)
+    } finally newSigs.unpersist(false)
+  }
+
+  /** All pairs every ingest has emitted so far. */
+  def allPairs(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/pairs")
+      .select("a", "b", "jaccard")
+}

@@ -280,6 +280,7 @@ object DebeziumSource {
         false
       case Some(defn0) =>
         var defn = defn0
+        var db = tDb
         var tbl = tbl0
         var changed = false
         def notNull(rest: String) = rest.toLowerCase.contains("not null")
@@ -323,15 +324,20 @@ object DebeziumSource {
               defn.pkColumns.map(c => if (c == oldName) newName else c))
           }
           case ClauseRenameTable(newId) =>
-            tbl = splitId(newId, tDb)._2
+            // the new identifier may be database-qualified
+            // (`RENAME TO db2.t2`) — keeping only the table part would
+            // register the renamed schema under the OLD database
+            val (nDb, nTbl) = splitId(newId, tDb)
+            db = nDb
+            tbl = nTbl
             changed = true
           case other =>
             log.warn(s"ALTER on $tDb.$tbl0: unrecognized clause skipped: " +
               other.take(120))
         }
         if (changed) {
-          if (tbl != tbl0) catalog.drop(tDb, tbl0)
-          catalog.refresh(tDb, tbl, defn)
+          if (db != tDb || tbl != tbl0) catalog.drop(tDb, tbl0)
+          catalog.refresh(db, tbl, defn)
         }
         changed
     }

@@ -20,9 +20,10 @@ object SnapshotSource {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** JDBC snapshot with range-partitioned parallelism. Untestable in this
-    * container (no live database); the option plumbing mirrors the
-    * documented Spark JDBC source contract. */
+  /** JDBC snapshot with range-partitioned parallelism. Spec-proven
+    * against embedded Derby (SnapshotSourceJdbcSpec): 4 non-empty range
+    * splits over the key, filters pushed into the database. No MySQL in
+    * this container, but the Spark JDBC contract is engine-agnostic. */
   def jdbc(spark: SparkSession, url: String, table: String,
       partitionColumn: Option[String] = None,
       lowerBound: Long = 0L, upperBound: Long = Long.MaxValue,

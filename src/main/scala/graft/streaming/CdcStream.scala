@@ -137,12 +137,16 @@ object CdcStream {
       ignoreDeletes: Boolean = false,
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      stateBuckets: Option[Int] = None): StreamingQuery = {
+      stateBuckets: Option[Int] = None,
+      route: String = ""): StreamingQuery = {
     var reader = spark.readStream.schema(changeSchema)
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n))
+    // the PK guard's abort message names the route so a fail-stop is
+    // attributable; default to the target's directory name
+    val routeName = if (route.nonEmpty) route else new Path(targetDir).getName
     val guarded = Observability.withOpMetrics(
-      CdcMerge.requireKeys(reader.parquet(changesDir), keyCols))
+      CdcMerge.requireKeys(reader.parquet(changesDir), keyCols, routeName))
     guarded
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -45,6 +45,10 @@ object Observability {
     val deletes = new AtomicLong
     val events = new AtomicLong
     @volatile var lastProgressJson: String = ""
+    /** The terminating exception of the last failed query — carries the
+      * PK guard's table=… null_cols=… payload (ST4 fail-stop
+      * attribution). */
+    @volatile var lastError: Option[String] = None
 
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -63,15 +67,23 @@ object Observability {
     }
 
     override def onQueryTerminated(
-        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      e.exception.foreach(err => lastError = Some(err))
 
     /** The reference's plaintext /stat body shape
-      * (river/status.go:39-46). */
-    def statReport: String =
-      s"""insert_num: ${inserts.get}
-         |update_num: ${updates.get}
-         |delete_num: ${deletes.get}
-         |events: ${events.get}""".stripMargin
+      * (river/status.go:39-46), plus a last_error line when a query
+      * died (one line — the exception's head). */
+    def statReport: String = {
+      val base =
+        s"""insert_num: ${inserts.get}
+           |update_num: ${updates.get}
+           |delete_num: ${deletes.get}
+           |events: ${events.get}""".stripMargin
+      lastError.fold(base) { err =>
+        base + "\nlast_error: " +
+          err.linesIterator.find(_.nonEmpty).getOrElse("")
+      }
+    }
   }
 
   /** The reference's status HTTP server (river/status.go:24-68, wired at

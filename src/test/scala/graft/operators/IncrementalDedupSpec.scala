@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  private def docs = spark.read
+    .parquet(s"${TestSpark.Sf0001}/documents.parquet")
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("a").cast("long"), col("b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def batchPairs: Set[(Long, Long)] =
+    pairSet(Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.8))
+
+  test("replayed batches emit exactly the batch pair set (2 and 3 splits)") {
+    for (splits <- Seq(2, 3)) {
+      val store = Files.createTempDirectory("graft_inc_").toString
+      (0 until splits).foreach { i =>
+        IncrementalDedup.ingest(
+          docs.filter(pmod(col("doc_id"), lit(splits)) === i),
+          "doc_id", "text", store, batchId = i.toLong)
+      }
+      val inc = pairSet(IncrementalDedup.allPairs(spark, store))
+      assert(inc == batchPairs, s"splits=$splits")
+    }
+  }
+
+  test("each ingest emits only pairs touching its batch — no re-emission") {
+    val store = Files.createTempDirectory("graft_inc_").toString
+    val b2Ids = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    IncrementalDedup.ingest(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", store, batchId = 0L)
+    val emitted2 = pairSet(IncrementalDedup.ingest(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      "doc_id", "text", store, batchId = 1L))
+    assert(emitted2.nonEmpty)
+    assert(emitted2.forall { case (a, b) =>
+      b2Ids.contains(a) || b2Ids.contains(b) }, emitted2)
+    // and the two batches' emissions partition the full pair set
+    val emitted1 = pairSet(spark.read.parquet(s"$store/pairs/batch=0"))
+    assert((emitted1 & emitted2).isEmpty)
+    assert((emitted1 | emitted2) == batchPairs)
+  }
+
+  test("store is bucket-partitioned so a batch scans only its buckets") {
+    val store = Files.createTempDirectory("graft_inc_").toString
+    IncrementalDedup.ingest(docs, "doc_id", "text", store, batchId = 0L)
+    val bands = spark.read.parquet(s"$store/bands")
+    // partition pruning: a bucket-restricted read touches a strict
+    // subset of the store's files — the mechanism each ingest's
+    // cross-join uses to pay O(batch), not O(corpus).
+    // input_file_name() reflects the files ACTUALLY read post-pruning
+    // (inputFiles on the frame reports the unpruned relation).
+    val all = bands.select(input_file_name()).distinct().count()
+    val one = bands.filter(col("bucket") === 7)
+      .select(input_file_name()).distinct().count()
+    assert(one < all, s"one=$one all=$all")
+    val plan = bands.filter(col("bucket") === 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(bands.columns.contains("bucket"))
+  }
+
+  test("first ingest into an empty store bootstraps (no cross pairs)") {
+    val store = Files.createTempDirectory("graft_inc_").toString
+    val emitted = pairSet(IncrementalDedup.ingest(
+      docs.limit(50), "doc_id", "text", store, batchId = 0L))
+    val direct = pairSet(Dedup.minhashDedupPairs(docs.limit(50),
+      "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.8))
+    assert(emitted == direct)
+  }
+}

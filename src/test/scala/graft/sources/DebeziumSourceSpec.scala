@@ -253,6 +253,15 @@ class DebeziumSourceSpec extends AnyFunSuite {
     assert(cat.get("inv", "t2").isEmpty)
     assert(cat.get("inv", "t3").exists(_.schema.fieldNames.toSeq ==
       Seq("id", "a", "b")))
+    // database-qualified RENAME TO must move the entry to the TARGET
+    // database, not register it under the old one with the new name
+    DebeziumSource.applySchemaChanges(Seq(
+      ddlMsg(4, "ALTER TABLE t3 RENAME TO archive.t4")
+    ).toDF("value"), cat)
+    assert(cat.get("inv", "t3").isEmpty)
+    assert(cat.get("inv", "t4").isEmpty)
+    assert(cat.get("archive", "t4").exists(_.schema.fieldNames.toSeq ==
+      Seq("id", "a", "b")))
   }
 
   test("wire-driven DDL: unknown clause / unruled table leave catalog intact") {

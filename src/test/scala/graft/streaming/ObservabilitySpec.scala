@@ -68,13 +68,32 @@ class ObservabilitySpec extends AnyFunSuite {
       .write.parquet(s"$work/changes")
     val schema = Seq((Some(1), "a", "I", 1L))
       .toDF("k", "v", "_op", "_seq").schema
-    val ex = intercept[Exception] {
-      CdcStream.replayToCompletion(spark, s"$work/changes", schema,
-        s"$work/target", s"$work/ckpt", Seq("k"))
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("null primary key")))
+    val listener = new Observability.CdcMetricsListener
+    spark.streams.addListener(listener)
+    val ex = try {
+      intercept[Exception] {
+        CdcStream.replayToCompletion(spark, s"$work/changes", schema,
+          s"$work/target", s"$work/ckpt", Seq("k"))
+      }
+    } finally ()
+    try {
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      // the abort names the table (route) and the exact null key
+      // column — fail-stop attribution, not just "something was null"
+      assert(messages(ex).exists(_.contains("null primary key")))
+      assert(messages(ex).exists(_.contains("table=target")), messages(ex))
+      assert(messages(ex).exists(_.contains("null_cols=k")), messages(ex))
+      // the listener surfaces the same payload (termination events are
+      // delivered asynchronously)
+      val deadline = System.currentTimeMillis() + 30000
+      while (listener.lastError.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(listener.lastError.exists(_.contains("null primary key")),
+        listener.lastError)
+      assert(listener.statReport.contains("last_error:"),
+        listener.statReport)
+    } finally spark.streams.removeListener(listener)
   }
 }
