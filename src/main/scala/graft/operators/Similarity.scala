@@ -373,6 +373,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Number of (query, corpus-vector) pairs the LSH probe join
+    * materializes — computed from bucket HISTOGRAMS (two tiny
+    * aggregations, never the pairs themselves), so the scale harness
+    * can gate candidate growth at ×N without paying the join. Counts
+    * include the query's own vector when it shares a probed bucket
+    * (the join filters those later) — an overcount of ≤ queries. */
+  def lshCandidateCount(corpus: DataFrame, queries: DataFrame,
+      bits: Int = 8, probeDist: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64): Long = {
+    val planes = hyperplanes(bits, dim)
+    val masks = lshFlipMasks(bits, probeDist)
+    val ch = corpus
+      .select(bucketId(col(vecCol).cast("array<double>"), planes)
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val qb = queries
+      .select(col(idCol).as("query_id"),
+        bucketId(col(vecCol).cast("array<double>"), planes).as("qb"))
+      .select(col("query_id"), explode(array(
+        masks.map(f => col("qb").bitwiseXOR(lit(f))): _*)).as("bucket"))
+      .distinct()
+    qb.join(ch, "bucket")
+      .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+  }
+
+  /** IVF analog of [[lshCandidateCount]]: vectors in the `nprobe`
+    * probed buckets summed over queries, from a bucket histogram. */
+  def ivfCandidateCount(corpus: DataFrame, queries: DataFrame,
+      dim: Int = 64, nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      native: Boolean = false): Long = {
+    val cents = kmeansCentroids(corpus, dim, nlist, idCol = idCol,
+      vecCol = vecCol)
+    val ch = corpus
+      .select(nearestCentroid(col(vecCol).cast("array<double>"), cents,
+        native).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val qb = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"), explode(slice(reverse(array_sort(
+        centroidScores(col("qv"), cents, native))), 1, nprobe)
+        .getField("i")).as("bucket"))
+    qb.join(ch, "bucket")
+      .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+  }
+
   /** Approximate top-k via random-hyperplane LSH with multi-probe: a
     * corpus vector is a candidate for a query if their buckets differ in
     * at most `probeDist` bits. The candidate join runs on exploded
