@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   *
   *   - `sigs/`  — one row per stored doc: (doc_id, hs, n_sh), the
   *     sorted shingle-hash set that exact-Jaccard verification needs.
-  *     Hive-partitioned by `bucket` = hash(doc_id) % buckets.
+  *     Hive-partitioned by `bucket` = hash(doc_id) % buckets, then
+  *     `batch` (dynamic-overwrite unit — see [[ingest]]).
   *   - `bands/` — one row per (doc, band): (doc_id, band, key), the
   *     LSH band keys that candidate generation equi-joins on.
-  *     Hive-partitioned by `bucket` = hash(key) % buckets.
+  *     Hive-partitioned by `bucket` = hash(key) % buckets, then
+  *     `batch`.
   *   - `pairs/batch=N/` — the pairs each ingest emitted (its audit log
   *     and the return value's backing store).
   *
@@ -78,8 +80,10 @@ object IncrementalDedup {
     * pairs to `pairs/batch=<batchId>`, and returns those pairs
     * (read back from disk — the result is stable however late it is
     * consumed, even after further ingests). Caller contract: batch doc
-    * ids are new (not already in the store) and batches are replayed in
-    * order with distinct `batchId`s. */
+    * ids are new (not already in the store) and batches are replayed
+    * in order with distinct `batchId`s; REPLAYING a batchId (e.g.
+    * after a mid-ingest crash) is safe — its store partitions and pair
+    * directory are overwritten, not appended. */
   def ingest(docs: DataFrame, idCol: String, textCol: String,
       storeDir: String, batchId: Long,
       cfg: Config = Config()): DataFrame = {
@@ -105,7 +109,12 @@ object IncrementalDedup {
             val batchBuckets = newBands
               .select(pmod(hash(col("key")), lit(cfg.buckets)).as("bucket"))
               .distinct().collect().map(_.getInt(0)).toSeq
+            // batch =!= batchId: on a crash REPLAY the store already
+            // holds this batch's own rows — without the exclusion the
+            // batch would pair against its stored self (self-pairs at
+            // jaccard 1). Both filters are partition-pruning.
             val storeBands = spark.read.parquet(s"$storeDir/bands")
+              .filter(col("batch") =!= batchId)
               .filter(col("bucket").isin(batchBuckets: _*))
             val cands = storeBands.as("x")
               .join(newBands.as("y"),
@@ -123,6 +132,7 @@ object IncrementalDedup {
                 .select(pmod(hash(col("id")), lit(cfg.buckets)).as("bucket"))
                 .distinct().collect().map(_.getInt(0)).toSeq
               val storeSigs = spark.read.parquet(s"$storeDir/sigs")
+                .filter(col("batch") =!= batchId)
                 .filter(col("bucket").isin(candBuckets: _*))
                 .select(col("doc_id"), col("hs"), col("n_sh"))
               val sets = newSigs.unionByName(storeSigs)
@@ -135,15 +145,27 @@ object IncrementalDedup {
         emitted.write.mode("overwrite")
           .parquet(s"$storeDir/pairs/batch=$batchId")
 
-        // append the batch to the store AFTER pair emission: a batch
-        // must never pair against its own store rows
+        // The batch lands in the store AFTER pair emission (a batch
+        // must never pair against its own store rows), under
+        // (bucket, batch) partitions with DYNAMIC overwrite: a crashed
+        // ingest replayed with the same batchId replaces exactly its
+        // own partitions instead of appending duplicates — re-ingest
+        // is idempotent, matching the exactly-once posture of the CDC
+        // paths. Bucket stays the LEADING partition column so the
+        // per-ingest pruned scans are unaffected.
         newSigs
           .withColumn("bucket", pmod(hash(col("doc_id")), lit(cfg.buckets)))
-          .write.mode("append").partitionBy("bucket")
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket", "batch")
           .parquet(s"$storeDir/sigs")
         newBands
           .withColumn("bucket", pmod(hash(col("key")), lit(cfg.buckets)))
-          .write.mode("append").partitionBy("bucket")
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket", "batch")
           .parquet(s"$storeDir/bands")
 
         spark.read.parquet(s"$storeDir/pairs/batch=$batchId")

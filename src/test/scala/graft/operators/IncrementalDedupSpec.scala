@@ -70,6 +70,23 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(bands.columns.contains("bucket"))
   }
 
+  test("re-ingesting a batchId overwrites, not appends (crash replay)") {
+    val store = Files.createTempDirectory("graft_inc_").toString
+    IncrementalDedup.ingest(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", store, batchId = 0L)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val first = pairSet(IncrementalDedup.ingest(b2, "doc_id", "text",
+      store, batchId = 1L))
+    val sigRows = spark.read.parquet(s"$store/sigs").count()
+    // a crashed ingest replayed with the same batchId must leave the
+    // store EXACTLY as a single successful ingest would
+    val replay = pairSet(IncrementalDedup.ingest(b2, "doc_id", "text",
+      store, batchId = 1L))
+    assert(replay == first)
+    assert(spark.read.parquet(s"$store/sigs").count() == sigRows)
+    assert(pairSet(IncrementalDedup.allPairs(spark, store)) == batchPairs)
+  }
+
   test("first ingest into an empty store bootstraps (no cross pairs)") {
     val store = Files.createTempDirectory("graft_inc_").toString
     val emitted = pairSet(IncrementalDedup.ingest(
