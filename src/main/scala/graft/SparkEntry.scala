@@ -806,6 +806,25 @@ object SparkEntry {
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
 
+  /** Quality-weighted deterministic sample: keep probability scales
+    * with a per-doc weight (here length-derived, capped at 1) — the
+    * "keep more of what scores higher" corpus pass, zero shuffle,
+    * exact replay in the oracle (floor thresholds, no rounding-mode
+    * divergence). */
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSampleByHash(
+      t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id",
+      weight = least(lit(1.0), col("n_chars") / lit(4000.0)),
+      rate = 0.5)
+
+  /** Deterministic global training order: (shard, pos, global_pos) is a
+    * reproducible pseudo-random permutation of the corpus — the
+    * training-shuffle primitive — built shard-parallel (no global-sort
+    * single reducer; see Sampling.trainingOrder). */
+  private def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    Sampling.trainingOrder(
+      t(s, dir, "documents").select("doc_id"), "doc_id", shards = 16)
+
   /** Stratified deterministic sample: per-language keep rates over the
     * corpus (the standard language-rebalancing pass), zero shuffle. */
   private def sampleStratified(s: SparkSession, dir: String): DataFrame =
@@ -958,6 +977,8 @@ object SparkEntry {
     "corpus_clean" -> (corpusClean _),
     "sketch_kmv" -> (sketchKmv _),
     "sample_shard" -> (sampleShard _),
+    "sample_weighted" -> (sampleWeighted _),
+    "corpus_shuffle" -> (corpusShuffle _),
     "sample_stratified" -> (sampleStratified _),
     "sample_reservoir" -> (sampleReservoir _),
     "decontam_ngram" -> (decontamNgram _),
@@ -1447,6 +1468,31 @@ object SparkEntry {
         |       WHEN hv % 10 < 9 THEN 'eval' ELSE 'test' END AS split,
         |  hv % 16 AS shard
         |FROM b""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 1000000 <
+        |  least(1000000, CAST(floor(
+        |    least(1.0, n_chars / 4000.0) * 0.5 * 1000000) AS BIGINT))"""
+        .stripMargin,
+    "corpus_shuffle" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 16 AS shard
+        |  FROM documents)
+        |, r AS (
+        |  SELECT doc_id, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |      AS pos
+        |  FROM b)
+        |, o AS (
+        |  SELECT shard, sum(n) OVER (ORDER BY shard
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+        |  FROM (SELECT shard, count(*) AS n FROM r GROUP BY shard))
+        |SELECT r.doc_id, r.shard, r.pos,
+        |  CAST(r.pos + coalesce(o.off, 0) AS BIGINT) AS global_pos
+        |FROM r JOIN o USING (shard)""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT

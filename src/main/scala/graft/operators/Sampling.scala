@@ -109,6 +109,56 @@ object Sampling {
       .drop("_prerank")
   }
 
+  /** Deterministic weighted Bernoulli sample: per-row keep probability
+    * `min(1, rate × weight)`, driven by the id hash — quality-weighted
+    * corpus sampling (keep more of what scores higher) that replays
+    * identically on every run and engine. The threshold is
+    * `floor(rate × weight × buckets)` (floor, not round: banker's vs
+    * half-up rounding would diverge across engines), so the oracle
+    * reproduces the exact kept set. Scan-local filter, zero shuffle. */
+  def weightedSampleByHash(df: DataFrame, idCol: String,
+      weight: Column, rate: Double, buckets: Int = 1000000): DataFrame = {
+    require(rate >= 0, "weightedSampleByHash: rate must be >= 0")
+    df.filter(hashBucket(col(idCol), buckets) <
+      least(lit(buckets.toLong),
+        floor(weight * rate * buckets).cast("long")))
+  }
+
+  /** Deterministic global training order: every row gets `(shard, pos,
+    * global_pos)` where `shard` is the id-hash bucket, `pos` ranks the
+    * id hash within the shard, and `global_pos` (1-based, contiguous)
+    * concatenates the shards — a reproducible pseudo-random permutation
+    * of the corpus, the "shuffle the training data" primitive.
+    *
+    * Scale shape: a single global `row_number` would rank on ONE
+    * reducer; here the rank window partitions by shard (pick shards ≈
+    * cluster parallelism; each in-shard sort is disk-backed), and the
+    * shard offsets come from a `shards`-row aggregate — the same
+    * two-level prefix-sum trick as Packing, never a global sort of the
+    * data. Hash order is uncorrelated with any source ordering, so the
+    * permutation is as good as a random shuffle for training, while
+    * identical across runs, retries, and engines. */
+  def trainingOrder(df: DataFrame, idCol: String,
+      shards: Int): DataFrame = {
+    require(shards > 0, "trainingOrder: shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(h.asc, col(idCol).asc)
+    val ranked = df
+      .withColumn("shard", shardId(col(idCol), shards))
+      .withColumn("pos", row_number().over(w).cast("long"))
+    // shard offsets: a `shards`-row frame — the unpartitioned window is
+    // bounded by the shard count, never data-sized
+    val offW = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy("shard").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(offW), lit(0L)))
+      .select(col("shard"), col("_off"))
+    ranked.join(broadcast(offsets), "shard")
+      .withColumn("global_pos", col("_off") + col("pos"))
+      .drop("_off")
+  }
+
   /** Write `df` as `shards` self-contained training shards under
     * `outDir/shard=K/`, each shard one file, rows ordered by id hash
     * within the shard (a stable pseudo-random order). One hash-partition

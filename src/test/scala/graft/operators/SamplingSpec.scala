@@ -53,6 +53,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(manual == 0)
   }
 
+  test("weightedSampleByHash: keep rate tracks the weight, replay-stable") {
+    val rows = (1L to 4000L).map(i => (i, (i % 4) * 0.25)).toDF("id", "w")
+    val kept = Sampling.weightedSampleByHash(rows, "id", $"w", rate = 1.0)
+    // per-weight empirical keep rates: ~0, ~.25, ~.5, ~.75 (±5pp over
+    // 1000 trials per class)
+    val byW = kept.groupBy("w").count().as[(Double, Long)].collect().toMap
+    assert(!byW.contains(0.0))
+    for ((w, expect) <- Seq(0.25 -> 250.0, 0.5 -> 500.0, 0.75 -> 750.0))
+      assert(math.abs(byW(w) - expect) < 50, s"w=$w got ${byW(w)}")
+    // weight 1 + rate 1 keeps everything; determinism: re-run identical
+    val all = Sampling.weightedSampleByHash(rows, "id", lit(1.0), 1.0)
+    assert(all.count() == 4000)
+    assert(kept.select("id").as[Long].collect().toSet ==
+      Sampling.weightedSampleByHash(rows, "id", $"w", 1.0)
+        .select("id").as[Long].collect().toSet)
+  }
+
+  test("trainingOrder is a contiguous permutation, shard-parallel") {
+    val out = Sampling.trainingOrder(ids, "id", shards = 16)
+    // global_pos is a bijection onto 1..N
+    val pos = out.select("global_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (1L to 2000L))
+    // (shard, pos) lexicographic == global_pos order
+    val lex = out.orderBy("shard", "pos").select("global_pos")
+      .as[Long].collect()
+    assert(lex.toSeq == (1L to 2000L))
+    // the permutation is decorrelated from the source order: the ids
+    // at the first 100 positions are nothing like 1..100
+    val first = out.filter($"global_pos" <= 100).select("id")
+      .as[Long].collect().toSet
+    assert((first & (1L to 100L).toSet).size < 20)
+    // no global single-reducer sort: the rank window partitions by
+    // shard, so the plan's window exchange is hashpartitioning, not a
+    // rangepartitioning of the whole frame
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("writeShards produces one file per shard and loses no rows") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_shards_").toString
