@@ -14,7 +14,7 @@ import graft.functions.TextFunctions
   * "100 TB shape" argument (bounded equi-joins, O(log n) rounds, no
   * global window); this main MEASURES those claims instead of asserting
   * them. It blows the sf0.1 tables up ×N with structure-preserving
-  * transforms, runs the thirteen scale-argued operators (including the
+  * transforms, runs the fourteen scale-argued operators (including the
   * composed corpus_clean pipeline, the streaming as-of enrich, the ANN
   * family, decontamination, and the incremental-dedup store) at
   * ×1 and ×N, and records both wall time and load-independent
@@ -461,6 +461,23 @@ object BenchScale {
       "cross_candidates" -> cells.getLong(1)))
   }
 
+  /** Deterministic training order at ×N: out_rows grows exactly ×N and
+    * the max global position equals the row count (the permutation
+    * stays a contiguous bijection at scale — a broken offset join or a
+    * truncated shard rank would break the identity). The rank windows
+    * stay shard-partitioned, so no single reducer sees the corpus. */
+  private def runCorpusShuffle(s: SparkSession, dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+    var maxPos = 0L
+    val r = timed {
+      val row = Sampling.trainingOrder(docs, "doc_id", shards = 16)
+        .agg(count(lit(1)), max("global_pos")).head()
+      maxPos = row.getLong(1)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence + ("max_global_pos" -> maxPos))
+  }
+
   /** Incremental dedup: the SAME fixed probe batch (copy 13 — id range
     * and rotation disjoint from every blow-up copy) ingests into a
     * store seeded with the ×1 corpus vs the ×N corpus. Per-batch cost
@@ -532,6 +549,7 @@ object BenchScale {
       "ann_ivf" -> (d => runAnn(spark, d, "ivf")),
       "ann_quantized" -> (d => runAnn(spark, d, "quantized")),
       "decontam_ngram" -> (d => runDecontam(spark, d)),
+      "corpus_shuffle" -> (d => runCorpusShuffle(spark, d)),
       "dedup_incremental" -> (d => runIncDedup(spark, d, incBatch)))
 
     // warmup outside all timings
@@ -619,6 +637,11 @@ object BenchScale {
             atN.evidence("cross_candidates") == 0L &&
             atN.evidence("candidates") <=
               (at1.evidence("candidates") * n * 2.0).toLong
+        case "corpus_shuffle" =>
+          // contiguous-bijection identity must hold at scale
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("max_global_pos") == atN.evidence("out_rows") &&
+            at1.evidence("max_global_pos") == at1.evidence("out_rows")
         case "dedup_incremental" =>
           // the probe batch pairs only within itself (its rotation
           // collides with no store copy), so the emitted pairs must be
