@@ -103,12 +103,16 @@ object IncrementalDedup {
 
         // cross pairs: batch band keys vs ONLY the store buckets the
         // batch touches. The bucket list is ≤ cfg.buckets ints.
+        val batchBuckets =
+          if (!exists(spark, s"$storeDir/bands")) Seq.empty[Int]
+          else newBands
+            .select(pmod(hash(col("key")), lit(cfg.buckets)).as("bucket"))
+            .distinct().collect().map(_.getInt(0)).toSeq
         val cross =
-          if (!exists(spark, s"$storeDir/bands")) within.limit(0)
+          // empty bucket list = empty batch (or empty store): nothing
+          // can cross-pair, and isin() over zero values is ill-formed
+          if (batchBuckets.isEmpty) within.limit(0)
           else {
-            val batchBuckets = newBands
-              .select(pmod(hash(col("key")), lit(cfg.buckets)).as("bucket"))
-              .distinct().collect().map(_.getInt(0)).toSeq
             // batch =!= batchId: on a crash REPLAY the store already
             // holds this batch's own rows — without the exclusion the
             // batch would pair against its stored self (self-pairs at

@@ -87,6 +87,46 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(pairSet(IncrementalDedup.allPairs(spark, store)) == batchPairs)
   }
 
+  test("property: random corpora + random k-way splits == batch pairs") {
+    import scala.util.Random
+    import spark.implicits._
+    for (seed <- 40 until 46) {
+      val rnd = new Random(seed)
+      val vocab = Vector.tabulate(30)(i => s"w${i}x")
+      def sentence(n: Int) =
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // base docs + planted near-dups (exact copies and one-token edits)
+      val base = (0 until 40).map(i => (i.toLong, sentence(8 + rnd.nextInt(8))))
+      val dups = (0 until 12).map { j =>
+        val (srcId, text) = base(rnd.nextInt(base.size))
+        val mutated =
+          if (rnd.nextBoolean()) text
+          else {
+            val toks = text.split(" ")
+            toks.updated(rnd.nextInt(toks.length),
+              vocab(rnd.nextInt(vocab.size))).mkString(" ")
+          }
+        val _ = srcId
+        (100L + j, mutated)
+      }
+      val corpus = (base ++ dups).toDF("doc_id", "text")
+      val want = pairSet(Dedup.minhashDedupPairs(corpus, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.8))
+      val k = 2 + rnd.nextInt(3)
+      val assign = (base ++ dups).map { case (id, _) => id -> rnd.nextInt(k) }
+        .toMap
+      val store = Files.createTempDirectory("graft_incp_").toString
+      val assigned = corpus.withColumn("_b",
+        udf((id: Long) => assign(id)).apply(col("doc_id")))
+      (0 until k).foreach { b =>
+        IncrementalDedup.ingest(assigned.filter(col("_b") === b)
+          .drop("_b"), "doc_id", "text", store, batchId = b.toLong)
+      }
+      val got = pairSet(IncrementalDedup.allPairs(spark, store))
+      assert(got == want, s"seed=$seed k=$k")
+    }
+  }
+
   test("first ingest into an empty store bootstraps (no cross pairs)") {
     val store = Files.createTempDirectory("graft_inc_").toString
     val emitted = pairSet(IncrementalDedup.ingest(
