@@ -162,6 +162,46 @@ object CdcStream {
       .start()
   }
 
+  /** [[start]], plus a real-database serving endpoint: after each
+    * micro-batch merges into the versioned parquet state, the updated
+    * last-write-wins VIEW is pushed to a JDBC table
+    * ([[graft.sources.JdbcSink.replace]]) — the reference's continuous
+    * MySQL→ClickHouse replication loop with both endpoints live. The
+    * parquet state stays the source of truth (resume, replay, GC);
+    * the JDBC table is the serving copy and is rewritten per batch,
+    * which is the right shape for the dimension/serving tables a CDC
+    * replica feeds (for 100 TB fact state, keep BucketedState as the
+    * store and serve queries from parquet instead). The push happens
+    * INSIDE foreachBatch, so a batch whose push fails replays —
+    * at-least-once into an idempotent replace = the same observable
+    * exactly-once the parquet path has. */
+  def startToJdbc(spark: SparkSession, changesDir: String,
+      changeSchema: StructType, targetDir: String, checkpointDir: String,
+      keyCols: Seq[String], jdbcUrl: String, jdbcTable: String,
+      ignoreUpdates: Boolean = false, ignoreDeletes: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      jdbcOptions: Map[String, String] = Map.empty): StreamingQuery = {
+    var reader = spark.readStream.schema(changeSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n))
+    val routeName = new Path(targetDir).getName
+    val guarded = Observability.withOpMetrics(
+      CdcMerge.requireKeys(reader.parquet(changesDir), keyCols, routeName))
+    guarded
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, batchId, targetDir, keyCols,
+          ignoreUpdates, ignoreDeletes)
+        graft.sources.JdbcSink.replace(
+          currentView(spark, targetDir, changeSchema),
+          jdbcUrl, jdbcTable, options = jdbcOptions)
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Bootstrap hand-off (SURVEY §3.2): load a snapshot as the state's
     * version 0 — every row an insert at `snapshotSeq` — then start the
     * change stream on top. The reference replays a mysqldump as insert

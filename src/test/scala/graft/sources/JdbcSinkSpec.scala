@@ -35,6 +35,24 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(readBack("ins_t").count() == 4)
   }
 
+  test("streaming CDC replay lands the LWW state in the database") {
+    import graft.operators.ChangeFeed
+    import graft.streaming.CdcStream
+    val work = Files.createTempDirectory("graft_jsink_").toString
+    val feed = ChangeFeed.full(spark, TestSpark.Sf0001)
+    feed.write.parquet(s"$work/changes")
+    val q = CdcStream.startToJdbc(spark, s"$work/changes", feed.schema,
+      s"$work/target", s"$work/ckpt", ChangeFeed.keyCols,
+      url, "cdc_live", maxFilesPerTrigger = Some(2),
+      jdbcOptions = driverOpt)
+    q.awaitTermination()
+    // the database table equals the batch-replay LWW view, row for row
+    val want = CdcStream.currentView(spark, s"$work/target", feed.schema)
+    val got = readBack("cdc_live")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("CDC merge state replaces the sink table; re-apply idempotent") {
     val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("K", "V")
     val changes = Seq(
