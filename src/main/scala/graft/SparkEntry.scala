@@ -486,7 +486,12 @@ object SparkEntry {
     * of emitted pairs must hash-match the batch `dedup_minhash` oracle
     * over the whole corpus: within-batch + cross-store pairs together
     * are exactly the batch pair set. */
-  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    // 8 shuffle partitions: each ingest runs several small shuffles and
+    // bucket-partitioned writes — at local SF the 32-way default mostly
+    // buys file-count overhead in the store (same per-job tuning as the
+    // streaming queries)
     val docs = t(s, dir, "documents")
     val store = scratchDir("graft_incdedup_")
     IncrementalDedup.ingest(
