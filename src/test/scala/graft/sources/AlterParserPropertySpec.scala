@@ -1,0 +1,180 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.functions.TypeMapper
+import graft.model.{Catalog, TableDef}
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property test for the multi-clause bare-DDL ALTER parser
+  * (DebeziumSource.applyAlter via applySchemaChanges): random clause
+  * sequences — ADD / DROP / MODIFY / CHANGE / RENAME COLUMN /
+  * db-qualified RENAME TO, mixed with no-op noise clauses (ADD INDEX,
+  * ENGINE=...) and clauses against nonexistent columns — applied
+  * through the wire path must land the catalog exactly where a plain
+  * Scala model of the same semantics lands. Types include enum/set
+  * literals with quoted commas and parens, so every statement also
+  * stresses the quote-aware splitTop. */
+class AlterParserPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+  private def ddlMsg(pos: Long, ddl: String): String =
+    s"""{"source": {"db": "inv", "file": "f.000001", "pos": $pos},
+       | "databaseName": "inv", "ddl": "$ddl"}"""
+      .stripMargin.replaceAll("\n", "")
+
+  private val genType: Gen[String] = Gen.oneOf(
+    Gen.const("int"), Gen.const("bigint"), Gen.const("text"),
+    Gen.const("datetime"),
+    Gen.chooseNum(1, 99).map(n => s"varchar($n)"),
+    Gen.const("enum('a','b,c','d(e')"),
+    Gen.const("set('x','y,z')"),
+    Gen.chooseNum(1, 12).flatMap(p =>
+      Gen.chooseNum(0, math.min(p, 6)).map(s => s"decimal($p,$s)")))
+
+  // model state: ordered columns (name, tpe, notNull) + pk list
+  private type Cols = Vector[(String, String, Boolean)]
+
+  private sealed trait Op
+  private case class Add(name: String, tpe: String, notNull: Boolean)
+    extends Op
+  private case class Drop(name: String) extends Op
+  private case class Modify(name: String, tpe: String, notNull: Boolean)
+    extends Op
+  private case class Change(oldName: String, newName: String, tpe: String,
+      notNull: Boolean) extends Op
+  private case class RenameCol(oldName: String, newName: String) extends Op
+  private case class Noise(clause: String) extends Op
+
+  private def genOp(existing: Seq[String], pk: String,
+      fresh: Gen[String]): Gen[Op] = {
+    val pickExisting =
+      if (existing.nonEmpty) Gen.oneOf(existing) else fresh
+    // never drop the live pk: the catalog (correctly, for CDC) refuses
+    // a table with no primary key
+    val droppable = existing.filterNot(_ == pk)
+    val pickDroppable =
+      if (droppable.nonEmpty) Gen.oneOf(droppable) else fresh
+    Gen.frequency(
+      3 -> (for { n <- fresh; t <- genType; nn <- Gen.oneOf(true, false) }
+        yield Add(n, t, nn)),
+      2 -> pickDroppable.map(Drop(_)),
+      3 -> (for { n <- pickExisting; t <- genType
+        nn <- Gen.oneOf(true, false) } yield Modify(n, t, nn)),
+      2 -> (for { o <- pickExisting; n <- fresh; t <- genType
+        nn <- Gen.oneOf(true, false) } yield Change(o, n, t, nn)),
+      2 -> (for { o <- pickExisting; n <- fresh } yield RenameCol(o, n)),
+      1 -> Gen.oneOf(
+        Noise("ADD INDEX idx_p (c0)"),
+        Noise("ENGINE=InnoDB"),
+        Noise("DROP COLUMN no_such_col"),
+        Noise("MODIFY COLUMN no_such_col int")))
+  }
+
+  private def render(op: Op): String = op match {
+    case Add(n, t, nn) =>
+      s"ADD COLUMN `$n` $t${if (nn) " NOT NULL" else ""}"
+    case Drop(n) => s"DROP COLUMN `$n`"
+    case Modify(n, t, nn) =>
+      s"MODIFY COLUMN `$n` $t${if (nn) " NOT NULL" else ""}"
+    case Change(o, n, t, nn) =>
+      s"CHANGE COLUMN `$o` `$n` $t${if (nn) " NOT NULL" else ""}"
+    case RenameCol(o, n) => s"RENAME COLUMN `$o` TO `$n`"
+    case Noise(c) => c
+  }
+
+  /** The model: applyAlter's documented semantics in plain Scala. */
+  private def applyModel(cols: Cols, pks: Seq[String], op: Op)
+      : (Cols, Seq[String]) = op match {
+    case Add(n, t, nn) =>
+      (cols.filterNot(_._1 == n) :+ ((n, t, nn)), pks)
+    case Drop(n) if cols.exists(_._1 == n) =>
+      (cols.filterNot(_._1 == n), pks.filterNot(_ == n))
+    case Modify(n, t, nn) if cols.exists(_._1 == n) =>
+      (cols.map(c => if (c._1 == n) (n, t, nn) else c), pks)
+    case Change(o, n, t, nn) if cols.exists(_._1 == o) =>
+      (cols.map(c => if (c._1 == o) (n, t, nn) else c),
+        pks.map(p => if (p == o) n else p))
+    case RenameCol(o, n) if cols.exists(_._1 == o) =>
+      (cols.map(c => if (c._1 == o) (n, c._2, c._3) else c),
+        pks.map(p => if (p == o) n else p))
+    case _ => (cols, pks) // missing column or noise: clause skipped
+  }
+
+  test("scalacheck: random multi-clause ALTER sequences match the model") {
+    val genScenario: Gen[(List[List[Op]], Boolean)] = {
+      // fresh names drawn from a namespace disjoint from c0..c4
+      val fresh = Gen.chooseNum(0, 40).map(i => s"n$i")
+      def genStmts(cols: Seq[String], pk: String,
+          left: Int): Gen[List[List[Op]]] =
+        if (left == 0) Gen.const(Nil)
+        else for {
+          k <- Gen.chooseNum(1, 4)
+          ops <- Gen.listOfN(k, genOp(cols, pk, fresh))
+          // evolve the visible column set + pk name for later statements
+          state = ops.foldLeft(
+            (cols.toVector.map(c => (c, "", false)), Seq(pk))) {
+            case ((cs, ps), op) => applyModel(cs, ps, op)
+          }
+          rest <- genStmts(state._1.map(_._1), state._2.headOption
+            .getOrElse(pk), left - 1)
+        } yield ops :: rest
+      for {
+        nStmt <- Gen.chooseNum(1, 3)
+        stmts <- genStmts((0 to 4).map(i => s"c$i"), "c0", nStmt)
+        crossDbRename <- Gen.oneOf(true, false)
+      } yield (stmts, crossDbRename)
+    }
+
+    val baseCols: Cols = Vector(
+      ("c0", "bigint", true), ("c1", "int", false),
+      ("c2", "varchar(30)", false), ("c3", "enum('a','b,c')", false),
+      ("c4", "text", false))
+
+    val prop = Prop.forAll(genScenario) { case (stmts, crossDb) =>
+      val cat = new Catalog()
+      var pos = 1L
+      DebeziumSource.applySchemaChanges(Seq(ddlMsg(pos,
+        "CREATE TABLE t (c0 bigint NOT NULL PRIMARY KEY, c1 int, " +
+          "c2 varchar(30), c3 enum('a','b,c'), c4 text)"))
+        .toDF("value"), cat)
+
+      var cols = baseCols
+      var pks: Seq[String] = Seq("c0")
+      val msgs = stmts.map { ops =>
+        ops.foreach { op =>
+          val r = applyModel(cols, pks, op); cols = r._1; pks = r._2
+        }
+        pos += 1
+        ddlMsg(pos, s"ALTER TABLE t ${ops.map(render).mkString(", ")}")
+      }
+      // optional final db-qualified rename, the r8 fix path
+      val (finalDb, finalTbl, allMsgs) =
+        if (crossDb) {
+          pos += 1
+          ("archive", "t2",
+            msgs :+ ddlMsg(pos, "ALTER TABLE t RENAME TO archive.t2"))
+        } else ("inv", "t", msgs)
+      DebeziumSource.applySchemaChanges(allMsgs.toDF("value"), cat)
+
+      val want = TableDef(
+        StructType(cols.map { case (n, t, nn) =>
+          TypeMapper.toField(n, t, nullable = !nn) }),
+        pks)
+      val got = cat.get(finalDb, finalTbl)
+      val movedAway = !crossDb || cat.get("inv", "t").isEmpty
+      if (got.contains(want) && movedAway) true
+      else {
+        System.err.println(
+          s"stmts: ${stmts.map(_.map(render))}\n got: $got\nwant: $want")
+        false
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
