@@ -140,6 +140,9 @@ object IncrementalDedup {
                 .filter(col("bucket").isin(candBuckets: _*))
                 .select(col("doc_id"), col("hs"), col("n_sh"))
               val sets = newSigs.unionByName(storeSigs)
+              // eager checkpoint: the pair write below runs after the
+              // finally unpersists cands — materialize while the
+              // candidate frame is still cached
               Dedup.jaccardVerify(cands, sets, cfg.threshold)
                 .localCheckpoint(true)
             } finally cands.unpersist(false)
@@ -181,4 +184,21 @@ object IncrementalDedup {
   def allPairs(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(s"$storeDir/pairs")
       .select("a", "b", "jaccard")
+
+  /** Continuous ingest: run [[ingest]] per micro-batch of a streaming
+    * document source, with the streaming batchId as the store's batch
+    * id. Checkpointed offsets + idempotent per-batch store overwrite
+    * (see [[ingest]]) give exactly-once observable store state from
+    * at-least-once delivery — the same posture as the CDC paths. The
+    * returned query must be started by the caller (set trigger /
+    * checkpointLocation on it); pairs accumulate under
+    * `storeDir/pairs/` for [[allPairs]]. */
+  def stream(docs: DataFrame, idCol: String, textCol: String,
+      storeDir: String, cfg: Config = Config())
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingest(batch, idCol, textCol, storeDir, batchId, cfg)
+      ()
+    }
 }

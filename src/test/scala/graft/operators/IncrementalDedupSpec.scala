@@ -87,6 +87,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(pairSet(IncrementalDedup.allPairs(spark, store)) == batchPairs)
   }
 
+  test("streaming ingest over micro-batches == batch pairs") {
+    val work = Files.createTempDirectory("graft_incs_").toString
+    val store = s"$work/store"
+    // several files → several micro-batches under maxFilesPerTrigger=1
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .write.parquet(s"$work/in")
+    docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .write.mode("append").parquet(s"$work/in")
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .write.mode("append").parquet(s"$work/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$work/in")
+    val q = IncrementalDedup.stream(stream, "doc_id", "text", store)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(pairSet(IncrementalDedup.allPairs(spark, store)) == batchPairs)
+  }
+
   test("property: random corpora + random k-way splits == batch pairs") {
     import scala.util.Random
     import spark.implicits._
