@@ -102,6 +102,37 @@ object Demo {
     println(s"[demo] debezium feed -> LWW: " +
       lww.collect().mkString(", "))
 
+    // 7. the same stream with a REAL database endpoint: per-batch merge
+    // + LWW view pushed to an embedded Derby table (the ClickHouse
+    // analog; swap the URL for any JDBC target)
+    System.setProperty("derby.system.home", work)
+    val url = s"jdbc:derby:$work/demodb;create=true"
+    val derbyOpt = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val feed = ChangeFeed.full(spark, sf)
+    feed.write.parquet(s"$work/changes2")
+    CdcStream.startToJdbc(spark, s"$work/changes2", feed.schema,
+      s"$work/target2", s"$work/ckpt2", ChangeFeed.keyCols,
+      url, "orders_live", jdbcOptions = derbyOpt).awaitTermination()
+    val live = graft.sources.SnapshotSource.jdbc(spark, url,
+      "orders_live", options = derbyOpt)
+    println(s"[demo] JDBC sink table rows: ${live.count()}")
+
+    // 8. continuous corpus dedup: documents stream into the signature
+    // store per micro-batch; pairs accumulate incrementally
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.repartition(3).write.parquet(s"$work/docs_in")
+    val q = graft.operators.IncrementalDedup.stream(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/docs_in"),
+      "doc_id", "text", s"$work/dedup_store")
+      .option("checkpointLocation", s"$work/ckpt3")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    println(s"[demo] incremental near-dup pairs: " +
+      graft.operators.IncrementalDedup
+        .allPairs(spark, s"$work/dedup_store").count())
+
     spark.streams.removeListener(listener)
     spark.stop()
   }
