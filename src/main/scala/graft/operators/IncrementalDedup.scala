@@ -89,6 +89,8 @@ object IncrementalDedup {
       cfg: Config = Config()): DataFrame = {
     require(cfg.k % cfg.bands == 0,
       s"k=${cfg.k} not divisible by bands=${cfg.bands}")
+    require(batchId >= 0, s"batchId=$batchId must be >= 0 " +
+      "(negative ids are reserved for compacted base partitions)")
     val spark = docs.sparkSession
     val newSigs = Dedup.textSignatures(docs, idCol, textCol, cfg.n)
       .select(col("doc_id"), col("hs"), col("n_sh"))
@@ -126,6 +128,10 @@ object IncrementalDedup {
                   col("x.key") === col("y.key"))
               .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
                 greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+              // a=b only when a store row carries a batch doc's own id
+              // (contract violation or a replay against a compacted
+              // base) — never a meaningful pair
+              .filter(col("a") =!= col("b"))
               .distinct()
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
@@ -184,6 +190,61 @@ object IncrementalDedup {
   def allPairs(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(s"$storeDir/pairs")
       .select("a", "b", "jaccard")
+
+  /** Compact the signature and band stores: fold every (bucket, batch)
+    * partition into ONE `batch=-1` base partition per bucket, one file
+    * each. After B ingests a bucket holds B small partitions that
+    * every subsequent scan must list and open — compaction restores
+    * O(buckets) files, and the base never matches an ingest's
+    * `batch =!= batchId` exclusion (ingest batchIds are required ≥ 0).
+    *
+    * Maintenance contract (same as BucketedState.optimize): one
+    * maintenance writer, no concurrent ingest, and — because
+    * compaction erases batch identity — only run it when any streaming
+    * writer's checkpoint is durable: a batch replayed AFTER its rows
+    * were folded into the base would pair against its own stored self.
+    * Crash posture: the new layout is staged fully, then swapped in
+    * with the previous store held in a trash dir; a crash mid-swap
+    * heals on the next [[compact]] (or [[healCompact]]) by rolling the
+    * trash back. */
+  def compact(spark: SparkSession, storeDir: String): Unit =
+    Seq("sigs", "bands").foreach { name =>
+      val main = new Path(s"$storeDir/$name")
+      val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      healOne(fs, storeDir, name)
+      if (fs.exists(main)) {
+        val staging = new Path(s"$storeDir/.$name-staging")
+        val trash = new Path(s"$storeDir/.$name-trash")
+        fs.delete(staging, true)
+        spark.read.parquet(main.toString)
+          .withColumn("batch", lit(-1L))
+          // hash-repartition ON bucket: each bucket's rows land in one
+          // task → the partitioned write emits one file per bucket
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket", "batch")
+          .parquet(staging.toString)
+        fs.delete(trash, true)
+        fs.rename(main, trash)
+        fs.rename(staging, main)
+        fs.delete(trash, true)
+      }
+    }
+
+  /** Roll back a compact that crashed mid-swap (main dir missing,
+    * trash present). Safe to call any time; [[compact]] calls it. */
+  def healCompact(spark: SparkSession, storeDir: String): Unit =
+    Seq("sigs", "bands").foreach { name =>
+      val p = new Path(s"$storeDir/$name")
+      healOne(p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        storeDir, name)
+    }
+
+  private def healOne(fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String, name: String): Unit = {
+    val main = new Path(s"$storeDir/$name")
+    val trash = new Path(s"$storeDir/.$name-trash")
+    if (!fs.exists(main) && fs.exists(trash)) { fs.rename(trash, main); () }
+  }
 
   /** Continuous ingest: run [[ingest]] per micro-batch of a streaming
     * document source, with the streaming batchId as the store's batch

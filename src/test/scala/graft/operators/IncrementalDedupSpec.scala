@@ -147,6 +147,53 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("compact folds batches into one base per bucket; behavior unchanged") {
+    def threeBatchStore(): String = {
+      val store = Files.createTempDirectory("graft_incc_").toString
+      (0 until 3).foreach { i =>
+        IncrementalDedup.ingest(
+          docs.filter(pmod(col("doc_id"), lit(3)) === i),
+          "doc_id", "text", store, batchId = i.toLong)
+      }
+      store
+    }
+    val store = threeBatchStore()
+    val pairsBefore = pairSet(IncrementalDedup.allPairs(spark, store))
+    val sigsBefore = spark.read.parquet(s"$store/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    IncrementalDedup.compact(spark, store)
+    // layout: every bucket dir holds exactly one batch=-1 partition
+    // with one data file
+    val bandBuckets = new java.io.File(s"$store/bands").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(bandBuckets.nonEmpty)
+    bandBuckets.foreach { b =>
+      val parts = b.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+      assert(parts == Seq("batch=-1"), s"${b.getName}: $parts")
+      val files = new java.io.File(b, "batch=-1").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"${b.getName}: $files files")
+    }
+    // content preserved, pairs log untouched
+    assert(spark.read.parquet(s"$store/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == sigsBefore)
+    assert(pairSet(IncrementalDedup.allPairs(spark, store)) == pairsBefore)
+    // a post-compact ingest of genuinely new docs emits the same pairs
+    // as the same ingest against an uncompacted store
+    val newBatch = docs.limit(60)
+      .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+    val gotCompacted = pairSet(IncrementalDedup.ingest(
+      newBatch, "doc_id", "text", store, batchId = 3L))
+    val store2 = threeBatchStore()
+    val gotPlain = pairSet(IncrementalDedup.ingest(
+      newBatch, "doc_id", "text", store2, batchId = 3L))
+    assert(gotCompacted == gotPlain)
+    // double-compact is idempotent
+    IncrementalDedup.compact(spark, store)
+    assert(pairSet(IncrementalDedup.allPairs(spark, store)) ==
+      pairsBefore ++ gotCompacted)
+  }
+
   test("first ingest into an empty store bootstraps (no cross pairs)") {
     val store = Files.createTempDirectory("graft_inc_").toString
     val emitted = pairSet(IncrementalDedup.ingest(
