@@ -53,9 +53,18 @@ object Observability {
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
+    /** Latest end offset per source — the engine's "synced binlog
+      * position" (reference /stat prints file+pos,
+      * river/status.go:39-46; here the offset is the file-source's
+      * committed log position). */
+    @volatile var lastPosition: String = ""
+
     override def onQueryProgress(
         e: StreamingQueryListener.QueryProgressEvent): Unit = {
       lastProgressJson = e.progress.json
+      lastPosition = e.progress.sources.toSeq
+        .map(s => Option(s.endOffset).getOrElse(""))
+        .mkString(";").replace("\n", " ")
       val metrics = e.progress.observedMetrics
       if (metrics.containsKey(MetricsName)) {
         val row = metrics.get(MetricsName)
@@ -79,8 +88,11 @@ object Observability {
            |update_num: ${updates.get}
            |delete_num: ${deletes.get}
            |events: ${events.get}""".stripMargin
-      lastError.fold(base) { err =>
-        base + "\nlast_error: " +
+      val withPos =
+        if (lastPosition.isEmpty) base
+        else base + "\nposition: " + lastPosition
+      lastError.fold(withPos) { err =>
+        withPos + "\nlast_error: " +
           err.linesIterator.find(_.nonEmpty).getOrElse("")
       }
     }

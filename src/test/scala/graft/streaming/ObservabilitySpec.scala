@@ -29,6 +29,10 @@ class ObservabilitySpec extends AnyFunSuite {
       assert(listener.updates.get == want.getOrElse("U", 0L))
       assert(listener.deletes.get == want.getOrElse("D", 0L))
       assert(listener.statReport.contains("insert_num"))
+      // the synced position (reference /stat's binlog file+pos analog)
+      // rides the same report
+      assert(listener.statReport.contains("position: "),
+        listener.statReport)
     } finally spark.streams.removeListener(listener)
   }
 
