@@ -14,7 +14,7 @@ import graft.functions.TextFunctions
   * "100 TB shape" argument (bounded equi-joins, O(log n) rounds, no
   * global window); this main MEASURES those claims instead of asserting
   * them. It blows the sf0.1 tables up ×N with structure-preserving
-  * transforms, runs the fourteen scale-argued operators (including the
+  * transforms, runs the fifteen scale-argued operators (including the
   * composed corpus_clean pipeline, the streaming as-of enrich, the ANN
   * family, decontamination, and the incremental-dedup store) at
   * ×1 and ×N, and records both wall time and load-independent
@@ -461,6 +461,42 @@ object BenchScale {
       "cross_candidates" -> cells.getLong(1)))
   }
 
+  /** Exact n-gram Jaccard via prefix filtering at ×N: the TRUE pair
+    * set replicates exactly ×N (the alphabet rotation is a shingle-set
+    * isomorphism, so within-copy Jaccard values are unchanged), while
+    * the prefix-posting candidate volume — the cost the prefix filter
+    * exists to bound — must grow ~N with ZERO cross-copy candidates.
+    * Candidate counts come from a per-(hash, copy) posting histogram:
+    * per hash, total-choose-2 minus the within-copy choose-2 sum is
+    * the cross volume; never materializes the pairs. Per-copy counts
+    * are independent hash draws (prefix membership re-rolls per
+    * rotation), hence the 2× slack on the linear gate. */
+  private def runNgramJaccard(s: SparkSession, dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val r = timed {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8).count()
+    }(Map.empty)
+    val sets = Dedup.hashedShingleSets(docs, "doc_id", "text", 3)
+    val prefixLen =
+      (floor(lit(1.0 - 0.8) * col("n_sh")) + 1).cast("int")
+    val copyOf = (c: Column) => call_function("div", c, lit(100000000L))
+    val hist = sets
+      .select(copyOf(col("doc_id")).as("copy"),
+        explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
+      .groupBy("h", "copy").agg(count(lit(1)).as("c"))
+    val agg = hist.groupBy("h")
+      .agg(sum(col("c")).as("tot"),
+        sum(col("c") * (col("c") - 1) / 2).as("within"))
+      .agg(
+        coalesce(sum(col("tot") * (col("tot") - 1) / 2
+          - col("within")), lit(0.0)).cast("long"),
+        coalesce(sum(col("within")), lit(0.0)).cast("long"))
+      .head()
+    r.copy(evidence = r.evidence ++ Map(
+      "candidates" -> agg.getLong(1), "cross_candidates" -> agg.getLong(0)))
+  }
+
   /** Deterministic training order at ×N: out_rows grows exactly ×N and
     * the max global position equals the row count (the permutation
     * stays a contiguous bijection at scale — a broken offset join or a
@@ -549,6 +585,7 @@ object BenchScale {
       "ann_ivf" -> (d => runAnn(spark, d, "ivf")),
       "ann_quantized" -> (d => runAnn(spark, d, "quantized")),
       "decontam_ngram" -> (d => runDecontam(spark, d)),
+      "dedup_ngram" -> (d => runNgramJaccard(spark, d)),
       "corpus_shuffle" -> (d => runCorpusShuffle(spark, d)),
       "dedup_incremental" -> (d => runIncDedup(spark, d, incBatch)))
 
@@ -628,6 +665,14 @@ object BenchScale {
           atN.evidence("out_rows") == at1.evidence("out_rows") &&
             atN.evidence("candidates") ==
               at1.evidence("candidates") * n + (n - 1) * 10
+        case "dedup_ngram" =>
+          // exact pairs replicate ×N (rotation = shingle-set
+          // isomorphism); prefix candidates ~N (2× slack: prefix
+          // membership is a fresh hash draw per copy); cross zero
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("cross_candidates") == 0L &&
+            atN.evidence("candidates") <=
+              (at1.evidence("candidates") * n * 2.0).toLong
         case "decontam_ngram" =>
           // every doc gets a verdict row (linear), cross-copy inverted-
           // index collisions must be ZERO (rotation disjointness), and
