@@ -1343,9 +1343,14 @@ object SparkEntry {
          |WHERE round(${cosineSql("x.v", "y.v")}, 4) >= 0.45""".stripMargin,
     "dedup_embed_bucketed" -> dedupEmbedBucketedOracle,
     "streaming_dedup" ->
-      """SELECT doc_id,
+      // one row per DISTINCT fingerprint with the min doc id — the
+      // first file carries the whole corpus in one micro-batch, and
+      // firstSeen's within-batch winner is deterministically the min
+      // id (the old all-rows form silently assumed a dup-free corpus:
+      // correct at sf0.01, 8 rows wrong at sf0.1)
+      """SELECT min(doc_id) AS doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents""".stripMargin,
+        |FROM documents GROUP BY 2""".stripMargin,
     "skew_join" ->
       """SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
         | c_mktsegment
