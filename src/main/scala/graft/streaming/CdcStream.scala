@@ -163,25 +163,34 @@ object CdcStream {
   }
 
   /** [[start]], plus a real-database serving endpoint: after each
-    * micro-batch merges into the versioned parquet state, the updated
-    * last-write-wins VIEW is pushed to a JDBC table
-    * ([[graft.sources.JdbcSink.replace]]) — the reference's continuous
-    * MySQL→ClickHouse replication loop with both endpoints live. The
-    * parquet state stays the source of truth (resume, replay, GC);
-    * the JDBC table is the serving copy and is rewritten per batch,
-    * which is the right shape for the dimension/serving tables a CDC
-    * replica feeds (for 100 TB fact state, keep BucketedState as the
-    * store and serve queries from parquet instead). The push happens
-    * INSIDE foreachBatch, so a batch whose push fails replays —
-    * at-least-once into an idempotent replace = the same observable
-    * exactly-once the parquet path has. */
+    * micro-batch merges into the versioned parquet state, the JDBC
+    * table is brought to agreement with the new state on the BATCH's
+    * keys only ([[graft.sources.JdbcSink.upsertKeys]]) — the
+    * reference's continuous MySQL→ClickHouse replication loop with
+    * both endpoints live, and its delta posture: per-key mutations
+    * (clickhouse/client.go:249-335), so database work per trigger is
+    * O(batch), never O(state). A 10⁹-row synced table taking a
+    * 128-row flush writes 128 keys, not 10⁹.
+    *
+    * The first batch against a missing table bootstraps with a full
+    * [[graft.sources.JdbcSink.replace]] (which also creates the
+    * table); `fullReplace = true` forces that repair path on every
+    * batch for a sink that drifted out from under the stream.
+    *
+    * The parquet state stays the source of truth (resume, replay,
+    * GC). The push happens INSIDE foreachBatch, so a batch whose push
+    * fails replays — at-least-once into an idempotent push
+    * (delete-batch-keys-then-insert, see [[graft.sources.JdbcSink
+    * .upsertKeys]]) = the same observable exactly-once the parquet
+    * path has. */
   def startToJdbc(spark: SparkSession, changesDir: String,
       changeSchema: StructType, targetDir: String, checkpointDir: String,
       keyCols: Seq[String], jdbcUrl: String, jdbcTable: String,
       ignoreUpdates: Boolean = false, ignoreDeletes: Boolean = false,
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      jdbcOptions: Map[String, String] = Map.empty): StreamingQuery = {
+      jdbcOptions: Map[String, String] = Map.empty,
+      fullReplace: Boolean = false): StreamingQuery = {
     var reader = spark.readStream.schema(changeSchema)
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n))
@@ -194,9 +203,21 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(batch, batchId, targetDir, keyCols,
           ignoreUpdates, ignoreDeletes)
-        graft.sources.JdbcSink.replace(
-          currentView(spark, targetDir, changeSchema),
-          jdbcUrl, jdbcTable, options = jdbcOptions)
+        val view = currentView(spark, targetDir, changeSchema)
+        if (fullReplace ||
+            !graft.sources.JdbcSink.tableExists(jdbcUrl, jdbcTable,
+              jdbcOptions)) {
+          graft.sources.JdbcSink.replace(view, jdbcUrl, jdbcTable,
+            options = jdbcOptions)
+        } else {
+          // the batch's distinct keys (small — bounded by trigger
+          // size); their post-merge live rows via one broadcast
+          // semi-join against the state scan
+          val keys = batch.select(keyCols.map(col): _*).distinct()
+          val current = view.join(broadcast(keys), keyCols, "left_semi")
+          graft.sources.JdbcSink.upsertKeys(keys, current, keyCols,
+            jdbcUrl, jdbcTable, options = jdbcOptions)
+        }
       }
       .trigger(trigger)
       .start()

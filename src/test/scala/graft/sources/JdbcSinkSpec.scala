@@ -41,6 +41,9 @@ class JdbcSinkSpec extends AnyFunSuite {
     val work = Files.createTempDirectory("graft_jsink_").toString
     val feed = ChangeFeed.full(spark, TestSpark.Sf0001)
     feed.write.parquet(s"$work/changes")
+    // maxFilesPerTrigger=2 forces multiple micro-batches: batch 0
+    // bootstraps the table via replace, every later batch goes through
+    // the O(batch) upsertKeys delta path
     val q = CdcStream.startToJdbc(spark, s"$work/changes", feed.schema,
       s"$work/target", s"$work/ckpt", ChangeFeed.keyCols,
       url, "cdc_live", maxFilesPerTrigger = Some(2),
@@ -51,6 +54,56 @@ class JdbcSinkSpec extends AnyFunSuite {
     val got = readBack("cdc_live")
     assert(got.count() == want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // …and equals what the full-replace repair path would have written
+    JdbcSink.replace(want, url, "cdc_full", options = driverOpt)
+    val full = readBack("cdc_full")
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
+  }
+
+  test("upsertKeys touches only the batch's keys; crash replay idempotent") {
+    val state0 = Seq((1, "a"), (2, "b"), (3, "c")).toDF("K", "V")
+    JdbcSink.replace(state0, url, "delta_t", options = driverOpt)
+    // batch touches K=2 (update), K=3 (delete-only: no current row),
+    // K=4 (insert); K=1 is untouched and must survive verbatim
+    val keys = Seq(2, 3, 4).toDF("K")
+    val current = Seq((2, "b2"), (4, "d")).toDF("K", "V")
+    JdbcSink.upsertKeys(keys, current, Seq("K"), url, "delta_t",
+      options = driverOpt)
+    def state = readBack("delta_t").as[(Int, String)].collect().toMap
+    assert(state == Map(1 -> "a", 2 -> "b2", 4 -> "d"))
+    // replaying the same batch after a crash leaves the table identical
+    // (delete-by-key clears whatever a partial attempt left)
+    JdbcSink.upsertKeys(keys, current, Seq("K"), url, "delta_t",
+      options = driverOpt)
+    assert(state == Map(1 -> "a", 2 -> "b2", 4 -> "d"))
+    // null payload values round-trip (setNull with declared SQL type)
+    JdbcSink.upsertKeys(Seq(5).toDF("K"),
+      Seq((5, null.asInstanceOf[String])).toDF("K", "V"), Seq("K"),
+      url, "delta_t", options = driverOpt)
+    assert(readBack("delta_t").filter($"K" === 5)
+      .select($"V").collect().map(_.isNullAt(0)).toSeq == Seq(true))
+  }
+
+  test("append fans out one database connection per Spark partition") {
+    CountingDriver.registered
+    val curl = url.replace("jdbc:derby:", CountingDriver.Prefix + "derby:")
+    // numeric columns only: the counting URL prefix hides the db from
+    // Spark's DerbyDialect, and the generic dialect's string mapping
+    // (TEXT) is not a Derby type
+    val rows = spark.range(8).toDF("K").withColumn("V", $"K" * 2)
+    def run(parts: Int, table: String): Int = {
+      val before = CountingDriver.connects.get
+      JdbcSink.append(rows.repartition(parts), curl, table)
+      CountingDriver.connects.get - before
+    }
+    // driver-side overhead (schema probe, CREATE TABLE) is identical
+    // between the runs, so the delta isolates the per-partition fan-out
+    val c1 = run(1, "cpp_t1")
+    val c4 = run(4, "cpp_t4")
+    assert(c4 - c1 == 3,
+      s"expected exactly one extra connection per extra partition " +
+        s"(1-part run: $c1, 4-part run: $c4)")
+    assert(readBack("cpp_t4").count() == 8)
   }
 
   test("CDC merge state replaces the sink table; re-apply idempotent") {
