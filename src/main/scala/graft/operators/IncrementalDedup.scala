@@ -59,6 +59,38 @@ object IncrementalDedup {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  private def fs(spark: SparkSession, storeDir: String) =
+    new Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The store's compaction epoch: the smallest batchId [[ingest]] may
+    * still write. Every batch below it has been folded into the
+    * `batch=-1` base by a [[compact]], so replaying one would pair a
+    * batch against its own stored rows — [[ingest]] fail-stops on it.
+    * 0 until the first compact. */
+  def compactionEpoch(spark: SparkSession, storeDir: String): Long = {
+    val p = new Path(s"$storeDir/_compaction_epoch")
+    val f = fs(spark, storeDir)
+    if (!f.exists(p)) 0L
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeEpoch(spark: SparkSession, storeDir: String,
+      epoch: Long): Unit = {
+    val f = fs(spark, storeDir)
+    val tmp = new Path(s"$storeDir/._compaction_epoch.tmp")
+    val dst = new Path(s"$storeDir/_compaction_epoch")
+    val out = f.create(tmp, true)
+    try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+    f.delete(dst, false)
+    f.rename(tmp, dst)
+    ()
+  }
+
   /** Band keys (doc_id, band, key) of a `(doc_id, hs, n_sh)` frame —
     * the same key construction [[Dedup.minhashCandidates]] joins on. */
   private def bandKeys(sets: DataFrame, cfg: Config): DataFrame = {
@@ -92,6 +124,12 @@ object IncrementalDedup {
     require(batchId >= 0, s"batchId=$batchId must be >= 0 " +
       "(negative ids are reserved for compacted base partitions)")
     val spark = docs.sparkSession
+    val epoch = compactionEpoch(spark, storeDir)
+    require(batchId >= epoch,
+      s"batchId=$batchId was folded into the compacted base " +
+        s"(compaction epoch $epoch): replaying it would pair the " +
+        "batch against its own stored rows. Only compact batches " +
+        "whose checkpoint is durable.")
     val newSigs = Dedup.textSignatures(docs, idCol, textCol, cfg.n)
       .select(col("doc_id"), col("hs"), col("n_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -186,40 +224,78 @@ object IncrementalDedup {
     } finally newSigs.unpersist(false)
   }
 
-  /** All pairs every ingest has emitted so far. */
+  /** All pairs every ingest has emitted so far; empty (with the
+    * canonical `(a long, b long, jaccard double)` schema) on a store
+    * no ingest has written yet — e.g. a stream that has processed
+    * zero batches. */
   def allPairs(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/pairs")
+    if (!exists(spark, s"$storeDir/pairs"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "a bigint, b bigint, jaccard double"))
+    else spark.read.parquet(s"$storeDir/pairs")
       .select("a", "b", "jaccard")
 
   /** Compact the signature and band stores: fold every (bucket, batch)
-    * partition into ONE `batch=-1` base partition per bucket, one file
-    * each. After B ingests a bucket holds B small partitions that
-    * every subsequent scan must list and open — compaction restores
-    * O(buckets) files, and the base never matches an ingest's
-    * `batch =!= batchId` exclusion (ingest batchIds are required ≥ 0).
+    * partition with `batch < belowBatch` into ONE `batch=-1` base
+    * partition per bucket, one file each. After B ingests a bucket
+    * holds B small partitions that every subsequent scan must list and
+    * open — compaction restores O(buckets) files, and the base never
+    * matches an ingest's `batch =!= batchId` exclusion (ingest
+    * batchIds are required ≥ 0).
+    *
+    * `belowBatch` is the safety bound for a live stream: at the start
+    * of micro-batch N every batch < N is durably committed (Structured
+    * Streaming commits N−1 before constructing N), while batch N
+    * itself may be a replay whose rows a crashed attempt already
+    * stored — those MUST keep their batch identity so the replay's
+    * `batch =!= batchId` exclusion and dynamic overwrite still see
+    * them. [[stream]]'s auto-compaction passes the current batchId;
+    * the default folds everything (offline maintenance, no writer).
     *
     * Maintenance contract (same as BucketedState.optimize): one
     * maintenance writer, no concurrent ingest, and — because
-    * compaction erases batch identity — only run it when any streaming
-    * writer's checkpoint is durable: a batch replayed AFTER its rows
-    * were folded into the base would pair against its own stored self.
+    * compaction erases batch identity — only fold batches whose
+    * checkpoint is durable. The COMPACTION EPOCH (max folded batch +
+    * 1, persisted in `_compaction_epoch` BEFORE the fold) makes the
+    * hazard fail-stop: [[ingest]] rejects any batchId below it rather
+    * than silently pairing a batch against its own stored rows.
     * Crash posture: the new layout is staged fully, then swapped in
     * with the previous store held in a trash dir; a crash mid-swap
     * heals on the next [[compact]] (or [[healCompact]]) by rolling the
     * trash back. */
-  def compact(spark: SparkSession, storeDir: String): Unit =
+  def compact(spark: SparkSession, storeDir: String,
+      belowBatch: Long = Long.MaxValue): Unit = {
+    healCompact(spark, storeDir)
+    if (exists(spark, s"$storeDir/sigs")) {
+      // epoch first: fail-stop protection must be in place before any
+      // batch identity is erased (a crash between the two only
+      // over-rejects batches the caller asserted were durable)
+      // cast: hive partition inference may type small batch values int
+      val folded = spark.read.parquet(s"$storeDir/sigs")
+        .filter(col("batch") >= 0 && col("batch") < belowBatch)
+        .agg(max(col("batch").cast("long"))).collect()(0)
+      if (!folded.isNullAt(0)) {
+        val epoch = folded.getLong(0) + 1
+        if (epoch > compactionEpoch(spark, storeDir))
+          writeEpoch(spark, storeDir, epoch)
+      }
+    }
     Seq("sigs", "bands").foreach { name =>
       val main = new Path(s"$storeDir/$name")
       val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      healOne(fs, storeDir, name)
       if (fs.exists(main)) {
         val staging = new Path(s"$storeDir/.$name-staging")
         val trash = new Path(s"$storeDir/.$name-trash")
         fs.delete(staging, true)
         spark.read.parquet(main.toString)
-          .withColumn("batch", lit(-1L))
+          .withColumn("batch",
+            when(col("batch") < belowBatch, lit(-1L))
+              .otherwise(col("batch")))
           // hash-repartition ON bucket: each bucket's rows land in one
           // task → the partitioned write emits one file per bucket
+          // (per surviving batch value — at most base + in-flight)
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket", "batch")
           .parquet(staging.toString)
@@ -229,6 +305,7 @@ object IncrementalDedup {
         fs.delete(trash, true)
       }
     }
+  }
 
   /** Roll back a compact that crashed mid-swap (main dir missing,
     * trash present). Safe to call any time; [[compact]] calls it. */
@@ -253,12 +330,24 @@ object IncrementalDedup {
     * at-least-once delivery — the same posture as the CDC paths. The
     * returned query must be started by the caller (set trigger /
     * checkpointLocation on it); pairs accumulate under
-    * `storeDir/pairs/` for [[allPairs]]. */
+    * `storeDir/pairs/` for [[allPairs]].
+    *
+    * `compactEvery = K` folds the store every K micro-batches (0 =
+    * never): without it an unbounded stream accumulates one (bucket,
+    * batch) partition per trigger and every ingest's pruned scan must
+    * list them all — the small-files death [[compact]] exists to
+    * prevent. The fold runs at the START of a batch and is bounded to
+    * `belowBatch = batchId`: everything older is durably committed
+    * (Structured Streaming commits batch N−1 before constructing N),
+    * while a crashed attempt of THIS batch keeps its identity so the
+    * replay stays idempotent. */
   def stream(docs: DataFrame, idCol: String, textCol: String,
-      storeDir: String, cfg: Config = Config())
+      storeDir: String, cfg: Config = Config(), compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        compact(batch.sparkSession, storeDir, belowBatch = batchId)
       ingest(batch, idCol, textCol, storeDir, batchId, cfg)
       ()
     }

@@ -194,6 +194,59 @@ class IncrementalDedupSpec extends AnyFunSuite {
       pairsBefore ++ gotCompacted)
   }
 
+  test("streaming with auto-compaction == batch pairs; files stay O(buckets)") {
+    val work = Files.createTempDirectory("graft_incsc_").toString
+    val store = s"$work/store"
+    // six single-file writes → six micro-batches under
+    // maxFilesPerTrigger=1; compactEvery=2 folds at the start of
+    // batches 2 and 4
+    (0 until 6).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(6)) === i).coalesce(1)
+        .write.mode("append").parquet(s"$work/in")
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val q = IncrementalDedup.stream(stream, "doc_id", "text", store,
+        compactEvery = 2)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // identical pair set to the one-shot batch run
+    assert(pairSet(IncrementalDedup.allPairs(spark, store)) == batchPairs)
+    // the last fold ran at batch 4 (folding 0-3); only the base and the
+    // un-folded tail batches survive as store partitions
+    for (name <- Seq("sigs", "bands")) {
+      val batches = spark.read.parquet(s"$store/$name")
+        .select(col("batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(batches.subsetOf(Set(-1L, 4L, 5L)), s"$name: $batches")
+      // every base partition is one file
+      new java.io.File(s"$store/$name").listFiles()
+        .filter(_.getName.startsWith("bucket=")).foreach { b =>
+          val base = new java.io.File(b, "batch=-1")
+          if (base.exists()) {
+            val files = base.listFiles().count(_.getName.endsWith(".parquet"))
+            assert(files == 1, s"$name/${b.getName}: $files files")
+          }
+        }
+    }
+    // the epoch records the fold: replaying a folded batch fail-stops
+    assert(IncrementalDedup.compactionEpoch(spark, store) == 4L)
+    val err = intercept[IllegalArgumentException] {
+      IncrementalDedup.ingest(docs.limit(5), "doc_id", "text", store,
+        batchId = 2L)
+    }
+    assert(err.getMessage.contains("compaction epoch"))
+  }
+
+  test("allPairs on a store with zero ingests is empty, not an error") {
+    val store = Files.createTempDirectory("graft_ince_").toString
+    val pairs = IncrementalDedup.allPairs(spark, store)
+    assert(pairs.count() == 0)
+    assert(pairs.columns.toSeq == Seq("a", "b", "jaccard"))
+  }
+
   test("first ingest into an empty store bootstraps (no cross pairs)") {
     val store = Files.createTempDirectory("graft_inc_").toString
     val emitted = pairSet(IncrementalDedup.ingest(
