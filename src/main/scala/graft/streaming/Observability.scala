@@ -19,6 +19,75 @@ object Observability {
 
   val MetricsName = "graft_cdc"
 
+  /** Master vs synced position of a file-tailed change log — the
+    * reference /stat's whole point for an operator: how far behind the
+    * source the sync is (river/status.go:27-46 runs a live `SHOW
+    * MASTER STATUS` and prints it next to the synced position). For a
+    * file source the master position is the count of data files
+    * PRESENT in the watched directory and the synced position is the
+    * count of files inside batches the checkpoint's commit log has
+    * sealed. */
+  final case class SyncLag(masterFiles: Long, syncedFiles: Long) {
+    /** Files the source has that the sync hasn't committed yet. */
+    def lag: Long = masterFiles - syncedFiles
+  }
+
+  /** Probe [[SyncLag]] for a file-source stream: lists `changesDir`
+    * (data files only — the same dot/underscore hidden-file rule the
+    * source applies) against the checkpoint's committed file-source
+    * metadata log. Driver-side metadata listing only — never reads
+    * data; safe to call from a /stat handler while the stream runs.
+    * `sourceId` is the source's position in the query (0 for the
+    * single-source CDC streams). */
+  def fileSourceLag(spark: org.apache.spark.sql.SparkSession,
+      changesDir: String, checkpointDir: String,
+      sourceId: Int = 0): SyncLag = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def isData(name: String) =
+      !name.startsWith(".") && !name.startsWith("_")
+    val cPath = new org.apache.hadoop.fs.Path(changesDir)
+    val cfs = cPath.getFileSystem(conf)
+    val master =
+      if (!cfs.exists(cPath)) 0L
+      else cfs.listStatus(cPath)
+        .count(s => s.isFile && isData(s.getPath.getName)).toLong
+
+    val commits = new org.apache.hadoop.fs.Path(s"$checkpointDir/commits")
+    val kfs = commits.getFileSystem(conf)
+    val committed: Option[Long] =
+      if (!kfs.exists(commits)) None
+      else kfs.listStatus(commits).toSeq.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .map(_.toLong).maxOption
+    val synced = committed.fold(0L) { b =>
+      val srcDir =
+        new org.apache.hadoop.fs.Path(s"$checkpointDir/sources/$sourceId")
+      if (!kfs.exists(srcDir)) 0L
+      else {
+        val names = kfs.listStatus(srcDir).toSeq.map(_.getPath.getName)
+        // the source metadata log compacts periodically: <n>.compact
+        // holds the FULL history through n — count it once, then only
+        // the plain per-batch files after it
+        def entriesOf(name: String): Long = {
+          val in = kfs.open(new org.apache.hadoop.fs.Path(srcDir, name))
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .drop(1).count(_.contains("\"path\"")).toLong
+          finally in.close()
+        }
+        val base = names.filter(_.endsWith(".compact"))
+          .map(_.stripSuffix(".compact"))
+          .filter(n => n.nonEmpty && n.forall(_.isDigit))
+          .map(_.toLong).filter(_ <= b).maxOption
+        val baseCount = base.fold(0L)(n => entriesOf(s"$n.compact"))
+        baseCount + names
+          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+          .filter(n => n > base.getOrElse(-1L) && n <= b)
+          .map(n => entriesOf(n.toString)).sum
+      }
+    }
+    SyncLag(master, synced)
+  }
+
   /** Attach I/U/D counters to a change DataFrame; zero extra passes —
     * the counts piggyback on whatever action consumes the frame. */
   def withOpMetrics(changes: DataFrame): DataFrame =
@@ -49,6 +118,19 @@ object Observability {
       * PK guard's table=… null_cols=… payload (ST4 fail-stop
       * attribution). */
     @volatile var lastError: Option[String] = None
+
+    /** Optional master-vs-synced probe ([[fileSourceLag]] curried over
+      * the stream's dirs); evaluated per /stat render so the lag is
+      * live. */
+    @volatile var lagProbe: Option[() => SyncLag] = None
+
+    /** Wire the master-vs-synced lag lines into [[statReport]] for a
+      * file-source stream. */
+    def attachFileLag(spark: org.apache.spark.sql.SparkSession,
+        changesDir: String, checkpointDir: String): this.type = {
+      lagProbe = Some(() => fileSourceLag(spark, changesDir, checkpointDir))
+      this
+    }
 
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -91,8 +173,18 @@ object Observability {
       val withPos =
         if (lastPosition.isEmpty) base
         else base + "\nposition: " + lastPosition
-      lastError.fold(withPos) { err =>
-        withPos + "\nlast_error: " +
+      // master-vs-synced lag (reference prints the SHOW-MASTER-STATUS
+      // position next to the synced one); probe failures degrade to
+      // omitting the lines, never to a dead /stat
+      val withLag = lagProbe
+        .flatMap(p => scala.util.Try(p()).toOption)
+        .fold(withPos) { l =>
+          withPos + s"\nmaster_position: ${l.masterFiles}" +
+            s"\nsynced_position: ${l.syncedFiles}" +
+            s"\nlag: ${l.lag}"
+        }
+      lastError.fold(withLag) { err =>
+        withLag + "\nlast_error: " +
           err.linesIterator.find(_.nonEmpty).getOrElse("")
       }
     }

@@ -64,6 +64,49 @@ class ObservabilitySpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("/stat reports master-vs-synced lag: pending files show, drain zeroes") {
+    val work = Files.createTempDirectory("graft_lag_").toString
+    val changes = s"$work/changes"
+    val ckpt = s"$work/ckpt"
+    val feed = ChangeFeed.full(spark, TestSpark.Sf0001)
+    feed.coalesce(1).write.parquet(changes)
+    val listener = (new Observability.CdcMetricsListener)
+      .attachFileLag(spark, changes, ckpt)
+    spark.streams.addListener(listener)
+    try {
+      def drain(): Unit = {
+        val q = CdcStream.start(spark, changes, feed.schema,
+          s"$work/target", ckpt, ChangeFeed.keyCols)
+        q.awaitTermination()
+      }
+      drain()
+      val drained = Observability.fileSourceLag(spark, changes, ckpt)
+      assert(drained.masterFiles == 1, drained)
+      assert(drained.syncedFiles == 1, drained)
+      assert(drained.lag == 0, drained)
+      // two more change files land while the sync is down: the master
+      // position advances, the synced position does not — /stat shows
+      // the gap an operator would page on
+      feed.coalesce(1).write.mode("append").parquet(changes)
+      feed.coalesce(1).write.mode("append").parquet(changes)
+      val behind = Observability.fileSourceLag(spark, changes, ckpt)
+      assert(behind.masterFiles == 3, behind)
+      assert(behind.syncedFiles == 1, behind)
+      assert(behind.lag == 2, behind)
+      assert(listener.statReport.contains("master_position: 3"),
+        listener.statReport)
+      assert(listener.statReport.contains("synced_position: 1"),
+        listener.statReport)
+      assert(listener.statReport.contains("lag: 2"), listener.statReport)
+      // resuming from the same checkpoint drains the backlog → lag 0
+      drain()
+      val caught = Observability.fileSourceLag(spark, changes, ckpt)
+      assert(caught.masterFiles == 3 && caught.syncedFiles == 3 &&
+        caught.lag == 0, caught)
+      assert(listener.statReport.contains("lag: 0"), listener.statReport)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("null primary key aborts the stream (P7 hard error)") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_pk_").toString
