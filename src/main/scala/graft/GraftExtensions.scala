@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{ByteHistogram, CosineSimilarity, HashedShingles, KmvSketch, MinHashSig, RepetitionSignals, SimHash60, SortedIntersectCount}
+import graft.functions.expr.{ByteHistogram, ConnectDecimal, CosineSimilarity, HashedShingles, KmvSketch, MinHashSig, RepetitionSignals, SimHash60, SortedIntersectCount}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -49,7 +49,10 @@ object GraftExtensions {
     fn("kmv_distinct", classOf[KmvSketch], 2)(c =>
       KmvSketch(c.head, c(1).eval().asInstanceOf[Int])),
     fn("repetition_signals", classOf[RepetitionSignals], 1)(c =>
-      RepetitionSignals(c.head)))
+      RepetitionSignals(c.head)),
+    // scale via int literal, e.g. connect_decimal(unbase64(v), 2)
+    fn("connect_decimal", classOf[ConnectDecimal], 2)(c =>
+      ConnectDecimal(c.head, c(1).eval().asInstanceOf[Int])))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit = {

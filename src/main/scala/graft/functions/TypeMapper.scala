@@ -52,7 +52,8 @@ object TypeMapper {
       case "int" | "integer" =>
         (if (unsigned) LongType else IntegerType, Metadata.empty)
       case "bigint" =>
-        (if (unsigned) DecimalType(20, 0) else LongType, Metadata.empty)
+        if (unsigned) (DecimalType(20, 0), meta("decimal"))
+        else (LongType, Metadata.empty)
       case "year" => (ShortType, Metadata.empty)
       case "float" => (FloatType, Metadata.empty)
       case "double" | "real" => (DoubleType, Metadata.empty)
@@ -62,7 +63,9 @@ object TypeMapper {
           if (parts.length >= 2) (parts(0).toInt, parts(1).toInt)
           else if (parts.length == 1) (parts(0).toInt, 0)
           else (18, 2) // bare DECIMAL -> Decimal(18,2) (README.md:233-258)
-        (DecimalType(math.min(m, 38), math.min(d, 37)), Metadata.empty)
+        // the decimal marker routes envelope values through the
+        // Debezium precise-mode decode ([[TypeNorm.connectDecimal]])
+        (DecimalType(math.min(m, 38), math.min(d, 37)), meta("decimal"))
       case "date" => (DateType, meta("date"))
       case "datetime" | "timestamp" => (TimestampType, meta("datetime"))
       case "time" => (StringType, Metadata.empty)

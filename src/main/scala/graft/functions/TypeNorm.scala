@@ -44,17 +44,47 @@ object TypeNorm {
   /** DATE: parse "yyyy-MM-dd"; MySQL zero-date sentinel `0000-00-00` (or a
     * parse failure) → NULL — mandatory semantics, guarded in the reference
     * at both transform and sink (reference: river/sync.go:303-311;
-    * clickhouse/client.go:181-184, 284-287).
+    * clickhouse/client.go:181-184, 284-287). A bare integer is Debezium's
+    * `io.debezium.time.Date` wire encoding — days since the epoch.
     */
   def mysqlDate(c: Column): Column =
     when(c === "0000-00-00", lit(null).cast("date"))
+      .when(c.rlike("^-?[0-9]+$"),
+        date_add(to_date(lit("1970-01-01")), c.cast("int")))
       .otherwise(try_to_timestamp(c, lit("yyyy-MM-dd")).cast("date"))
 
   /** DATETIME with the zero sentinel `0000-00-00 00:00:00` → NULL
-    * (reference: clickhouse/client.go:186-191). */
+    * (reference: clickhouse/client.go:186-191). Debezium wire encodings
+    * are also recognized: a bare integer is epoch millis
+    * (`io.debezium.time.Timestamp`) or epoch micros (`MicroTimestamp`,
+    * DATETIME(n>0) under adaptive precision) — disambiguated by
+    * magnitude (≥ 2×10¹³ is micros: that bound is year 2603 as millis
+    * but already Aug 1970 as micros, so every realistic value sits on
+    * one side); an ISO-8601 `T`/offset string is MySQL TIMESTAMP's
+    * `ZonedTimestamp`. */
   def mysqlDateTime(c: Column): Column =
     when(c.startsWith("0000-00-00"), lit(null).cast("timestamp"))
+      .when(c.rlike("^-?[0-9]+$"),
+        when(abs(c.cast("long")) >= 20000000000000L,
+          timestamp_micros(c.cast("long")))
+          .otherwise(timestamp_millis(c.cast("long"))))
+      .when(c.contains("T"), c.cast("timestamp"))
       .otherwise(try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")))
+
+  /** DECIMAL/NUMERIC (and unsigned BIGINT) from a change feed: a plain
+    * numeric string casts directly (`decimal.handling.mode=string` /
+    * `double`, the dump path, and the engine's own feeds), while
+    * anything else is Debezium's default precise mode — base64 of the
+    * Kafka Connect `Decimal` two's-complement unscaled bytes, decoded
+    * in-plan by the native `connect_decimal` kernel at the TARGET
+    * column's scale (the registry scale and the connect-schema scale
+    * are both the MySQL column's declared scale). */
+  def connectDecimal(c: Column,
+      target: org.apache.spark.sql.types.DecimalType): Column =
+    when(c.rlike("^[+-]?[0-9]*\\.?[0-9]+([eE][+-]?[0-9]+)?$"),
+      c.cast(target))
+      .otherwise(call_function("connect_decimal", unbase64(c),
+        lit(target.scale)).cast(target))
 
   /** `list` field modifier: CSV string → array<string>
     * (reference: river/sync.go:26, 431-438). */

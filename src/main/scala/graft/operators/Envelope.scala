@@ -69,6 +69,8 @@ object Envelope {
       case "bit" => TypeNorm.bitToLong(raw)
       case "date" => TypeNorm.mysqlDate(raw)
       case "datetime" => TypeNorm.mysqlDateTime(raw)
+      case "decimal" => TypeNorm.connectDecimal(raw,
+        f.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType])
       case _ => raw.cast(f.dataType) // json et al stay dynamic
     }
   }
