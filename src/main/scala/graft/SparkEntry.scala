@@ -830,6 +830,14 @@ object SparkEntry {
     Sampling.trainingOrder(
       t(s, dir, "documents").select("doc_id"), "doc_id", shards = 16)
 
+  /** Epoch-salted twin of [[corpusShuffle]]: the salt (epoch number)
+    * folds into the hash input, giving a fresh reproducible global
+    * permutation per epoch over the same rows. */
+  private def corpusShuffleSalted(s: SparkSession, dir: String): DataFrame =
+    Sampling.trainingOrder(
+      t(s, dir, "documents").select("doc_id"), "doc_id", shards = 16,
+      salt = "epoch2")
+
   /** Stratified deterministic sample: per-language keep rates over the
     * corpus (the standard language-rebalancing pass), zero shuffle. */
   private def sampleStratified(s: SparkSession, dir: String): DataFrame =
@@ -984,6 +992,7 @@ object SparkEntry {
     "sample_shard" -> (sampleShard _),
     "sample_weighted" -> (sampleWeighted _),
     "corpus_shuffle" -> (corpusShuffle _),
+    "corpus_shuffle_salted" -> (corpusShuffleSalted _),
     "sample_stratified" -> (sampleStratified _),
     "sample_reservoir" -> (sampleReservoir _),
     "decontam_ngram" -> (decontamNgram _),
@@ -1490,6 +1499,25 @@ object SparkEntry {
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |      % 16 AS shard
+        |  FROM documents)
+        |, r AS (
+        |  SELECT doc_id, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |      AS pos
+        |  FROM b)
+        |, o AS (
+        |  SELECT shard, sum(n) OVER (ORDER BY shard
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+        |  FROM (SELECT shard, count(*) AS n FROM r GROUP BY shard))
+        |SELECT r.doc_id, r.shard, r.pos,
+        |  CAST(r.pos + coalesce(o.off, 0) AS BIGINT) AS global_pos
+        |FROM r JOIN o USING (shard)""".stripMargin,
+    "corpus_shuffle_salted" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':epoch2') AS h,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch2'),
+        |      1, 15))::BIGINT % 16 AS shard
         |  FROM documents)
         |, r AS (
         |  SELECT doc_id, shard,

@@ -54,6 +54,16 @@ object Sampling {
     * source ordering, yet reproducible. */
   def shardId(id: Column, shards: Int): Column = hashBucket(id, shards)
 
+  /** The hash input for a salted permutation: `id` for the empty salt
+    * (bit-compatible with every pre-salt assignment and oracle),
+    * `id:salt` otherwise. Multi-epoch training wants a DIFFERENT
+    * reproducible permutation per epoch — same rows, decorrelated
+    * order — so the salt (e.g. the epoch number) folds into the md5
+    * input, never into runtime randomness. */
+  private def saltedId(id: Column, salt: String): Column =
+    if (salt.isEmpty) id.cast("string")
+    else concat(id.cast("string"), lit(":" + salt))
+
   /** Stratified deterministic sample: per-stratum Bernoulli-by-hash
     * rates (e.g. downsample web text, keep all books). Same scan-local
     * zero-shuffle shape as [[sampleByHash]] — the stratum column picks
@@ -137,15 +147,22 @@ object Sampling {
     * two-level prefix-sum trick as Packing, never a global sort of the
     * data. Hash order is uncorrelated with any source ordering, so the
     * permutation is as good as a random shuffle for training, while
-    * identical across runs, retries, and engines. */
+    * identical across runs, retries, and engines.
+    *
+    * `salt` (e.g. the epoch number) yields a DIFFERENT reproducible
+    * permutation over the same rows — it feeds both the shard
+    * assignment and the in-shard rank, so epoch 2 is a fresh global
+    * shuffle, not a within-shard reshuffle of epoch 1's layout. Empty
+    * salt = the unsalted permutation (oracle-compatible). */
   def trainingOrder(df: DataFrame, idCol: String,
-      shards: Int): DataFrame = {
+      shards: Int, salt: String = ""): DataFrame = {
     require(shards > 0, "trainingOrder: shards must be positive")
     import org.apache.spark.sql.expressions.Window
-    val h = md5(col(idCol).cast("string"))
+    val sid = saltedId(col(idCol), salt)
+    val h = md5(sid)
     val w = Window.partitionBy(col("shard")).orderBy(h.asc, col(idCol).asc)
     val ranked = df
-      .withColumn("shard", shardId(col(idCol), shards))
+      .withColumn("shard", hashBucket(sid, shards))
       .withColumn("pos", row_number().over(w).cast("long"))
     // shard offsets: a `shards`-row frame — the unpartitioned window is
     // bounded by the shard count, never data-sized
@@ -165,9 +182,9 @@ object Sampling {
     * shuffle; file count is exactly `shards`, so size the count to the
     * data (e.g. total_bytes / 512 MB), not to the task count. */
   def writeShards(df: DataFrame, idCol: String, shards: Int,
-      outDir: String): Unit = {
-    df.withColumn("shard", shardId(col(idCol), shards))
-      .withColumn("_horder", md5(col(idCol).cast("string")))
+      outDir: String, salt: String = ""): Unit = {
+    df.withColumn("shard", hashBucket(saltedId(col(idCol), salt), shards))
+      .withColumn("_horder", md5(saltedId(col(idCol), salt)))
       .repartition(shards, col("shard"))
       .sortWithinPartitions("_horder")
       .drop("_horder")

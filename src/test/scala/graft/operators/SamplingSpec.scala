@@ -91,6 +91,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  test("salted trainingOrder: fresh decorrelated permutation per epoch") {
+    def posMap(salt: String): Map[Long, Long] =
+      Sampling.trainingOrder(ids, "id", shards = 16, salt = salt)
+        .select("id", "global_pos").as[(Long, Long)].collect().toMap
+    val e1 = posMap("epoch1")
+    val e2 = posMap("epoch2")
+    // each salt is a bijection onto 1..N (the contiguity identity holds
+    // per salt) and replays identically
+    assert(e1.values.toSeq.sorted == (1L to 2000L))
+    assert(e2.values.toSeq.sorted == (1L to 2000L))
+    assert(posMap("epoch1") == e1)
+    // distinct salts give decorrelated orders: almost no id keeps its
+    // position, and epoch 2 is a fresh GLOBAL shuffle (shard
+    // assignment moves too), not a within-shard reshuffle
+    val fixed = e1.count { case (id, p) => e2(id) == p }
+    assert(fixed < 20, s"$fixed ids kept their position across salts")
+    def shardMap(salt: String): Map[Long, Long] =
+      Sampling.trainingOrder(ids, "id", shards = 16, salt = salt)
+        .select("id", "shard").as[(Long, Long)].collect().toMap
+    val moved = shardMap("epoch1").toSeq
+      .count { case (id, s) => shardMap("epoch2")(id) != s }
+    assert(moved > 1500, s"only $moved ids changed shard across salts")
+    // empty salt = the unsalted permutation, bit for bit
+    assert(posMap("") == Sampling.trainingOrder(ids, "id", shards = 16)
+      .select("id", "global_pos").as[(Long, Long)].collect().toMap)
+  }
+
   test("writeShards produces one file per shard and loses no rows") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_shards_").toString
