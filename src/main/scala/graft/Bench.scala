@@ -239,8 +239,11 @@ object Bench {
       rescues += 1
       Thread.sleep(20000L * rescues)
       flaggedNow.foreach { n =>
-        measured(n) = math.min(measured(n),
-          timeOnce(SparkEntry.queries(n)))
+        // guard the rescue sample: math.min NaN-propagates, so a query
+        // that throws during the re-time must not overwrite its valid
+        // main-pass measurement
+        val t = timeOnce(SparkEntry.queries(n))
+        if (!t.isNaN) measured(n) = math.min(measured(n), t)
       }
       canaryNow = probeCanary()
     }

@@ -535,6 +535,48 @@ object BenchScale {
       "store_docs" -> corpus.count(), "batch_docs" -> batch.count()))
   }
 
+  /** Store compaction at ×N: seed a store with the corpus split across
+    * 4 ingests (so every bucket holds several small batch partitions —
+    * the small-files state compaction exists to fix), then time ONE
+    * compact. Claims under test: the folded layout is O(buckets) files
+    * at EVERY scale (scale-invariant file count, one file per bucket
+    * per store dir), compaction cost is ~linear in store size
+    * (exponent gate), and behavior is unchanged — an untimed probe
+    * ingest after the fold emits the identical pair set at both scales
+    * (the probe's rotation collides with no store copy, so its pairs
+    * are scale-independent by construction). */
+  private def runCompact(s: SparkSession, dir: String,
+      batch: DataFrame): OpResult = {
+    val store = newTempDir("graft_scale_cmp_")
+    val corpus = s.read.parquet(s"$dir/documents.parquet")
+    (0 until 4).foreach { i =>
+      IncrementalDedup.ingest(
+        corpus.filter(pmod(col("doc_id"), lit(4)) === i),
+        "doc_id", "text", store, batchId = i.toLong)
+    }
+    val before = storeFiles(store)
+    val t0 = System.nanoTime()
+    IncrementalDedup.compact(s, store)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val after = storeFiles(store)
+    val probePairs = IncrementalDedup.ingest(batch, "doc_id", "text",
+      store, batchId = 4L).count()
+    OpResult(secs, Map("out_rows" -> probePairs,
+      "files_before" -> before, "files_after" -> after,
+      "store_docs" -> corpus.count()))
+  }
+
+  /** Data-file count of the sigs+bands store dirs. */
+  private def storeFiles(store: String): Long = {
+    import scala.jdk.CollectionConverters._
+    Seq("sigs", "bands").map { n =>
+      val p = Paths.get(store, n)
+      if (!Files.exists(p)) 0L
+      else Files.walk(p).iterator().asScala
+        .count(f => f.toString.endsWith(".parquet")).toLong
+    }.sum
+  }
+
   // ------------------------------------------------------------------ main
 
   def main(args: Array[String]): Unit = {
@@ -587,7 +629,15 @@ object BenchScale {
       "decontam_ngram" -> (d => runDecontam(spark, d)),
       "dedup_ngram" -> (d => runNgramJaccard(spark, d)),
       "corpus_shuffle" -> (d => runCorpusShuffle(spark, d)),
-      "dedup_incremental" -> (d => runIncDedup(spark, d, incBatch)))
+      "dedup_incremental" -> (d => runIncDedup(spark, d, incBatch)),
+      "dedup_compact" -> (d => runCompact(spark, d, incBatch)))
+      .filter { case (name, _) =>
+        // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
+        // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
+        sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+          .map(_.split(",").map(_.trim).toSet)
+          .forall(_.contains(name))
+      }
 
     // warmup outside all timings
     spark.read.parquet(s"$work/x1/documents.parquet").count()
@@ -687,6 +737,15 @@ object BenchScale {
           atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
             atN.evidence("max_global_pos") == atN.evidence("out_rows") &&
             at1.evidence("max_global_pos") == at1.evidence("out_rows")
+        case "dedup_compact" =>
+          // folded layout is O(buckets) — scale-invariant and far
+          // below the pre-compact partition sprawl; probe-ingest pairs
+          // identical across scales (behavior unchanged by the fold)
+          atN.evidence("files_after") == at1.evidence("files_after") &&
+            atN.evidence("files_after") <= 64 &&
+            atN.evidence("files_before") > atN.evidence("files_after") &&
+            atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("store_docs") == at1.evidence("store_docs") * n
         case "dedup_incremental" =>
           // the probe batch pairs only within itself (its rotation
           // collides with no store copy), so the emitted pairs must be
