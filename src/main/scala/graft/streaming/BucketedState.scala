@@ -233,4 +233,22 @@ object BucketedState {
     currentState(spark, targetDir, stateSchema, nBuckets)
       .filter(col(OpCol) =!= OpDelete)
       .drop(OpCol, SeqCol)
+
+  /** Live rows for exactly the given keys, reading ONLY the buckets
+    * those keys hash to — the O(batch) state lookup behind the JDBC
+    * delta push ([[CdcStream.startToJdbc]]): the batch's touched
+    * buckets are listed from the tiny key frame (bounded driver
+    * collect, ≤ nBuckets ints), their latest versions scanned once,
+    * and the scan semi-joined down to the keys via broadcast. */
+  def viewForKeys(spark: SparkSession, targetDir: String,
+      stateSchema: StructType, nBuckets: Int, keyCols: Seq[String],
+      keys: DataFrame): DataFrame = {
+    val touched = keys
+      .select(bucketExpr(keyCols, nBuckets).as(BucketTag))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    readBuckets(spark, targetDir, stateSchema, touched)
+      .filter(col(OpCol) =!= OpDelete)
+      .drop(OpCol, SeqCol)
+      .join(broadcast(keys), keyCols, "left_semi")
+  }
 }

@@ -182,7 +182,13 @@ object CdcStream {
     * fails replays — at-least-once into an idempotent push
     * (delete-batch-keys-then-insert, see [[graft.sources.JdbcSink
     * .upsertKeys]]) = the same observable exactly-once the parquet
-    * path has. */
+    * path has.
+    *
+    * `stateBuckets`: with the partition-scoped [[BucketedState]] store
+    * (the 100 TB state layout), the whole loop is O(batch): the merge
+    * rewrites only the batch's key-buckets and the delta lookup reads
+    * only those buckets back ([[BucketedState.viewForKeys]]) — no step
+    * ever scans the full state after bootstrap. */
   def startToJdbc(spark: SparkSession, changesDir: String,
       changeSchema: StructType, targetDir: String, checkpointDir: String,
       keyCols: Seq[String], jdbcUrl: String, jdbcTable: String,
@@ -190,7 +196,8 @@ object CdcStream {
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow(),
       jdbcOptions: Map[String, String] = Map.empty,
-      fullReplace: Boolean = false): StreamingQuery = {
+      fullReplace: Boolean = false,
+      stateBuckets: Option[Int] = None): StreamingQuery = {
     var reader = spark.readStream.schema(changeSchema)
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n))
@@ -201,20 +208,34 @@ object CdcStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(batch, batchId, targetDir, keyCols,
-          ignoreUpdates, ignoreDeletes)
-        val view = currentView(spark, targetDir, changeSchema)
+        stateBuckets match {
+          case Some(nb) => BucketedState.mergeBatch(batch, batchId,
+            targetDir, keyCols, nb, ignoreUpdates, ignoreDeletes)
+          case None => mergeBatch(batch, batchId, targetDir, keyCols,
+            ignoreUpdates, ignoreDeletes)
+        }
+        def fullView = stateBuckets match {
+          case Some(nb) =>
+            BucketedState.currentView(spark, targetDir, changeSchema, nb)
+          case None => currentView(spark, targetDir, changeSchema)
+        }
         if (fullReplace ||
             !graft.sources.JdbcSink.tableExists(jdbcUrl, jdbcTable,
               jdbcOptions)) {
-          graft.sources.JdbcSink.replace(view, jdbcUrl, jdbcTable,
+          graft.sources.JdbcSink.replace(fullView, jdbcUrl, jdbcTable,
             options = jdbcOptions)
         } else {
           // the batch's distinct keys (small — bounded by trigger
           // size); their post-merge live rows via one broadcast
-          // semi-join against the state scan
+          // semi-join — against only the touched buckets when the
+          // state is bucketed, the (single-scan) flat state otherwise
           val keys = batch.select(keyCols.map(col): _*).distinct()
-          val current = view.join(broadcast(keys), keyCols, "left_semi")
+          val current = stateBuckets match {
+            case Some(nb) => BucketedState.viewForKeys(spark, targetDir,
+              changeSchema, nb, keyCols, keys)
+            case None => currentView(spark, targetDir, changeSchema)
+              .join(broadcast(keys), keyCols, "left_semi")
+          }
           graft.sources.JdbcSink.upsertKeys(keys, current, keyCols,
             jdbcUrl, jdbcTable, options = jdbcOptions)
         }

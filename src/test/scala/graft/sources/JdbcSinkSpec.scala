@@ -60,6 +60,26 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
   }
 
+  test("bucketed-state startToJdbc lands the same LWW table, O(batch) reads") {
+    import graft.operators.ChangeFeed
+    import graft.streaming.{BucketedState, CdcStream}
+    val work = Files.createTempDirectory("graft_jsinkb_").toString
+    val feed = ChangeFeed.full(spark, TestSpark.Sf0001)
+    feed.write.parquet(s"$work/changes")
+    // partition-scoped state: merge rewrites only touched buckets and
+    // the delta lookup reads only those buckets back (viewForKeys)
+    val q = CdcStream.startToJdbc(spark, s"$work/changes", feed.schema,
+      s"$work/target", s"$work/ckpt", ChangeFeed.keyCols,
+      url, "cdc_live_b", maxFilesPerTrigger = Some(2),
+      jdbcOptions = driverOpt, stateBuckets = Some(8))
+    q.awaitTermination()
+    val want = BucketedState.currentView(spark, s"$work/target",
+      feed.schema, 8)
+    val got = readBack("cdc_live_b")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("upsertKeys touches only the batch's keys; crash replay idempotent") {
     val state0 = Seq((1, "a"), (2, "b"), (3, "c")).toDF("K", "V")
     JdbcSink.replace(state0, url, "delta_t", options = driverOpt)
