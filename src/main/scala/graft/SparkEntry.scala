@@ -822,6 +822,22 @@ object SparkEntry {
       weight = least(lit(1.0), col("n_chars") / lit(4000.0)),
       rate = 0.5)
 
+  /** Temperature-flattened domain mixture sample: per-language keep
+    * rates DERIVED from the observed language sizes (q ∝ n^α, α = 0.5 —
+    * head languages downsampled, tail kept whole) at a 30% overall
+    * target — the multilingual rebalancing rule, zero data shuffle. */
+  private def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSampleByHash(
+      t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+      alpha = 0.5, targetFrac = 0.3)
+
+  /** Corpus-trained bigram LM score per document (CCNet's perplexity
+    * filter): add-k smoothed mean bigram log-probability, model and
+    * scores both computed distributed (LangModel.score). */
+  private def textLmScore(s: SparkSession, dir: String): DataFrame =
+    operators.LangModel.score(
+      t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+
   /** Deterministic global training order: (shard, pos, global_pos) is a
     * reproducible pseudo-random permutation of the corpus — the
     * training-shuffle primitive — built shard-parallel (no global-sort
@@ -991,6 +1007,8 @@ object SparkEntry {
     "sketch_kmv" -> (sketchKmv _),
     "sample_shard" -> (sampleShard _),
     "sample_weighted" -> (sampleWeighted _),
+    "sample_temperature" -> (sampleTemperature _),
+    "text_lm_score" -> (textLmScore _),
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_shuffle_salted" -> (corpusShuffleSalted _),
     "sample_stratified" -> (sampleStratified _),
@@ -1494,6 +1512,45 @@ object SparkEntry {
         |  least(1000000, CAST(floor(
         |    least(1.0, n_chars / 4000.0) * 0.5 * 1000000) AS BIGINT))"""
         .stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY 1)
+        |, z AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS nn FROM c)
+        |, r AS (
+        |  SELECT c.lang,
+        |    CAST(floor(least(1.0,
+        |        z.nn * 0.3 * pow(c.n, 0.5) / z.z / c.n) * 1000000)
+        |      AS BIGINT) AS thresh
+        |  FROM c, z)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT % 1000000 < r.thresh""".stripMargin,
+    "text_lm_score" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |, tk AS (
+        |  SELECT doc_id, unnest(toks) AS tok,
+        |    generate_subscripts(toks, 1) AS i
+        |  FROM d)
+        |, bg AS (
+        |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+        |, bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2)
+        |, lc AS (SELECT w1, sum(c) AS cl FROM bc GROUP BY 1)
+        |, v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vs FROM bc)
+        |, m AS (
+        |  SELECT bc.w1, bc.w2,
+        |    ln((bc.c + 0.5) / (lc.cl + 0.5 * v.vs)) AS lp
+        |  FROM bc JOIN lc USING (w1), v)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(avg(m.lp), 6) AS lm_score
+        |FROM bg JOIN m USING (w1, w2)
+        |GROUP BY 1""".stripMargin,
     "corpus_shuffle" ->
       """WITH b AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,

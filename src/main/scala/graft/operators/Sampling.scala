@@ -134,6 +134,41 @@ object Sampling {
         floor(weight * rate * buckets).cast("long")))
   }
 
+  /** Temperature-flattened domain mixture sample: keep-rates are DERIVED
+    * from the observed domain sizes so the kept corpus follows the
+    * temperature-α distribution `q(d) ∝ n_d^α` (α < 1 flattens — the
+    * multilingual/domain rebalancing rule where head domains are
+    * downsampled and tail domains kept whole) at overall target fraction
+    * `targetFrac`. Per-domain keep-rate
+    * `min(1, N·targetFrac·n_d^α / Z / n_d)` with `Z = Σ n_d^α`; rows
+    * are then kept by the same floor-threshold id-hash rule as
+    * [[weightedSampleByHash]], so the exact kept set replays on every
+    * run and engine (the multiply/divide chain is written in one fixed
+    * left-to-right order for bit-identical oracle replay).
+    *
+    * Scale shape: one domains-sized count aggregate, rates computed on
+    * that tiny frame, broadcast back, scan-local filter — the corpus
+    * itself never shuffles. */
+  def temperatureSampleByHash(df: DataFrame, idCol: String,
+      domainCol: String, alpha: Double, targetFrac: Double,
+      buckets: Int = 1000000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac must be in (0, 1]")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val tot = counts.agg(sum(pow(col("_n"), lit(alpha))).as("_z"),
+      sum(col("_n")).as("_nn"))
+    val thresholds = counts.crossJoin(broadcast(tot))
+      .select(col(domainCol),
+        floor(least(lit(1.0),
+            col("_nn") * lit(targetFrac) * pow(col("_n"), lit(alpha))
+              / col("_z") / col("_n"))
+          * buckets).cast("long").as("_thresh"))
+    df.join(broadcast(thresholds), domainCol)
+      .filter(hashBucket(col(idCol), buckets) < col("_thresh"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Deterministic global training order: every row gets `(shard, pos,
     * global_pos)` where `shard` is the id-hash bucket, `pos` ranks the
     * id hash within the shard, and `global_pos` (1-based, contiguous)

@@ -118,6 +118,36 @@ class SamplingSpec extends AnyFunSuite {
       .select("id", "global_pos").as[(Long, Long)].collect().toMap)
   }
 
+  test("temperatureSampleByHash flattens the domain distribution") {
+    // skewed corpus: head domain 6400 rows, tail 400
+    val rows = ((1L to 6400L).map(i => (i, "head")) ++
+      (6401L to 6800L).map(i => (i, "tail"))).toDF("id", "dom")
+    val kept = Sampling.temperatureSampleByHash(
+      rows, "id", "dom", alpha = 0.5, targetFrac = 0.5)
+    val by = kept.groupBy("dom").count().as[(String, Long)].collect().toMap
+    // derive the exact expected thresholds the operator promises
+    val (nh, nt) = (6400.0, 400.0)
+    val z = math.pow(nh, 0.5) + math.pow(nt, 0.5)
+    def rate(n: Double) =
+      math.min(1.0, 6800.0 * 0.5 * math.pow(n, 0.5) / z / n)
+    // tail keep-rate must exceed head keep-rate (flattening), and the
+    // empirical rates must track the derived ones within hash noise
+    assert(rate(nt) > rate(nh))
+    assert(math.abs(by("head").toDouble / nh - rate(nh)) < 0.05)
+    assert(math.abs(by("tail").toDouble / nt - rate(nt)) < 0.1)
+    // schema is the input schema (helper columns dropped), replay-stable
+    assert(kept.columns.toSeq == Seq("id", "dom"))
+    val again = Sampling.temperatureSampleByHash(
+      rows, "id", "dom", alpha = 0.5, targetFrac = 0.5)
+      .as[(Long, String)].collect().toSet
+    assert(again == kept.as[(Long, String)].collect().toSet)
+    // alpha = 1 is plain proportional sampling: every domain same rate,
+    // overall fraction ~targetFrac
+    val prop = Sampling.temperatureSampleByHash(
+      rows, "id", "dom", alpha = 1.0, targetFrac = 0.5)
+    assert(math.abs(prop.count() / 6800.0 - 0.5) < 0.05)
+  }
+
   test("writeShards produces one file per shard and loses no rows") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_shards_").toString
