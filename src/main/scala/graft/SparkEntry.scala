@@ -835,8 +835,13 @@ object SparkEntry {
     * filter): add-k smoothed mean bigram log-probability, model and
     * scores both computed distributed (LangModel.score). */
   private def textLmScore(s: SparkSession, dir: String): DataFrame =
+    // repartition: bigram extraction is the scan CPU (twice — model
+    // pass + scoring pass), and the local single-split parquet would
+    // otherwise run both on one task
     operators.LangModel.score(
-      t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+      t(s, dir, "documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text")
 
   /** Deterministic global training order: (shard, pos, global_pos) is a
     * reproducible pseudo-random permutation of the corpus — the

@@ -62,11 +62,19 @@ object LangModel {
     * `(id, n_bigrams, lm_score)` where `lm_score` is the mean bigram
     * log-probability (rounded to 6 decimals — the sum order across
     * partitions is engine-specific at the last ulp). Docs with fewer
-    * than two tokens have no bigrams and are absent. */
+    * than two tokens have no bigrams and are absent.
+    *
+    * The model side is broadcast: it is bounded by the OBSERVED bigram
+    * types, which for natural text is ≪ vocab² (Zipf — most of the mass
+    * sits in few types). For an open-vocab corpus where the type table
+    * outgrows broadcast, join [[bigrams]] against [[bigramModel]] with
+    * a plain shuffle join instead — the shape stays one join + one
+    * per-doc aggregate either way. */
   def score(docs: DataFrame, idCol: String, textCol: String,
       k: Double = 0.5): DataFrame =
     bigrams(docs, idCol, textCol)
-      .join(bigramModel(docs, idCol, textCol, k), Seq("w1", "w2"))
+      .join(broadcast(bigramModel(docs, idCol, textCol, k)),
+        Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("lp")), 6).as("lm_score"))
