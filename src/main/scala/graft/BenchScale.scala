@@ -7,7 +7,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import graft.operators.{AsofJoin, Clustering, Decontam, Dedup,
-  IncrementalDedup, Packing, RangeJoin, Sampling, Similarity}
+  IncrementalDedup, LangModel, Packing, RangeJoin, Sampling, Similarity}
 import graft.functions.TextFunctions
 
 /** Scale-claim validation — every operator in this engine carries a
@@ -514,6 +514,36 @@ object BenchScale {
     r.copy(evidence = r.evidence + ("max_global_pos" -> maxPos))
   }
 
+  /** Corpus bigram LM scoring at ×N: every doc (with ≥ 2 tokens) gets a
+    * score row, so out_rows must grow ×N exactly. The model table is
+    * bounded by OBSERVED bigram types — under the disjoint alphabet
+    * rotations each copy contributes its own types, so `model_types`
+    * must grow ×N exactly (a cross-copy type collision would merge rows
+    * and show here as a shortfall). Per-copy isomorphism means every
+    * copy reproduces the base corpus's count structure, so the ×N
+    * corpus collapses to (≈) the ×1 set of distinct
+    * `(n_bigrams, lm_score)` profiles — scores are copy-local; only the
+    * global vocabulary smoothing term shifts them, identically for
+    * every copy (1% slack: the shift can merge/split 6-decimal ties). */
+  private def runLmScore(s: SparkSession, dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+      .repartition(s.sparkContext.defaultParallelism)
+    var distinct = 0L
+    val r = timed {
+      val row = LangModel.score(docs, "doc_id", "text")
+        .agg(count(lit(1)),
+          countDistinct(struct(col("n_bigrams"), col("lm_score"))))
+        .head()
+      distinct = row.getLong(1)
+      row.getLong(0)
+    }(Map.empty)
+    // evidence-only pass, outside the timing
+    val types = LangModel.bigramModel(docs, "doc_id", "text").count()
+    r.copy(evidence = r.evidence ++ Map(
+      "model_types" -> types, "distinct_scores" -> distinct))
+  }
+
   /** Incremental dedup: the SAME fixed probe batch (copy 13 — id range
     * and rotation disjoint from every blow-up copy) ingests into a
     * store seeded with the ×1 corpus vs the ×N corpus. Per-batch cost
@@ -630,7 +660,8 @@ object BenchScale {
       "dedup_ngram" -> (d => runNgramJaccard(spark, d)),
       "corpus_shuffle" -> (d => runCorpusShuffle(spark, d)),
       "dedup_incremental" -> (d => runIncDedup(spark, d, incBatch)),
-      "dedup_compact" -> (d => runCompact(spark, d, incBatch)))
+      "dedup_compact" -> (d => runCompact(spark, d, incBatch)),
+      "text_lm_score" -> (d => runLmScore(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -746,6 +777,14 @@ object BenchScale {
             atN.evidence("files_before") > atN.evidence("files_after") &&
             atN.evidence("out_rows") == at1.evidence("out_rows") &&
             atN.evidence("store_docs") == at1.evidence("store_docs") * n
+        case "text_lm_score" =>
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("model_types") ==
+              at1.evidence("model_types") * n &&
+            atN.evidence("distinct_scores") <=
+              at1.evidence("distinct_scores") * 101 / 100 &&
+            atN.evidence("distinct_scores") >=
+              at1.evidence("distinct_scores") * 95 / 100
         case "dedup_incremental" =>
           // the probe batch pairs only within itself (its rotation
           // collides with no store copy), so the emitted pairs must be
