@@ -831,6 +831,15 @@ object SparkEntry {
       t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
       alpha = 0.5, targetFrac = 0.3)
 
+  /** Temperature mixture with upsampling: tail languages repeat
+    * (epochs-per-domain, fractional part hash-decided per doc) instead
+    * of head languages merely being cut — targetMult 1.0 keeps the
+    * output corpus-sized but rebalanced toward q ∝ n^0.5. */
+  private def sampleUpsample(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureUpsampleByHash(
+      t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+      alpha = 0.5, targetMult = 1.0)
+
   /** Corpus-trained bigram LM score per document (CCNet's perplexity
     * filter): add-k smoothed mean bigram log-probability, model and
     * scores both computed distributed (LangModel.score). */
@@ -1013,6 +1022,7 @@ object SparkEntry {
     "sample_shard" -> (sampleShard _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_temperature" -> (sampleTemperature _),
+    "sample_upsample" -> (sampleUpsample _),
     "text_lm_score" -> (textLmScore _),
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_shuffle_salted" -> (corpusShuffleSalted _),
@@ -1532,6 +1542,26 @@ object SparkEntry {
         |FROM documents d JOIN r USING (lang)
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
         |    ::BIGINT % 1000000 < r.thresh""".stripMargin,
+    "sample_upsample" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY 1)
+        |, z AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS nn FROM c)
+        |, r AS (
+        |  SELECT c.lang,
+        |    z.nn * 1.0 * pow(c.n, 0.5) / z.z / c.n AS rate
+        |  FROM c, z)
+        |, d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(rate) AS BIGINT) +
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |          1, 15))::BIGINT % 1000000 <
+        |        CAST(floor((rate - floor(rate)) * 1000000) AS BIGINT)
+        |      THEN 1 ELSE 0 END AS rep
+        |  FROM documents JOIN r USING (lang))
+        |SELECT doc_id, lang,
+        |  unnest(generate_series(1, rep)) AS rep_idx
+        |FROM d WHERE rep >= 1""".stripMargin,
     "text_lm_score" ->
       """WITH d AS (
         |  SELECT doc_id,

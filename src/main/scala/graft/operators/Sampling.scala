@@ -169,6 +169,47 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Temperature mixture with UPSAMPLING: like
+    * [[temperatureSampleByHash]] but a domain whose target share
+    * exceeds its size is REPEATED instead of capped — the
+    * epochs-per-domain primitive of data mixing (tail domains cycle
+    * more than once per training epoch). Each row gets
+    * `floor(rate_d)` copies plus one more when its id hash lands under
+    * the fractional part's floor threshold, so expected domain volume
+    * is exactly `rate_d · n_d` and the exact copy set replays on every
+    * engine. Output = input columns + `rep_idx` (1..copies); rows in
+    * domains with `rate_d < 1` and a losing hash draw drop out.
+    * `targetMult` scales total output vs input (1.0 ≈ corpus-sized,
+    * rebalanced). Same scale shape as the downsampling variant: tiny
+    * count agg + broadcast + scan-local explode, no corpus shuffle. */
+  def temperatureUpsampleByHash(df: DataFrame, idCol: String,
+      domainCol: String, alpha: Double, targetMult: Double,
+      buckets: Int = 1000000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(targetMult > 0, "targetMult must be positive")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val tot = counts.agg(sum(pow(col("_n"), lit(alpha))).as("_z"),
+      sum(col("_n")).as("_nn"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(domainCol),
+        (col("_nn") * lit(targetMult) * pow(col("_n"), lit(alpha))
+          / col("_z") / col("_n")).as("_rate"))
+      .select(col(domainCol),
+        floor(col("_rate")).cast("long").as("_base"),
+        floor((col("_rate") - floor(col("_rate"))) * buckets)
+          .cast("long").as("_fthresh"))
+    val rep = col("_base") +
+      when(hashBucket(col(idCol), buckets) < col("_fthresh"), 1L)
+        .otherwise(0L)
+    df.join(broadcast(rates), domainCol)
+      .withColumn("_rep", rep)
+      .withColumn("rep_idx",
+        explode(when(col("_rep") >= 1, sequence(lit(1L), col("_rep")))
+          .otherwise(array().cast("array<long>"))))
+      .select((df.columns.map(col) :+ col("rep_idx")).toIndexedSeq: _*)
+  }
+
   /** Deterministic global training order: every row gets `(shard, pos,
     * global_pos)` where `shard` is the id-hash bucket, `pos` ranks the
     * id hash within the shard, and `global_pos` (1-based, contiguous)

@@ -148,6 +148,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(prop.count() / 6800.0 - 0.5) < 0.05)
   }
 
+  test("temperatureUpsampleByHash repeats tail domains, caps nothing") {
+    val rows = ((1L to 6400L).map(i => (i, "head")) ++
+      (6401L to 6800L).map(i => (i, "tail"))).toDF("id", "dom")
+    val out = Sampling.temperatureUpsampleByHash(
+      rows, "id", "dom", alpha = 0.5, targetMult = 1.0)
+    // derived rates: rate_d = N·√n_d / Z / n_d (no cap)
+    val (nh, nt) = (6400.0, 400.0)
+    val z = math.sqrt(nh) + math.sqrt(nt)
+    def rate(n: Double) = 6800.0 * 1.0 * math.sqrt(n) / z / n
+    assert(rate(nt) > 1.0 && rate(nh) < 1.0) // tail upsamples, head cuts
+    val by = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    // expected volume = rate·n within hash noise
+    assert(math.abs(by("head") / nh - rate(nh)) < 0.05)
+    assert(math.abs(by("tail") / nt - rate(nt)) < 0.15)
+    // per-row copy counts are floor(rate) or floor(rate)+1, and
+    // rep_idx is contiguous 1..rep for every kept row
+    val reps = out.groupBy("id").agg(
+        count(lit(1)).as("n"), max("rep_idx").as("mx"))
+      .as[(Long, Long, Long)].collect()
+    assert(reps.forall { case (_, n, mx) => n == mx })
+    val tailReps = out.filter($"dom" === "tail").groupBy("id").count()
+      .as[(Long, Long)].collect().map(_._2).toSet
+    val base = math.floor(rate(nt)).toLong
+    assert(tailReps.subsetOf(Set(base, base + 1)))
+    // deterministic replay
+    val again = Sampling.temperatureUpsampleByHash(
+      rows, "id", "dom", alpha = 0.5, targetMult = 1.0)
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == out.as[(Long, String, Long)].collect().toSet)
+  }
+
   test("writeShards produces one file per shard and loses no rows") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_shards_").toString
