@@ -49,7 +49,12 @@ object LangModel {
   def bigramModel(docs: DataFrame, idCol: String, textCol: String,
       k: Double = 0.5): DataFrame = {
     val bg = bigrams(docs, idCol, textCol)
-    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    // persist the TYPE table, not corpus data: lc and vs both derive
+    // from bc, and Spark cannot reuse its exchange across the three
+    // branches — uncached, each branch re-runs the corpus-sized
+    // extraction (plan-audited: 3 extra full scans). bc is
+    // vocab²-bounded, so the cache is model-sized everywhere.
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c")).persist()
     val lc = bc.groupBy("w1").agg(sum(col("c")).as("cl"))
     val v = bc.agg(countDistinct(col("w2")).cast("double").as("vs"))
     bc.join(lc, "w1").crossJoin(broadcast(v))
