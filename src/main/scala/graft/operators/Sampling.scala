@@ -154,8 +154,11 @@ object Sampling {
       buckets: Int = 1000000): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(targetFrac > 0 && targetFrac <= 1, "targetFrac must be in (0, 1]")
+    // persist the domains-sized count table: tot derives from counts and
+    // Spark cannot reuse the exchange across the two branches — uncached,
+    // the totals branch re-scans the corpus (plan-audited)
     val counts = df.groupBy(col(domainCol))
-      .agg(count(lit(1)).cast("double").as("_n"))
+      .agg(count(lit(1)).cast("double").as("_n")).persist()
     val tot = counts.agg(sum(pow(col("_n"), lit(alpha))).as("_z"),
       sum(col("_n")).as("_nn"))
     val thresholds = counts.crossJoin(broadcast(tot))
@@ -187,8 +190,11 @@ object Sampling {
       buckets: Int = 1000000): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(targetMult > 0, "targetMult must be positive")
+    // persist the domains-sized count table: tot derives from counts and
+    // Spark cannot reuse the exchange across the two branches — uncached,
+    // the totals branch re-scans the corpus (plan-audited)
     val counts = df.groupBy(col(domainCol))
-      .agg(count(lit(1)).cast("double").as("_n"))
+      .agg(count(lit(1)).cast("double").as("_n")).persist()
     val tot = counts.agg(sum(pow(col("_n"), lit(alpha))).as("_z"),
       sum(col("_n")).as("_nn"))
     val rates = counts.crossJoin(broadcast(tot))
