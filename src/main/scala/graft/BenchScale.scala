@@ -784,7 +784,7 @@ object BenchScale {
             atN.evidence("distinct_scores") <=
               at1.evidence("distinct_scores") * 101 / 100 &&
             atN.evidence("distinct_scores") >=
-              at1.evidence("distinct_scores") * 95 / 100
+              at1.evidence("distinct_scores") * 99 / 100
         case "dedup_incremental" =>
           // the probe batch pairs only within itself (its rotation
           // collides with no store copy), so the emitted pairs must be

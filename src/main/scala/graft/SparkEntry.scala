@@ -1549,7 +1549,8 @@ object SparkEntry {
         |, z AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS nn FROM c)
         |, r AS (
         |  SELECT c.lang,
-        |    z.nn * 1.0 * pow(c.n, 0.5) / z.z / c.n AS rate
+        |    least(z.nn * 1.0 * pow(c.n, 0.5) / z.z / c.n, 10000.0)
+        |      AS rate
         |  FROM c, z)
         |, d AS (
         |  SELECT doc_id, lang,

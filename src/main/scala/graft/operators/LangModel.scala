@@ -53,14 +53,22 @@ object LangModel {
     // from bc, and Spark cannot reuse its exchange across the three
     // branches — uncached, each branch re-runs the corpus-sized
     // extraction (plan-audited: 3 extra full scans). bc is
-    // vocab²-bounded, so the cache is model-sized everywhere.
+    // vocab²-bounded, so the cache is model-sized everywhere. The
+    // returned model is EAGERLY materialized (localCheckpoint — an
+    // observed-types-sized result), which truncates its lineage so bc
+    // can be unpersisted here instead of leaking cached blocks into
+    // whatever the session runs next (repo convention, see
+    // SparkEntry.dedupClusters).
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c")).persist()
-    val lc = bc.groupBy("w1").agg(sum(col("c")).as("cl"))
-    val v = bc.agg(countDistinct(col("w2")).cast("double").as("vs"))
-    bc.join(lc, "w1").crossJoin(broadcast(v))
-      .select(col("w1"), col("w2"),
-        log((col("c") + lit(k)) / (col("cl") + lit(k) * col("vs")))
-          .as("lp"))
+    try {
+      val lc = bc.groupBy("w1").agg(sum(col("c")).as("cl"))
+      val v = bc.agg(countDistinct(col("w2")).cast("double").as("vs"))
+      bc.join(lc, "w1").crossJoin(broadcast(v))
+        .select(col("w1"), col("w2"),
+          log((col("c") + lit(k)) / (col("cl") + lit(k) * col("vs")))
+            .as("lp"))
+        .localCheckpoint()
+    } finally bc.unpersist(false)
   }
 
   /** Score every document against the corpus-trained model:

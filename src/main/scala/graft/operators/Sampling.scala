@@ -149,24 +149,39 @@ object Sampling {
     * Scale shape: one domains-sized count aggregate, rates computed on
     * that tiny frame, broadcast back, scan-local filter — the corpus
     * itself never shuffles. */
+  /** Per-domain temperature rate table `(domainCol, _rate)` with
+    * `_rate = N·mult·n_d^α / Z / n_d`, `Z = Σ n_d^α` — the ONE copy of
+    * the FP-order-sensitive chain both mixture variants (and their
+    * DuckDB oracles) must replay term-for-term. The domains-sized count
+    * table is persisted while the totals branch reads it (Spark cannot
+    * reuse the exchange across the two branches — uncached, the totals
+    * branch re-scans the corpus; plan-audited), and the returned rate
+    * table is EAGERLY materialized (localCheckpoint, domains-sized) so
+    * the cache can be released here rather than leak into the session. */
+  private def domainRates(df: DataFrame, domainCol: String,
+      alpha: Double, mult: Double): DataFrame = {
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("_n")).persist()
+    try {
+      val tot = counts.agg(sum(pow(col("_n"), lit(alpha))).as("_z"),
+        sum(col("_n")).as("_nn"))
+      counts.crossJoin(broadcast(tot))
+        .select(col(domainCol),
+          (col("_nn") * lit(mult) * pow(col("_n"), lit(alpha))
+            / col("_z") / col("_n")).as("_rate"))
+        .localCheckpoint()
+    } finally counts.unpersist(false)
+  }
+
   def temperatureSampleByHash(df: DataFrame, idCol: String,
       domainCol: String, alpha: Double, targetFrac: Double,
       buckets: Int = 1000000): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(targetFrac > 0 && targetFrac <= 1, "targetFrac must be in (0, 1]")
-    // persist the domains-sized count table: tot derives from counts and
-    // Spark cannot reuse the exchange across the two branches — uncached,
-    // the totals branch re-scans the corpus (plan-audited)
-    val counts = df.groupBy(col(domainCol))
-      .agg(count(lit(1)).cast("double").as("_n")).persist()
-    val tot = counts.agg(sum(pow(col("_n"), lit(alpha))).as("_z"),
-      sum(col("_n")).as("_nn"))
-    val thresholds = counts.crossJoin(broadcast(tot))
+    val thresholds = domainRates(df, domainCol, alpha, targetFrac)
       .select(col(domainCol),
-        floor(least(lit(1.0),
-            col("_nn") * lit(targetFrac) * pow(col("_n"), lit(alpha))
-              / col("_z") / col("_n"))
-          * buckets).cast("long").as("_thresh"))
+        floor(least(lit(1.0), col("_rate")) * buckets)
+          .cast("long").as("_thresh"))
     df.join(broadcast(thresholds), domainCol)
       .filter(hashBucket(col(idCol), buckets) < col("_thresh"))
       .select(df.columns.map(col).toIndexedSeq: _*)
@@ -184,23 +199,21 @@ object Sampling {
     * domains with `rate_d < 1` and a losing hash draw drop out.
     * `targetMult` scales total output vs input (1.0 ≈ corpus-sized,
     * rebalanced). Same scale shape as the downsampling variant: tiny
-    * count agg + broadcast + scan-local explode, no corpus shuffle. */
+    * count agg + broadcast + scan-local explode, no corpus shuffle.
+    *
+    * `maxRepeats` caps the per-row copy count (the per-row `sequence`
+    * materializes `rep` elements before exploding — a near-singleton
+    * domain in a huge corpus would otherwise demand an unbounded
+    * array); the DuckDB oracle mirrors the cap term-for-term. */
   def temperatureUpsampleByHash(df: DataFrame, idCol: String,
       domainCol: String, alpha: Double, targetMult: Double,
-      buckets: Int = 1000000): DataFrame = {
+      buckets: Int = 1000000, maxRepeats: Int = 10000): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(targetMult > 0, "targetMult must be positive")
-    // persist the domains-sized count table: tot derives from counts and
-    // Spark cannot reuse the exchange across the two branches — uncached,
-    // the totals branch re-scans the corpus (plan-audited)
-    val counts = df.groupBy(col(domainCol))
-      .agg(count(lit(1)).cast("double").as("_n")).persist()
-    val tot = counts.agg(sum(pow(col("_n"), lit(alpha))).as("_z"),
-      sum(col("_n")).as("_nn"))
-    val rates = counts.crossJoin(broadcast(tot))
+    require(maxRepeats > 0, "maxRepeats must be positive")
+    val rates = domainRates(df, domainCol, alpha, targetMult)
       .select(col(domainCol),
-        (col("_nn") * lit(targetMult) * pow(col("_n"), lit(alpha))
-          / col("_z") / col("_n")).as("_rate"))
+        least(col("_rate"), lit(maxRepeats.toDouble)).as("_rate"))
       .select(col(domainCol),
         floor(col("_rate")).cast("long").as("_base"),
         floor((col("_rate") - floor(col("_rate"))) * buckets)

@@ -163,11 +163,14 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(by("head") / nh - rate(nh)) < 0.05)
     assert(math.abs(by("tail") / nt - rate(nt)) < 0.15)
     // per-row copy counts are floor(rate) or floor(rate)+1, and
-    // rep_idx is contiguous 1..rep for every kept row
+    // rep_idx is contiguous 1..rep for every kept row: min 1, max n,
+    // all distinct — together these pin the exact set {1..n}
     val reps = out.groupBy("id").agg(
-        count(lit(1)).as("n"), max("rep_idx").as("mx"))
-      .as[(Long, Long, Long)].collect()
-    assert(reps.forall { case (_, n, mx) => n == mx })
+        count(lit(1)).as("n"), min("rep_idx").as("mn"),
+        max("rep_idx").as("mx"), countDistinct("rep_idx").as("nd"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(reps.forall { case (_, n, mn, mx, nd) =>
+      mn == 1 && mx == n && nd == n })
     val tailReps = out.filter($"dom" === "tail").groupBy("id").count()
       .as[(Long, Long)].collect().map(_._2).toSet
     val base = math.floor(rate(nt)).toLong
