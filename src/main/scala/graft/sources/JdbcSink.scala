@@ -34,26 +34,139 @@ object JdbcSink {
       .mode("append").save()
 
   /** Replace the sink table's contents with `df` — the bootstrap /
-    * repair path: write the full CDC-collapsed state. NOT atomic for
-    * concurrent readers: Spark's JDBC overwrite truncates (or
-    * drops+creates) and then inserts partition-parallel transactions,
-    * so a reader mid-replace can observe an empty or partial table.
-    * Use it to seed or repair a sink, and [[upsertKeys]] for the
-    * per-batch continuous push (which touches only the batch's keys).
-    * `truncate = true` keeps the existing table definition (and any
-    * grants/indexes) instead of drop+create when the schema is
-    * unchanged. */
+    * repair path: write the full CDC-collapsed state.
+    *
+    * ATOMIC for concurrent readers by default (`atomic = true`) when
+    * the table already exists: the new state is staged into a side
+    * table (`<table>_GRAFT_STG`), then swapped in so a reader polling
+    * mid-replace only ever observes the complete old or the complete
+    * new contents, never empty/partial. Swap strategy:
+    *
+    *   - `truncate = false`: staging + rename swap — one atomic
+    *     multi-`RENAME TABLE` statement on MySQL/MariaDB, a
+    *     transactional `DROP` + rename on dialects with transactional
+    *     DDL (Derby, PostgreSQL). The table takes the staging table's
+    *     definition (same posture as Spark's drop+create overwrite).
+    *   - `truncate = true`: staging + ONE `DELETE`+`INSERT…SELECT`
+    *     transaction — keeps the existing table definition (grants,
+    *     indexes) AND is atomic on every dialect with transactional
+    *     DML (i.e. all of them). Dialects without a known rename
+    *     syntax (or with auto-committing DDL, e.g. H2) also take this
+    *     path regardless of `truncate`, since their rename cannot be
+    *     made atomic.
+    *
+    * `atomic = false` restores the plain Spark JDBC overwrite (the
+    * documented non-atomic truncate-or-recreate) for sinks with no
+    * concurrent readers. A crash mid-replace never corrupts the live
+    * table: the staging write is invisible, the swap is one
+    * transaction (or one atomic statement), and a leftover staging
+    * table is dropped by the next replace. The whole-state transaction
+    * is the price of bootstrap/repair; steady state uses the O(batch)
+    * [[upsertKeys]]. */
   def replace(df: DataFrame, url: String, table: String,
       batchSize: Int = 1000, truncate: Boolean = false,
-      options: Map[String, String] = Map.empty): Unit =
-    writer(df, batchSize, options)
-      .option("url", url).option("dbtable", table)
-      .option("truncate", truncate.toString)
-      .mode("overwrite").save()
+      options: Map[String, String] = Map.empty,
+      atomic: Boolean = true): Unit = {
+    if (!atomic || !tableExists(url, table, options)) {
+      // creation (no reader can exist) or explicitly non-atomic
+      writer(df, batchSize, options)
+        .option("url", url).option("dbtable", table)
+        .option("truncate", truncate.toString)
+        .mode("overwrite").save()
+    } else {
+      val stg = stagingName(table)
+      dropIfExists(url, stg, options) // crashed-previous-replace leftover
+      writer(df, batchSize, options)
+        .option("url", url).option("dbtable", stg)
+        .mode("overwrite").save()
+      val conn = connect(url, options)
+      try {
+        if (truncate || !Rename.supported(url)) {
+          // definition-preserving swap: portable transactional DML
+          conn.setAutoCommit(false)
+          val quote = JdbcDialects.get(url).quoteIdentifier _
+          val cols = df.columns.map(quote).mkString(", ")
+          execute(conn, s"DELETE FROM $table")
+          execute(conn,
+            s"INSERT INTO $table ($cols) SELECT $cols FROM $stg")
+          conn.commit()
+        } else Rename.swap(conn, url, table, stg)
+      } catch {
+        case e: Throwable =>
+          try { if (!conn.getAutoCommit) conn.rollback() }
+          catch { case _: Throwable => () }
+          throw e
+      } finally conn.close()
+      dropIfExists(url, stg, options)
+    }
+  }
+
+  private def stagingName(table: String): String = table + "_GRAFT_STG"
+
+  private def execute(conn: Connection, sql: String): Unit = {
+    val st = conn.createStatement()
+    try { st.executeUpdate(sql); () } finally st.close()
+  }
+
+  /** Dialect-specific atomic table swap by rename. MySQL's multi-table
+    * `RENAME TABLE` is a single atomic statement; Derby and PostgreSQL
+    * have transactional DDL, so drop-old + rename-staging commits as
+    * one unit. Dialects absent here fall back to the DML swap. */
+  private object Rename {
+    def supported(url: String): Boolean =
+      url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb") ||
+        url.startsWith("jdbc:derby") || url.startsWith("jdbc:postgresql")
+
+    def swap(conn: Connection, url: String, table: String,
+        stg: String): Unit =
+      if (url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb")) {
+        // one atomic statement (DDL auto-commits, so a transaction
+        // would not help — the atomicity is the statement's own)
+        val trash = table + "_GRAFT_OLD"
+        execute(conn, s"DROP TABLE IF EXISTS $trash")
+        execute(conn,
+          s"RENAME TABLE $table TO $trash, $stg TO $table")
+        execute(conn, s"DROP TABLE $trash")
+      } else {
+        conn.setAutoCommit(false)
+        execute(conn, s"DROP TABLE $table")
+        if (url.startsWith("jdbc:derby"))
+          execute(conn, s"RENAME TABLE $stg TO $table")
+        else execute(conn, s"ALTER TABLE $stg RENAME TO $table")
+        conn.commit()
+      }
+  }
+
+  /** Drop `table` if present; a missing table is fine, any other
+    * failure propagates. */
+  private def dropIfExists(url: String, table: String,
+      options: Map[String, String]): Unit = {
+    val conn = connect(url, options)
+    try execute(conn, s"DROP TABLE $table")
+    catch {
+      case e: java.sql.SQLException if isMissingTable(e) => ()
+    } finally conn.close()
+  }
+
+  /** SQLStates (plus vendor codes) that mean "table does not exist":
+    * 42X05 Derby, 42S02 MySQL/H2/ODBC, 42P01 PostgreSQL, S0002 legacy
+    * ODBC, 42Y55 Derby DROP-target; MySQL error 1146; SQLite reports
+    * no state, only "no such table". Anything else — connection loss,
+    * timeout, auth — is NOT evidence of absence. */
+  private val MissingTableStates =
+    Set("42X05", "42S02", "42P01", "S0002", "42Y55")
+  private def isMissingTable(e: java.sql.SQLException): Boolean =
+    Option(e.getSQLState).exists(MissingTableStates.contains) ||
+      e.getErrorCode == 1146 ||
+      Option(e.getMessage).exists(_.toLowerCase.contains("no such table"))
 
   /** Whether `table` exists at `url` — drives the bootstrap-vs-delta
     * choice in [[graft.streaming.CdcStream.startToJdbc]]. One
-    * driver-side metadata probe (`SELECT * … WHERE 1=0`), no scan. */
+    * driver-side metadata probe (`SELECT * … WHERE 1=0`), no scan.
+    * Only a table-not-found error maps to `false`; a transient failure
+    * (network blip, timeout, auth) RETHROWS so the caller's micro-batch
+    * fails and replays instead of "bootstrapping" a full-state replace
+    * over a live table it merely couldn't reach (ADVICE r9). */
   def tableExists(url: String, table: String,
       options: Map[String, String] = Map.empty): Boolean = {
     val conn = connect(url, options)
@@ -61,8 +174,9 @@ object JdbcSink {
       val st = conn.createStatement()
       try { st.executeQuery(s"SELECT * FROM $table WHERE 1=0"); true }
       finally st.close()
-    } catch { case _: java.sql.SQLException => false }
-    finally conn.close()
+    } catch {
+      case e: java.sql.SQLException if isMissingTable(e) => false
+    } finally conn.close()
   }
 
   /** Per-batch delta push: make the sink table agree with the CDC state

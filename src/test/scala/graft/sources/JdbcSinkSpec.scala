@@ -126,6 +126,68 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(readBack("cpp_t4").count() == 8)
   }
 
+  test("tableExists: missing table is false; other SQL errors propagate") {
+    assert(!JdbcSink.tableExists(url, "definitely_absent_t", driverOpt))
+    // a non-missing-table failure (here: a syntax error standing in for
+    // a timeout/auth/connection blip) must RETHROW — mapping it to
+    // false would send startToJdbc down the full-replace bootstrap path
+    // against a live table (ADVICE r9)
+    intercept[java.sql.SQLException] {
+      JdbcSink.tableExists(url, "not a valid identifier!!", driverOpt)
+    }
+  }
+
+  test("atomic replace: a concurrent reader only ever sees old or new") {
+    val aRows = Seq((1, "a1"), (2, "a2"), (3, "a3"))
+    val bRows = Seq((10, "b1"), (20, "b2"))
+    val a = aRows.toDF("K", "V")
+    val b = bRows.toDF("K", "V")
+    JdbcSink.replace(a, url, "atomic_t", options = driverOpt) // creates
+    val aSet = aRows.toSet
+    val bSet = bRows.toSet
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val reader = new Thread(() => {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        while (!stop.get) {
+          try {
+            val st = conn.createStatement()
+            try {
+              val rs = st.executeQuery("SELECT K, V FROM atomic_t")
+              val got = scala.collection.mutable.Set.empty[(Int, String)]
+              while (rs.next()) got += (rs.getInt(1) -> rs.getString(2))
+              rs.close()
+              polls.incrementAndGet()
+              if (got.toSet != aSet && got.toSet != bSet)
+                bad.add(s"partial state observed: ${got.toSet}")
+            } finally st.close()
+          } catch {
+            case e: java.sql.SQLException =>
+              bad.add("reader error: " + e.getMessage)
+          }
+        }
+      } finally conn.close()
+    })
+    reader.start()
+    try {
+      // both swap strategies under the polling reader: rename swap
+      // (truncate=false, Derby transactional DDL) and the
+      // definition-preserving DML swap (truncate=true)
+      for (_ <- 1 to 3) {
+        JdbcSink.replace(b, url, "atomic_t", options = driverOpt)
+        JdbcSink.replace(a, url, "atomic_t", truncate = true,
+          options = driverOpt)
+      }
+      JdbcSink.replace(b, url, "atomic_t", options = driverOpt)
+    } finally { stop.set(true); reader.join() }
+    assert(bad.isEmpty, s"reader observations: $bad")
+    assert(polls.get > 0, "reader never completed a poll")
+    assert(readBack("atomic_t").as[(Int, String)].collect().toSet == bSet)
+  }
+
   test("CDC merge state replaces the sink table; re-apply idempotent") {
     val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("K", "V")
     val changes = Seq(
