@@ -24,7 +24,13 @@ final case class Rule(
     /** source column -> "sink column[,modifier]" */
     fieldMapping: Map[String, String] = Map.empty,
     /** Primary-key columns of the source table (composite supported). */
-    pkColumns: Seq[String] = Seq.empty) {
+    pkColumns: Seq[String] = Seq.empty,
+    /** How DECIMAL wire values on this rule's feed are encoded — the
+      * per-rule analog of Debezium's `decimal.handling.mode`
+      * ([[graft.functions.TypeNorm.DecimalModePrecise]] /
+      * `Numeric` / `Auto`). A known feed should declare its mode;
+      * `auto` sniffs per value with tightened guards (ADVICE r9). */
+    decimalMode: String = "auto") {
 
   def key: String = Rule.ruleKey(sourceSchema, sourceTable)
 

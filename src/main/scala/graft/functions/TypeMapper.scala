@@ -19,6 +19,11 @@ object TypeMapper {
   val MysqlTypeKey = "mysqlType"
   val EnumValuesKey = "enumValues"
   val SetValuesKey = "setValues"
+  /** Declared fractional-seconds precision of a DATETIME/TIMESTAMP
+    * column — present only when the type expression carried it
+    * explicitly (`datetime(6)`); drives the exact millis-vs-micros
+    * wire decode in [[TypeNorm.mysqlDateTime]]. */
+  val FspKey = "datetimeFsp"
 
   private val Paren = """([a-z0-9 ]+?)\s*\(([^)]*)\)\s*(unsigned)?""".r
 
@@ -67,7 +72,15 @@ object TypeMapper {
         // Debezium precise-mode decode ([[TypeNorm.connectDecimal]])
         (DecimalType(math.min(m, 38), math.min(d, 37)), meta("decimal"))
       case "date" => (DateType, meta("date"))
-      case "datetime" | "timestamp" => (TimestampType, meta("datetime"))
+      case "datetime" | "timestamp" =>
+        // declared fsp (datetime(6)) pins the Debezium long encoding
+        // (fsp<=3 millis, >3 micros); a bare name stays fsp-unknown —
+        // it may be a typeName-only schema source whose true fsp is
+        // hidden, so the decoder falls back to its magnitude heuristic
+        val b = new MetadataBuilder().putString(MysqlTypeKey, "datetime")
+        scala.util.Try(args.trim.toInt).toOption
+          .foreach(n => b.putLong(FspKey, n.toLong))
+        (TimestampType, b.build())
       case "time" => (StringType, Metadata.empty)
       case "enum" => (StringType, meta("enum", quoted(args)))
       case "set" => (StringType, meta("set", quoted(args)))

@@ -56,35 +56,87 @@ object TypeNorm {
   /** DATETIME with the zero sentinel `0000-00-00 00:00:00` → NULL
     * (reference: clickhouse/client.go:186-191). Debezium wire encodings
     * are also recognized: a bare integer is epoch millis
-    * (`io.debezium.time.Timestamp`) or epoch micros (`MicroTimestamp`,
-    * DATETIME(n>0) under adaptive precision) — disambiguated by
-    * magnitude (≥ 2×10¹³ is micros: that bound is year 2603 as millis
-    * but already Aug 1970 as micros, so every realistic value sits on
-    * one side); an ISO-8601 `T`/offset string is MySQL TIMESTAMP's
-    * `ZonedTimestamp`. */
-  def mysqlDateTime(c: Column): Column =
+    * (`io.debezium.time.Timestamp`, DATETIME(fsp ≤ 3)) or epoch micros
+    * (`MicroTimestamp`, DATETIME(fsp > 3) under adaptive precision);
+    * an ISO-8601 `T`/offset string is MySQL TIMESTAMP's
+    * `ZonedTimestamp`.
+    *
+    * `fsp` — the column's DECLARED fractional-seconds precision (from
+    * the registry's type expression, [[TypeMapper]]) — picks the long
+    * encoding exactly: the wire format is a function of the declared
+    * type, not of the value. Only when the declaration is unavailable
+    * (bare `datetime` from a typeName-only schema source) does the
+    * magnitude heuristic decide (≥ 2×10¹³ is micros: that bound is
+    * year 2603 as millis but already Aug 1970 as micros — ambiguous
+    * for 1969-05…1970-08 micro values, which is why the declared fsp
+    * wins whenever known; ADVICE r9). */
+  def mysqlDateTime(c: Column, fsp: Option[Int] = None): Column = {
+    val asLong = c.cast("long")
+    val fromLong = fsp match {
+      case Some(n) if n <= 3 => timestamp_millis(asLong)
+      case Some(_) => timestamp_micros(asLong)
+      case None =>
+        when(abs(asLong) >= 20000000000000L, timestamp_micros(asLong))
+          .otherwise(timestamp_millis(asLong))
+    }
     when(c.startsWith("0000-00-00"), lit(null).cast("timestamp"))
-      .when(c.rlike("^-?[0-9]+$"),
-        when(abs(c.cast("long")) >= 20000000000000L,
-          timestamp_micros(c.cast("long")))
-          .otherwise(timestamp_millis(c.cast("long"))))
+      .when(c.rlike("^-?[0-9]+$"), fromLong)
       .when(c.contains("T"), c.cast("timestamp"))
       .otherwise(try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")))
+  }
 
-  /** DECIMAL/NUMERIC (and unsigned BIGINT) from a change feed: a plain
-    * numeric string casts directly (`decimal.handling.mode=string` /
-    * `double`, the dump path, and the engine's own feeds), while
-    * anything else is Debezium's default precise mode — base64 of the
-    * Kafka Connect `Decimal` two's-complement unscaled bytes, decoded
-    * in-plan by the native `connect_decimal` kernel at the TARGET
-    * column's scale (the registry scale and the connect-schema scale
-    * are both the MySQL column's declared scale). */
+  /** Explicit wire modes for [[connectDecimal]] — the per-stream/rule
+    * analog of Debezium's `decimal.handling.mode` (ADVICE r9: per-value
+    * sniffing can deterministically corrupt precise-mode values whose
+    * base64 happens to look numeric, so a known feed should declare its
+    * mode instead of relying on [[DecimalModeAuto]]). */
+  val DecimalModeAuto = "auto"
+  /** Every value is base64 Kafka Connect `Decimal` bytes
+    * (`decimal.handling.mode=precise`, Debezium's default). */
+  val DecimalModePrecise = "precise"
+  /** Every value is a plain numeric string
+    * (`decimal.handling.mode=string`/`double`, the dump path, and the
+    * engine's own feeds). */
+  val DecimalModeNumeric = "numeric"
+
+  /** DECIMAL/NUMERIC (and unsigned BIGINT) from a change feed, decoded
+    * per `mode`: `precise` always decodes base64 Connect `Decimal`
+    * two's-complement unscaled bytes in-plan via the native
+    * `connect_decimal` kernel at the TARGET column's scale (the
+    * registry scale and the connect-schema scale are both the MySQL
+    * column's declared scale); `numeric` always casts the plain string.
+    *
+    * `auto` (the mixed-feed compromise) routes per value, tightened so
+    * no realistic precise-mode payload can masquerade as a number: for
+    * scale > 0 targets the numeric fast path requires a decimal point
+    * (string/double modes always render the scale digits, while base64
+    * text never contains '.'), accepting a dot-less exponent form only
+    * when its length is not a multiple of 4 (a complete base64 encoding
+    * always is). Scale-0 targets keep the plain-numeric preference —
+    * digit-only text is overwhelmingly a real number there — so a
+    * precise-mode feed with scale-0 columns should declare
+    * [[DecimalModePrecise]]. */
   def connectDecimal(c: Column,
-      target: org.apache.spark.sql.types.DecimalType): Column =
-    when(c.rlike("^[+-]?[0-9]*\\.?[0-9]+([eE][+-]?[0-9]+)?$"),
-      c.cast(target))
-      .otherwise(call_function("connect_decimal", unbase64(c),
-        lit(target.scale)).cast(target))
+      target: org.apache.spark.sql.types.DecimalType,
+      mode: String = DecimalModeAuto): Column = {
+    val precise = call_function("connect_decimal", unbase64(c),
+      lit(target.scale)).cast(target)
+    mode match {
+      case DecimalModePrecise => precise
+      case DecimalModeNumeric => c.cast(target)
+      case DecimalModeAuto =>
+        val numeric =
+          if (target.scale > 0)
+            c.rlike("^[+-]?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?$") ||
+              (c.rlike("^[+-]?[0-9]+[eE][+-]?[0-9]+$") &&
+                length(c) % 4 =!= 0)
+          else c.rlike("^[+-]?[0-9]*\\.?[0-9]+([eE][+-]?[0-9]+)?$")
+        when(numeric, c.cast(target)).otherwise(precise)
+      case other => throw new IllegalArgumentException(
+        s"connectDecimal: unknown mode '$other' " +
+          s"(expected $DecimalModeAuto|$DecimalModePrecise|$DecimalModeNumeric)")
+    }
+  }
 
   /** `list` field modifier: CSV string → array<string>
     * (reference: river/sync.go:26, 431-438). */

@@ -44,7 +44,7 @@ object Envelope {
         val typed = modifier match {
           case Some("list") => graft.functions.TypeNorm.csvList(raw)
           case Some("date") => graft.functions.TypeNorm.unixSecondsToTs(raw)
-          case _ => normalize(raw, f)
+          case _ => normalize(raw, f, rule.decimalMode)
         }
         typed.as(sinkName)
       }
@@ -58,7 +58,8 @@ object Envelope {
     * zero dates → NULL. Fields without MySQL metadata take a plain cast.
     */
   private def normalize(raw: Column,
-      f: org.apache.spark.sql.types.StructField): Column = {
+      f: org.apache.spark.sql.types.StructField,
+      decimalMode: String): Column = {
     import graft.functions.{TypeMapper, TypeNorm}
     if (!f.metadata.contains(TypeMapper.MysqlTypeKey)) raw.cast(f.dataType)
     else f.metadata.getString(TypeMapper.MysqlTypeKey) match {
@@ -68,9 +69,15 @@ object Envelope {
         f.metadata.getStringArray(TypeMapper.SetValuesKey).toSeq)
       case "bit" => TypeNorm.bitToLong(raw)
       case "date" => TypeNorm.mysqlDate(raw)
-      case "datetime" => TypeNorm.mysqlDateTime(raw)
+      case "datetime" => TypeNorm.mysqlDateTime(raw,
+        // the registry's declared fsp pins the millis/micros wire
+        // decode; absent -> the decoder's magnitude fallback
+        if (f.metadata.contains(TypeMapper.FspKey))
+          Some(f.metadata.getLong(TypeMapper.FspKey).toInt)
+        else None)
       case "decimal" => TypeNorm.connectDecimal(raw,
-        f.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType])
+        f.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType],
+        decimalMode)
       case _ => raw.cast(f.dataType) // json et al stay dynamic
     }
   }

@@ -32,13 +32,15 @@ class DebeziumGoldenFixtureSpec extends AnyFunSuite {
     val catalog = new Catalog()
     val events = DebeziumSource.ingest(fixture, catalog)
 
-    // wire-driven DDL: CREATE (structured tableChanges) then ALTER
-    // (bare ddl) both applied — the registry ends with 8 columns
+    // wire-driven DDL: CREATE (structured tableChanges) then a
+    // multi-clause ALTER (bare ddl) both applied — the registry ends
+    // with 9 columns
     val defn = catalog.get("inventory", "products")
       .getOrElse(fail("CREATE TABLE schema change not applied"))
     assert(defn.pkColumns == Seq("id"))
     assert(defn.schema.fieldNames.toSeq == Seq("id", "name", "price",
-      "added", "updated_at", "created_at", "stock", "discount"))
+      "added", "updated_at", "created_at", "stock", "discount",
+      "shipped"))
 
     val rule = Rule("inventory", "products", "inventory", "products")
     val typed = Envelope.toTyped(
@@ -59,25 +61,31 @@ class DebeziumGoldenFixtureSpec extends AnyFunSuite {
     assert(r1.getDecimal(2).compareTo(dec("-5.25")) == 0)
     assert(r1.getDate(3).toString == "2026-08-13")
     assert(r1.getTimestamp(4).toInstant ==
-      Instant.ofEpochSecond(1786606200L, 123456000L)) // micros wire long
+      // micros wire long: datetime(6)'s declared fsp pins the decode
+      Instant.ofEpochSecond(1786606200L, 123456000L))
     assert(r1.getTimestamp(5).toInstant ==
       Instant.parse("2026-08-13T09:00:00Z")) // ZonedTimestamp string
     assert(r1.getDecimal(6).compareTo(
       dec("18446744073709551615")) == 0) // max uint64 via base64 bytes
     assert(r1.isNullAt(7))
+    assert(r1.isNullAt(8)) // predates the ALTER
 
     assert(r3.getString(1) == "sprocket")
     assert(r3.getDecimal(2).compareTo(dec("1234567.89")) == 0)
     assert(r3.getDate(3).toString == "1969-12-31") // epoch day -1
     assert(r3.getTimestamp(4).toInstant ==
-      Instant.parse("2026-08-13T09:00:00Z")) // millis wire long
+      Instant.parse("2026-08-13T09:00:00Z")) // micros wire long
     assert(r3.getDecimal(6).compareTo(dec("4200")) == 0)
     assert(r3.isNullAt(7))
+    assert(r3.isNullAt(8))
 
     assert(r4.getString(1) == "doohickey")
     assert(r4.getDecimal(2).compareTo(dec("19.99")) == 0)
     assert(r4.getDecimal(6).compareTo(dec("1")) == 0)
     assert(r4.getDecimal(7).compareTo(dec("0.125")) == 0) // post-ALTER
+    assert(r4.getTimestamp(8).toInstant ==
+      // millis wire long: datetime(3) declares fsp<=3 -> Timestamp
+      Instant.ofEpochSecond(1786606200L, 123000000L))
 
     // zero-date sentinel & plain-string decimals still take the
     // non-precise path (handling.mode=string / the engine's own feeds)
