@@ -74,15 +74,43 @@ object Observability {
             .drop(1).count(_.contains("\"path\"")).toLong
           finally in.close()
         }
-        val base = names.filter(_.endsWith(".compact"))
-          .map(_.stripSuffix(".compact"))
-          .filter(n => n.nonEmpty && n.forall(_.isDigit))
-          .map(_.toLong).filter(_ <= b).maxOption
-        val baseCount = base.fold(0L)(n => entriesOf(s"$n.compact"))
-        baseCount + names
+        // entries at or below the committed batch — v1 log entries
+        // carry their batchId, so a compact BEYOND the commit horizon
+        // can still be filtered down to the committed prefix
+        def entriesUpTo(name: String, upTo: Long): Long = {
+          val BatchId = "\"batchId\"\\s*:\\s*(-?\\d+)".r
+          val in = kfs.open(new org.apache.hadoop.fs.Path(srcDir, name))
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .drop(1).filter(_.contains("\"path\""))
+            .count(l => BatchId.findFirstMatchIn(l)
+              .forall(_.group(1).toLong <= upTo)).toLong
+          finally in.close()
+        }
+        val plain = names
           .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-          .filter(n => n > base.getOrElse(-1L) && n <= b)
-          .map(n => entriesOf(n.toString)).sum
+        val compacts = names.filter(_.endsWith(".compact"))
+          .map(_.stripSuffix(".compact"))
+          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        compacts.filter(_ <= b).maxOption match {
+          case Some(base) =>
+            entriesOf(s"$base.compact") +
+              plain.filter(n => n > base && n <= b)
+                .map(n => entriesOf(n.toString)).sum
+          case None =>
+            val present = plain.filter(_ <= b).toSet
+            if ((0L to b).forall(present.contains))
+              present.toSeq.map(n => entriesOf(n.toString)).sum
+            else
+              // per-batch history purged past a NEWER compact (ADVICE
+              // r9): the compact's entries, filtered to the committed
+              // batches, are the only complete record — without this
+              // the sum undercounts and /stat inflates the lag
+              compacts.filter(_ > b).minOption match {
+                case Some(c) => entriesUpTo(s"$c.compact", b)
+                case None => // truly partial history: best-effort
+                  present.toSeq.map(n => entriesOf(n.toString)).sum
+              }
+        }
       }
     }
     SyncLag(master, synced)

@@ -107,6 +107,38 @@ class ObservabilitySpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("lag probe survives retention: beyond-horizon compact, filtered") {
+    // metadata-log retention can purge the per-batch source files once
+    // a LATER <n>.compact subsumes them; if that compact's n is past
+    // the last committed batch, the synced count must come from the
+    // compact's entries filtered to batchId <= committed (ADVICE r9:
+    // the old per-batch sum undercounted and inflated /stat lag)
+    val work = Files.createTempDirectory("graft_lagc_").toString
+    val changes = new java.io.File(s"$work/changes")
+    changes.mkdirs()
+    (1 to 6).foreach(i =>
+      Files.write(changes.toPath.resolve(s"f$i.parquet"), "x".getBytes))
+    val commits = new java.io.File(s"$work/ckpt/commits")
+    commits.mkdirs()
+    (0 to 2).foreach(i =>
+      Files.write(commits.toPath.resolve(i.toString), "v1\n{}".getBytes))
+    val src = new java.io.File(s"$work/ckpt/sources/0")
+    src.mkdirs() // per-batch files 0,1,2 purged; only 3.compact remains
+    val compact = Seq("v1",
+      """{"path":"file:///a0","timestamp":1,"batchId":0}""",
+      """{"path":"file:///a1","timestamp":2,"batchId":1}""",
+      """{"path":"file:///b1","timestamp":3,"batchId":1}""",
+      """{"path":"file:///a2","timestamp":4,"batchId":2}""",
+      """{"path":"file:///a3","timestamp":5,"batchId":3}""",
+      """{"path":"file:///b3","timestamp":6,"batchId":3}""").mkString("\n")
+    Files.write(src.toPath.resolve("3.compact"), compact.getBytes)
+    val lag = Observability.fileSourceLag(spark, changes.toString,
+      s"$work/ckpt")
+    assert(lag.masterFiles == 6, lag)
+    assert(lag.syncedFiles == 4, lag) // batchIds 0..2 of the compact
+    assert(lag.lag == 2, lag)
+  }
+
   test("null primary key aborts the stream (P7 hard error)") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_pk_").toString
