@@ -1531,7 +1531,8 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
         |  FROM documents GROUP BY 1)
-        |, z AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS nn FROM c)
+        |, z AS (SELECT sum(pow(n, 0.5) ORDER BY lang NULLS FIRST) AS z,
+        |    sum(n ORDER BY lang NULLS FIRST) AS nn FROM c)
         |, r AS (
         |  SELECT c.lang,
         |    CAST(floor(least(1.0,
@@ -1546,7 +1547,8 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
         |  FROM documents GROUP BY 1)
-        |, z AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS nn FROM c)
+        |, z AS (SELECT sum(pow(n, 0.5) ORDER BY lang NULLS FIRST) AS z,
+        |    sum(n ORDER BY lang NULLS FIRST) AS nn FROM c)
         |, r AS (
         |  SELECT c.lang,
         |    least(z.nn * 1.0 * pow(c.n, 0.5) / z.z / c.n, 10000.0)

@@ -152,25 +152,43 @@ object Sampling {
   /** Per-domain temperature rate table `(domainCol, _rate)` with
     * `_rate = N·mult·n_d^α / Z / n_d`, `Z = Σ n_d^α` — the ONE copy of
     * the FP-order-sensitive chain both mixture variants (and their
-    * DuckDB oracles) must replay term-for-term. The domains-sized count
-    * table is persisted while the totals branch reads it (Spark cannot
-    * reuse the exchange across the two branches — uncached, the totals
-    * branch re-scans the corpus; plan-audited), and the returned rate
-    * table is EAGERLY materialized (localCheckpoint, domains-sized) so
-    * the cache can be released here rather than leak into the session. */
+    * DuckDB oracles) must replay term-for-term.
+    *
+    * The domains-sized count table (the mixture contract: domains ≪
+    * corpus) is collected ONCE, sorted by domain, and `Z`/`N` are
+    * summed on the driver in that fixed left-to-right order — a
+    * parallel engine sum's accumulation order depends on partitioning,
+    * and a last-ulp difference in `Z` could flip a row at a
+    * `floor(rate×buckets)` threshold boundary (ADVICE r9). The oracle
+    * replays the same order via `sum(… ORDER BY domain)`. One corpus
+    * scan, no cache, and the per-term chain
+    * (`N·mult·pow(n,α)/Z/n`, left to right) uses the same IEEE ops
+    * Spark's `pow`/`*`/`/` would (`java.lang.Math.pow`, binary64). */
   private def domainRates(df: DataFrame, domainCol: String,
       alpha: Double, mult: Double): DataFrame = {
+    val spark = df.sparkSession
+    // engine-side ORDER BY so the sort collation matches the oracle's
+    // for any domain column type; then a strict sequential fold
     val counts = df.groupBy(col(domainCol))
-      .agg(count(lit(1)).cast("double").as("_n")).persist()
-    try {
-      val tot = counts.agg(sum(pow(col("_n"), lit(alpha))).as("_z"),
-        sum(col("_n")).as("_nn"))
-      counts.crossJoin(broadcast(tot))
-        .select(col(domainCol),
-          (col("_nn") * lit(mult) * pow(col("_n"), lit(alpha))
-            / col("_z") / col("_n")).as("_rate"))
-        .localCheckpoint()
-    } finally counts.unpersist(false)
+      .agg(count(lit(1)).cast("double").as("_n"))
+      .orderBy(col(domainCol))
+      .collect()
+    var z = 0.0
+    var nn = 0.0
+    counts.foreach { r =>
+      z += math.pow(r.getDouble(1), alpha)
+      nn += r.getDouble(1)
+    }
+    val rates: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(counts.map { r =>
+        val n = r.getDouble(1)
+        org.apache.spark.sql.Row(r.get(0),
+          nn * mult * math.pow(n, alpha) / z / n)
+      }: _*)
+    spark.createDataFrame(rates, org.apache.spark.sql.types.StructType(Seq(
+      df.schema(domainCol).copy(nullable = true),
+      org.apache.spark.sql.types.StructField("_rate",
+        org.apache.spark.sql.types.DoubleType))))
   }
 
   def temperatureSampleByHash(df: DataFrame, idCol: String,
