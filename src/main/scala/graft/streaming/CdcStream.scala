@@ -43,6 +43,52 @@ import org.apache.spark.sql.types.StructType
 object CdcStream {
   import ChangeEvent.{OpCol, SeqCol, OpDelete}
 
+  /** Knob-driven state maintenance for the streaming loops — the analog
+    * of the reference overwriting `master.info` in place instead of
+    * accumulating history (river/master.go:53-83): without it every
+    * micro-batch leaves a full prior version behind and storage grows
+    * linearly in batch count, the one cost that scales with UPTIME
+    * rather than data.
+    *
+    *   - `gcEvery`: every K batches drop state versions beyond the
+    *     newest `keepVersions` (listing-only — cheap enough to run
+    *     every batch). `keepVersions >= 2` always preserves the
+    *     pre-batch version an in-flight crash-replay would read.
+    *   - `optimizeEvery` (bucketed layout only): every K batches run
+    *     the full [[BucketedState.optimize]] pass — compact each
+    *     bucket's latest version to one file, expire tombstones at or
+    *     below `tombstoneHorizon`, GC old versions. O(state), so K
+    *     amortizes it; the flat layout needs no compaction (each
+    *     version is already `coalesce(stateFiles)` files).
+    *
+    * Both default 0 = off, mirroring [[graft.operators.IncrementalDedup
+    * .stream]]'s `compactEvery`. */
+  final case class Maintenance(
+      gcEvery: Int = 0,
+      keepVersions: Int = 2,
+      optimizeEvery: Int = 0,
+      tombstoneHorizon: Option[Long] = None) {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    private def due(every: Int, batchId: Long): Boolean =
+      every > 0 && batchId > 0 && batchId % every == 0
+
+    /** Run whatever is due after `batchId`'s merge. OPTIMIZE subsumes
+      * version GC (it ends with a `gcVersions`), so a batch where both
+      * fire pays only the optimize. */
+    def run(spark: SparkSession, targetDir: String, batchId: Long,
+        stateSchema: StructType, keyCols: Seq[String],
+        stateBuckets: Option[Int]): Unit = stateBuckets match {
+      case Some(n) if due(optimizeEvery, batchId) =>
+        BucketedState.optimize(spark, targetDir, stateSchema, n, keyCols,
+          tombstoneHorizon, keepVersions)
+      case Some(n) if due(gcEvery, batchId) =>
+        BucketedState.gcVersions(spark, targetDir, n, keepVersions); ()
+      case None if due(gcEvery, batchId) =>
+        gcVersions(spark, targetDir, keepVersions); ()
+      case _ => ()
+    }
+  }
+
   /** Versioned state layout: `targetDir/v=<batchId>/` parquet per batch,
     * highest complete version = current state. Parquet `_SUCCESS` markers
     * gate completeness, so a batch killed mid-write is invisible. */
@@ -138,7 +184,8 @@ object CdcStream {
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow(),
       stateBuckets: Option[Int] = None,
-      route: String = ""): StreamingQuery = {
+      route: String = "",
+      maintenance: Maintenance = Maintenance()): StreamingQuery = {
     var reader = spark.readStream.schema(changeSchema)
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n))
@@ -157,6 +204,8 @@ object CdcStream {
           case None => mergeBatch(batch, batchId, targetDir, keyCols,
             ignoreUpdates, ignoreDeletes)
         }
+        maintenance.run(spark, targetDir, batchId, batch.schema, keyCols,
+          stateBuckets)
       }
       .trigger(trigger)
       .start()
@@ -197,7 +246,8 @@ object CdcStream {
       trigger: Trigger = Trigger.AvailableNow(),
       jdbcOptions: Map[String, String] = Map.empty,
       fullReplace: Boolean = false,
-      stateBuckets: Option[Int] = None): StreamingQuery = {
+      stateBuckets: Option[Int] = None,
+      maintenance: Maintenance = Maintenance()): StreamingQuery = {
     var reader = spark.readStream.schema(changeSchema)
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n))
@@ -239,6 +289,11 @@ object CdcStream {
           graft.sources.JdbcSink.upsertKeys(keys, current, keyCols,
             jdbcUrl, jdbcTable, options = jdbcOptions)
         }
+        // maintenance runs AFTER the push: a crash before this point
+        // replays the batch (checkpoint uncommitted), and keepVersions
+        // >= 2 preserves the pre-batch state that replay reads
+        maintenance.run(spark, targetDir, batchId, batch.schema, keyCols,
+          stateBuckets)
       }
       .trigger(trigger)
       .start()
