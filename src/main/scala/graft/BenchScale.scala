@@ -204,8 +204,8 @@ object BenchScale {
 
   private def clicksAndPurchases(s: SparkSession, evDir: String)
       : (DataFrame, DataFrame) = {
-    val ev = s.read.parquet(evDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(evDir)
+    val ev = raw.withColumn("ts", graft.sources.EventTs.asTimestamp(raw))
     (ev.filter(col("event_type") === "click")
        .select("event_id", "user_id", "ts"),
      ev.filter(col("event_type") === "purchase")
@@ -271,8 +271,8 @@ object BenchScale {
   }
 
   private def runRangeJoin(s: SparkSession, dir: String): OpResult = {
-    val ev = s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val evRaw = s.read.parquet(s"$dir/events.parquet")
+    val ev = evRaw.withColumn("ts_us", graft.sources.EventTs.asMicros(evRaw))
     val clicks = ev.filter(col("event_type") === "click")
       .select("user_id", "ts_us", "event_id")
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -43,14 +43,13 @@ object SparkEntry {
     d
   }
 
-  /** `events` with its TIMESTAMP(NANOS) `ts` (read as long via
-    * spark.sql.legacy.parquet.nanosAsLong) restored to a timestamp. The
-    * data is µs-granular, so integer-dividing the ns count by 1000 is
-    * lossless; `div` (not `/`) keeps the math in exact long arithmetic.
-    */
-  private def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** `events` with `ts` restored to a µs timestamp whatever the parquet
+    * encoding (TIMESTAMP(NANOS)-as-long or native µs) — see
+    * [[graft.sources.EventTs]]. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.withColumn("ts", graft.sources.EventTs.asTimestamp(raw))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full CDC MERGE — snapshot + I/U/D stream → last-write-wins state. */
