@@ -296,10 +296,18 @@ object Sampling {
     * data (e.g. total_bytes / 512 MB), not to the task count. */
   def writeShards(df: DataFrame, idCol: String, shards: Int,
       outDir: String, salt: String = ""): Unit = {
+    // sort ON (shard, hash, id) — not hash alone: the partitioned file
+    // writer REQUIRES ordering by the partition column, and if the
+    // incoming order doesn't already satisfy it Spark inserts its own
+    // (unstable) sort, which would scramble the in-shard hash order the
+    // whole point of this writer is to persist. Leading with `shard`
+    // satisfies the writer's requirement (the prefix survives the
+    // `_horder` projection), so rows land in files exactly in
+    // [[trainingOrder]]'s (md5, id) rank order.
     df.withColumn("shard", hashBucket(saltedId(col(idCol), salt), shards))
       .withColumn("_horder", md5(saltedId(col(idCol), salt)))
       .repartition(shards, col("shard"))
-      .sortWithinPartitions("_horder")
+      .sortWithinPartitions(col("shard"), col("_horder"), col(idCol))
       .drop("_horder")
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)
   }

@@ -200,4 +200,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(shardDirs.forall(
       _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
   }
+
+  test("writeShards contents = trainingOrder row-for-row, in file order") {
+    // the writer path (partitionBy + sortWithinPartitions) must emit
+    // exactly the (shard, pos) layout trainingOrder assigns — shard
+    // membership AND in-file row order — for the unsalted and a salted
+    // permutation alike
+    val df = (1L to 500L).map(i => (i, s"doc$i")).toDF("id", "text")
+    for (salt <- Seq("", "epoch-7")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_shards_order_").toString
+      Sampling.writeShards(df, "id", shards = 8, dir, salt = salt)
+      val want = Sampling.trainingOrder(df, "id", shards = 8, salt = salt)
+      (0 until 8).foreach { k =>
+        // a single-file read returns rows in file order
+        val got = spark.read.parquet(s"$dir/shard=$k")
+          .select("id").collect().map(_.getLong(0)).toSeq
+        val expect = want.filter($"shard" === k).orderBy($"pos")
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(got == expect, s"salt='$salt' shard=$k diverges")
+      }
+    }
+  }
 }
