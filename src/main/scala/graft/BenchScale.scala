@@ -596,6 +596,112 @@ object BenchScale {
       "store_docs" -> corpus.count()))
   }
 
+  /** The `startToJdbc` bucketed serving loop at ×N: seed a bucketed CDC
+    * state from the events table — bucket count sized to the table at
+    * CREATION (64 per ×1 volume), the production posture that keeps
+    * rows-per-bucket scale-invariant — then push ONE fixed 64-key
+    * update batch through the steady-state JDBC delta path against a
+    * live, statement-counted Derby endpoint ([[graft.sources
+    * .CountingDriver]]). Claims gated (CdcStream.scala O(batch)
+    * docstring): database statements and connections track the BATCH —
+    * identical counts at ×1 and ×N — the state read is confined to the
+    * touched buckets' latest-version files (`files_read` ≪
+    * `state_files`), and the pushed keys verifiably land in the serving
+    * table (`out_rows` = batch keys at every scale). Seeding, the
+    * serving-table bootstrap, and verification run OUTSIDE the timer.
+    */
+  private def runCdcServe(s: SparkSession, dir: String,
+      scale: Int): OpResult = {
+    import graft.sources.{CountingDriver, JdbcSink}
+    CountingDriver.registered
+    val work = newTempDir("graft_scale_serve_")
+    val db = work.substring(work.lastIndexOf('/') + 1)
+    val url = s"${CountingDriver.Prefix}derby:memory:$db;create=true"
+    val nBuckets = 64 * scale
+    val target = s"$work/state"
+    val table = "serve_t"
+    // numeric columns only: the counting prefix hides the db from
+    // Spark's DerbyDialect, and the generic dialect's string mapping is
+    // not a Derby type (same constraint as JdbcSinkSpec)
+    val seed = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id").as("k"), col("value").as("v"),
+        lit("I").as("_op"), lit(1L).as("_seq"))
+    streaming.BucketedState.mergeBatch(seed, -1L, target, Seq("k"),
+      nBuckets)
+    val stateRows = seed.count()
+    // fixed probe: the 64 smallest keys — copy 0 of the blow-up, so the
+    // SAME keys exist at both scales; updates bump v by 1e6 (readable
+    // back as the verification predicate)
+    val probeKeys = seed.select(col("k")).orderBy(col("k")).limit(64)
+      .collect().map(_.getLong(0)).toSeq
+    val probe = seed
+      .filter(col("k").isin(probeKeys.map(Long.box): _*))
+      .select(col("k"), (col("v") + 1000000.0).as("v"),
+        lit("U").as("_op"), lit(2L).as("_seq"))
+    // serving-table bootstrap: the probe keys' PRE-update rows (fixed
+    // size at every scale — the endpoint is the reference's ClickHouse;
+    // its volume is not what the client-side counters measure)
+    JdbcSink.replace(
+      seed.filter(col("k").isin(probeKeys.map(Long.box): _*))
+        .select(col("k"), col("v")), url, table)
+    probe.coalesce(1).write.parquet(s"$work/changes")
+    val st0 = CountingDriver.statements.get()
+    val cn0 = CountingDriver.connects.get()
+    val r = timed {
+      val q = streaming.CdcStream.startToJdbc(s, s"$work/changes",
+        probe.schema, target, s"$work/ckpt", Seq("k"), url, table,
+        stateBuckets = Some(nBuckets))
+      q.awaitTermination()
+      0L
+    }(Map.empty)
+    val statements = CountingDriver.statements.get() - st0
+    val connects = CountingDriver.connects.get() - cn0
+    // verification (untimed, after the counter deltas): every probe key
+    // serves its post-update value
+    val served = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"""SELECT COUNT(*) FROM $table WHERE "v" >= 1000000""")
+          rs.next(); rs.getLong(1)
+        } finally st.close()
+      } finally conn.close()
+    }
+    // what viewForKeys scanned: the touched buckets' latest
+    // marker-complete versions vs the full state's file census
+    val touched = probe
+      .select(pmod(hash(col("k")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    def latestFiles(b: Int): Long = {
+      val bd = new java.io.File(s"$target/bucket=$b")
+      if (!bd.exists()) 0L
+      else bd.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+          new java.io.File(f, "_GRAFT_OK").exists())
+        .sortBy(_.getName.stripPrefix("v=").toLong)
+        .lastOption
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")).toLong)
+        .getOrElse(0L)
+    }
+    val filesRead = touched.map(latestFiles).sum
+    val stateFiles = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(target)).iterator().asScala
+        .count(_.toString.endsWith(".parquet")).toLong
+    }
+    try java.sql.DriverManager
+      .getConnection(s"jdbc:derby:memory:$db;drop=true")
+    catch { case _: Throwable => () } // 08006 = successful drop
+    OpResult(r.secs, Map(
+      "out_rows" -> served, "batch_keys" -> probeKeys.size.toLong,
+      "statements" -> statements, "connects" -> connects,
+      "touched_buckets" -> touched.size.toLong,
+      "files_read" -> filesRead, "state_files" -> stateFiles,
+      "state_rows" -> stateRows))
+  }
+
   /** Data-file count of the sigs+bands store dirs. */
   private def storeFiles(store: String): Long = {
     import scala.jdk.CollectionConverters._
@@ -661,7 +767,9 @@ object BenchScale {
       "corpus_shuffle" -> (d => runCorpusShuffle(spark, d)),
       "dedup_incremental" -> (d => runIncDedup(spark, d, incBatch)),
       "dedup_compact" -> (d => runCompact(spark, d, incBatch)),
-      "text_lm_score" -> (d => runLmScore(spark, d)))
+      "text_lm_score" -> (d => runLmScore(spark, d)),
+      "cdc_serve" -> (d => runCdcServe(spark, d,
+        if (d.endsWith("x1")) 1 else n)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -785,6 +893,25 @@ object BenchScale {
               at1.evidence("distinct_scores") * 101 / 100 &&
             atN.evidence("distinct_scores") >=
               at1.evidence("distinct_scores") * 99 / 100
+        case "cdc_serve" =>
+          // O(batch) serving: database statements and connections are
+          // IDENTICAL against the ×1 and ×N states (same fixed batch,
+          // same deterministic key partitioning); statement volume is
+          // bounded by the batch (delete+insert per key + the existence
+          // probe); every probe key verifiably serves its post-update
+          // value; and the state read never leaves the touched buckets
+          // (the full state's file census dwarfs what was read, and
+          // grows with scale while files_read does not)
+          atN.evidence("statements") == at1.evidence("statements") &&
+            atN.evidence("connects") == at1.evidence("connects") &&
+            at1.evidence("statements") <=
+              3 * at1.evidence("batch_keys") + 8 &&
+            atN.evidence("out_rows") == atN.evidence("batch_keys") &&
+            at1.evidence("out_rows") == at1.evidence("batch_keys") &&
+            atN.evidence("state_rows") == at1.evidence("state_rows") * n &&
+            atN.evidence("files_read") <= at1.evidence("files_read") * 2 &&
+            atN.evidence("state_files") > at1.evidence("state_files") &&
+            atN.evidence("state_files") >= atN.evidence("files_read") * 4
         case "dedup_incremental" =>
           // the probe batch pairs only within itself (its rotation
           // collides with no store copy), so the emitted pairs must be
