@@ -347,6 +347,69 @@ object SparkEntry {
       "30 minutes", Seq("user_id"), Seq(count(lit(1)).as("n")))
       .select(col("user_id"), col("win_start"), col("n"))
 
+  /** Streaming late-data policy end-to-end (ABSENT in the reference —
+    * its pipeline is processing-time only, SURVEY §2.9): the click feed
+    * split at its time midpoint and fed NEWEST HALF FIRST through
+    * [[graft.streaming.EventTimeWindows.tumblingStream]] as three
+    * checkpointed AvailableNow runs (run boundaries = deterministic
+    * micro-batch boundaries, no reliance on file-listing order):
+    *
+    *   1. the newer half — advances the watermark to max(ts) − delay,
+    *      which lands INSIDE the older half's range;
+    *   2. the older half, now late — rows whose 1-hour window closed
+    *      below the checkpoint-restored watermark are DROPPED, rows in
+    *      still-open windows are accepted (a partial drop, so the gate
+    *      distinguishes the policy from both "drop nothing" and "drop
+    *      every out-of-order row");
+    *   3. a far-future sentinel — pushes the watermark past every real
+    *      window end so append mode emits them all; the sentinel's own
+    *      window never finalizes and never appears.
+    *
+    * The oracle replays the policy arithmetic exactly: watermark =
+    * floor(max µs of the first half to ms) − delay, acceptance =
+    * window end > watermark. */
+  private def eventLateDrop(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_latedrop_")
+    val ev = events(s, dir).filter(col("event_type") === "click")
+      .select(col("ts"), col("value"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val (mnUs, mxUs) = (bounds.getLong(0), bounds.getLong(1))
+    val cutUs = mnUs + (mxUs - mnUs) / 2
+    val in = s"$work/in"
+    def run(): Unit = {
+      val stream = s.readStream.schema(ev.schema).parquet(in)
+      val agg = streaming.EventTimeWindows.tumblingStream(stream, "ts",
+        "1 hour", "22 days", Seq.empty,
+        Seq(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value")))
+      val q = agg.writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$work/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter(unix_micros(col("ts")) >= cutUs).coalesce(1)
+      .write.mode("append").parquet(in)
+    run()
+    ev.filter(unix_micros(col("ts")) < cutUs).coalesce(1)
+      .write.mode("append").parquet(in)
+    run()
+    ev.limit(1)
+      .select(timestamp_micros(lit(mxUs + 60L * 86400 * 1000000))
+        .as("ts"), col("value"))
+      .write.mode("append").parquet(in)
+    run()
+    s.read.parquet(s"$work/out")
+      .select(col("win_start"), col("cnt"), col("sum_value"))
+  }
+
   /** The generic envelope path end-to-end (SURVEY §1.2): string-encoded
     * multi-table change stream → registry cast → LWW. Must agree with the
     * typed path (cdc_lww) exactly — same oracle. */
@@ -788,6 +851,65 @@ object SparkEntry {
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
   }
 
+  /** [[corpusClean]] grown to the FULL training-data pipeline a real
+    * corpus run performs: dedup (all three modalities → CC → keep-one)
+    * → corpus-trained bigram-LM quality filter (the model is trained on
+    * the DEDUPED corpus itself, CCNet-style, then documents scoring
+    * below the cut are dropped) → temperature-flattened language
+    * mixture over the survivors → token-budget packing → split/shard.
+    * Every stage is the operator its standalone query gates
+    * (`text_lm_score`, `sample_temperature`) applied to the previous
+    * stage's output, so the oracle chains the SAME SQL replays over the
+    * same intermediate sets.
+    *
+    * Scale shape: `kept`/`good`/`mixed` are id-only frames (kept is
+    * persisted — three consumers); the corpus is scanned, never
+    * shuffled, outside the pair/CC machinery; the LM model is
+    * vocab²-bounded; the mixture rate table is domains-sized and
+    * broadcast. */
+  private def corpusCleanV2(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = Dedup.textSignatures(docs, "doc_id", "text", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = try {
+      val mh = Dedup.minhashDedupPairsFromSets(sigs,
+        k = 16, bands = 4, threshold = 0.8).select("a", "b")
+      val sh = Dedup.simhashPairsBlockedFromSigs(sigs, maxDist = 3)
+        .select("a", "b")
+      val em = Similarity.lshCosinePairs(t(s, dir, "embeddings"),
+        threshold = 0.45, bits = 8, probeDist = 1, tables = 4,
+        native = true).select("a", "b")
+      val pairs = mh.unionByName(sh).unionByName(em)
+      Clustering.canonicalize(docs.select("doc_id"), pairs,
+          "doc_id").filter(col("keep")).select("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    } finally sigs.unpersist(false)
+    try {
+      val clean = docs.join(kept, Seq("doc_id"))
+      // quality filter: bigram LM trained on the deduped corpus; docs
+      // without a single bigram carry no score and drop with the bad
+      val good = operators.LangModel.score(
+        clean.select("doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")
+        .filter(col("lm_score") >= -3.40).select("doc_id")
+      val mixed = Sampling.temperatureSampleByHash(
+        clean.join(good, Seq("doc_id")).select("doc_id", "lang"),
+        "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
+      val toks = clean.join(mixed.select("doc_id"), Seq("doc_id"))
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long")
+            .as("n_tok"))
+      val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
+        budget = 2048L)
+      Sampling.hashSplit(packed, "doc_id",
+          Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+        .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+        // force the full chain before kept unpersists under it
+        .localCheckpoint(true)
+    } finally kept.unpersist(false)
+  }
+
   /** Token-budget packing of the corpus into contiguous training bins
     * via the two-pass distributed prefix sum (no global-window reducer). */
   private def packBudget(s: SparkSession, dir: String): DataFrame =
@@ -984,6 +1106,7 @@ object SparkEntry {
     "event_windows" -> (eventWindows _),
     "event_sliding" -> (eventSliding _),
     "event_sessions" -> (eventSessions _),
+    "event_late_drop" -> (eventLateDrop _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_quality" -> (textQuality _),
@@ -1017,6 +1140,7 @@ object SparkEntry {
     "dedup_clusters" -> (dedupClusters _),
     "pack_budget" -> (packBudget _),
     "corpus_clean" -> (corpusClean _),
+    "corpus_clean_v2" -> (corpusCleanV2 _),
     "sketch_kmv" -> (sketchKmv _),
     "sample_shard" -> (sampleShard _),
     "sample_weighted" -> (sampleWeighted _),
@@ -1224,6 +1348,32 @@ object SparkEntry {
         |  FROM m)
         |SELECT user_id, min(ts) AS win_start, count(*) AS n
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "event_late_drop" ->
+      """WITH ev AS (
+        |  SELECT ts, value FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |  FROM ev),
+        |f1 AS (
+        |  SELECT ev.* FROM ev, b
+        |  WHERE epoch_us(ts) >= mn + (mx - mn) // 2),
+        |f2 AS (
+        |  SELECT ev.* FROM ev, b
+        |  WHERE epoch_us(ts) < mn + (mx - mn) // 2),
+        |wm AS (
+        |  SELECT (max(epoch_us(ts)) // 1000 - 22*86400*1000) * 1000
+        |    AS wm_us
+        |  FROM f1),
+        |accepted AS (
+        |  SELECT ts, value FROM f1
+        |  UNION ALL
+        |  SELECT f2.ts, f2.value FROM f2, wm
+        |  WHERE epoch_us(date_trunc('hour', f2.ts)) + 3600000000
+        |          > wm.wm_us)
+        |SELECT date_trunc('hour', ts) AS win_start,
+        |  count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM accepted GROUP BY 1""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1476,6 +1626,7 @@ object SparkEntry {
         .stripMargin,
     "dedup_clusters" -> dedupClustersOracle,
     "corpus_clean" -> corpusCleanOracle,
+    "corpus_clean_v2" -> corpusCleanV2Oracle,
     "pack_budget" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -1927,6 +2078,96 @@ object SparkEntry {
        |       WHEN h % 10 < 9 THEN 'eval' ELSE 'test' END AS split,
        |  h % 16 AS shard
        |FROM hv""".stripMargin
+
+  /** DuckDB replay of corpus_clean_v2 — [[corpusCleanOracle]]'s chain
+    * up to `kept`, then the `text_lm_score` replay retrained on the
+    * kept set (reusing shingleCte's `d` for tokens), the
+    * `sample_temperature` replay re-counted over the quality
+    * survivors, and the same packing/split/shard tail over the final
+    * mixture. */
+  private def corpusCleanV2Oracle: String =
+    s"""${shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}
+       |$hsetsCte
+       |$textPairCtes
+       |${lshPlanesCtes(32).replaceFirst("^WITH ", ", ")}
+       |, ebucketed AS (
+       |  SELECT e.vec_id, j // 8 AS tbl,
+       |    sum(CASE WHEN ${dotSql("e.v", "planes.p")} >= 0
+       |        THEN (1::BIGINT << (j % 8)) ELSE 0::BIGINT END)::BIGINT AS b
+       |  FROM e, planes GROUP BY e.vec_id, j // 8)
+       |, eprobe AS (
+       |  SELECT vec_id AS a, tbl, xor(b, f) AS bucket
+       |  FROM ebucketed, (SELECT unnest($probeMasksSql) AS f))
+       |, ecand AS (
+       |  SELECT DISTINCT p.a, c.vec_id AS b
+       |  FROM eprobe p JOIN ebucketed c
+       |    ON c.tbl = p.tbl AND c.b = p.bucket
+       |  WHERE p.a < c.vec_id)
+       |, ep AS (
+       |  SELECT ecand.a, ecand.b
+       |  FROM ecand
+       |  JOIN e ea ON ea.vec_id = ecand.a
+       |  JOIN e eb ON eb.vec_id = ecand.b
+       |  WHERE round(${cosineSql("ea.v", "eb.v")}, 4) >= 0.45)
+       |, pairs AS (SELECT a, b FROM mh UNION SELECT a, b FROM shp
+       |  UNION SELECT a, b FROM ep)
+       |$ccGraphCtes
+       |, kept AS (
+       |  SELECT doc_id FROM documents LEFT JOIN labels ON doc_id = node
+       |  WHERE doc_id = coalesce(cluster_id, doc_id))
+       |, tk AS (
+       |  SELECT d.doc_id, unnest(toks) AS tok,
+       |    generate_subscripts(toks, 1) AS i
+       |  FROM d JOIN kept USING (doc_id))
+       |, lbg AS (
+       |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+       |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+       |, lbc AS (SELECT w1, w2, count(*) AS c FROM lbg GROUP BY 1, 2)
+       |, llc AS (SELECT w1, sum(c) AS cl FROM lbc GROUP BY 1)
+       |, lv AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vs FROM lbc)
+       |, lm AS (
+       |  SELECT lbc.w1, lbc.w2,
+       |    ln((lbc.c + 0.5) / (llc.cl + 0.5 * lv.vs)) AS lp
+       |  FROM lbc JOIN llc USING (w1), lv)
+       |, good AS (
+       |  SELECT lbg.doc_id FROM lbg JOIN lm USING (w1, w2)
+       |  GROUP BY 1 HAVING round(avg(lm.lp), 6) >= -3.40)
+       |, mbase AS (
+       |  SELECT doc_id, lang FROM documents JOIN good USING (doc_id))
+       |, mc AS (
+       |  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM mbase GROUP BY 1)
+       |, mz AS (SELECT sum(pow(n, 0.5) ORDER BY lang NULLS FIRST) AS z,
+       |    sum(n ORDER BY lang NULLS FIRST) AS nn FROM mc)
+       |, mr AS (
+       |  SELECT mc.lang,
+       |    CAST(floor(least(1.0,
+       |        mz.nn * 0.3 * pow(mc.n, 0.5) / mz.z / mc.n) * 1000000)
+       |      AS BIGINT) AS thresh
+       |  FROM mc, mz)
+       |, mixed AS (
+       |  SELECT mb.doc_id FROM mbase mb JOIN mr USING (lang)
+       |  WHERE ('0x' || substr(md5(CAST(mb.doc_id AS VARCHAR)), 1, 15))
+       |      ::BIGINT % 1000000 < mr.thresh)
+       |, toks2 AS (
+       |  SELECT d2.doc_id,
+       |    CAST(len(regexp_extract_all(d2.text,
+       |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+       |  FROM documents d2 JOIN mixed USING (doc_id))
+       |, c2 AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS "offset"
+       |  FROM toks2)
+       |, hv2 AS (
+       |  SELECT doc_id, n_tok, "offset", "offset" // 2048 AS bin,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      AS h
+       |  FROM c2)
+       |SELECT doc_id, n_tok, "offset", bin,
+       |  CASE WHEN h % 10 < 8 THEN 'train'
+       |       WHEN h % 10 < 9 THEN 'eval' ELSE 'test' END AS split,
+       |  h % 16 AS shard
+       |FROM hv2""".stripMargin
 
   /** DuckDB list of the language-ID stopwords, quoted. */
   private def stopwordsSqlList: String =
