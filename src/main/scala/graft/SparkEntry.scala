@@ -814,22 +814,19 @@ object SparkEntry {
     s.read.parquet(s"$work/out")
   }
 
-  /** The full training-corpus pipeline composed as ONE query — the
-    * end-to-end gate proving the building blocks compose, not just pass
-    * individually: near-dup pairs from all three modalities (minhash
-    * text, simhash text, embedding LSH) → connected components →
-    * keep-one-per-cluster → token counts → contiguous token-budget
-    * packing → deterministic split/shard assignment. Every stage is the
-    * same operator its standalone query gates. */
-  private def corpusClean(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    // shared tokenization: both text-signature paths derive from one
-    // persisted (doc_id, hs, sig) frame instead of re-scanning documents
+  /** Shared dedup stage of the composed pipelines ([[corpusClean]] /
+    * [[corpusCleanV2]]): three-modality near-dup pairs (minhash,
+    * simhash, embedding LSH — one persisted signature scan feeds both
+    * text paths) → connected components → keep-one-per-cluster ids.
+    * Hyperparameters live HERE once; the two DuckDB oracles share the
+    * matching [[keptPairCtes]]. */
+  private def dedupKeptIds(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
     val sigs = Dedup.textSignatures(docs, "doc_id", "text", n = 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sigs' last consumer is canonicalize's eager edge checkpoint —
     // unpersist as soon as it returns (see dedupClusters)
-    val kept = try {
+    try {
       val mh = Dedup.minhashDedupPairsFromSets(sigs,
         k = 16, bands = 4, threshold = 0.8).select("a", "b")
       val sh = Dedup.simhashPairsBlockedFromSigs(sigs, maxDist = 3)
@@ -841,6 +838,18 @@ object SparkEntry {
       Clustering.canonicalize(docs.select("doc_id"), pairs,
         "doc_id").filter(col("keep")).select("doc_id")
     } finally sigs.unpersist(false)
+  }
+
+  /** The full training-corpus pipeline composed as ONE query — the
+    * end-to-end gate proving the building blocks compose, not just pass
+    * individually: near-dup pairs from all three modalities (minhash
+    * text, simhash text, embedding LSH) → connected components →
+    * keep-one-per-cluster → token counts → contiguous token-budget
+    * packing → deterministic split/shard assignment. Every stage is the
+    * same operator its standalone query gates. */
+  private def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = dedupKeptIds(s, dir, docs)
     val toks = docs.join(kept, Seq("doc_id"))
       .select(col("doc_id"),
         TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tok"))
@@ -869,21 +878,8 @@ object SparkEntry {
     * broadcast. */
   private def corpusCleanV2(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sigs = Dedup.textSignatures(docs, "doc_id", "text", n = 3)
+    val kept = dedupKeptIds(s, dir, docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = try {
-      val mh = Dedup.minhashDedupPairsFromSets(sigs,
-        k = 16, bands = 4, threshold = 0.8).select("a", "b")
-      val sh = Dedup.simhashPairsBlockedFromSigs(sigs, maxDist = 3)
-        .select("a", "b")
-      val em = Similarity.lshCosinePairs(t(s, dir, "embeddings"),
-        threshold = 0.45, bits = 8, probeDist = 1, tables = 4,
-        native = true).select("a", "b")
-      val pairs = mh.unionByName(sh).unionByName(em)
-      Clustering.canonicalize(docs.select("doc_id"), pairs,
-          "doc_id").filter(col("keep")).select("doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    } finally sigs.unpersist(false)
     try {
       val clean = docs.join(kept, Seq("doc_id"))
       // quality filter: bigram LM trained on the deduped corpus; docs
@@ -2022,13 +2018,12 @@ object SparkEntry {
        |  CAST(doc_id = coalesce(cluster_id, doc_id) AS INT) AS keep
        |FROM documents LEFT JOIN labels ON doc_id = node""".stripMargin
 
-  /** DuckDB replay of corpus_clean — the full training-corpus pipeline
-    * as ONE query: text pairs (mh, shp) ∪ embedding LSH pairs (ep, the
-    * dedup_embed_bucketed chain with e-prefixed CTE names) → connected
-    * components → keep-one-per-cluster → BPE-ish token counts →
-    * contiguous 2048-token bin packing over the kept docs in doc_id
-    * order → md5 train/eval/test split + 16-way shard. */
-  private def corpusCleanOracle: String =
+  /** Shared DuckDB CTE chain of the composed-pipeline oracles — the
+    * SQL twin of [[dedupKeptIds]]: text pairs (mh, shp) ∪ embedding
+    * LSH pairs (ep, the dedup_embed_bucketed chain with e-prefixed
+    * CTE names) → connected components → keep-one-per-cluster
+    * (`kept(doc_id)`). */
+  private def keptPairCtes: String =
     s"""${shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}
        |$hsetsCte
        |$textPairCtes
@@ -2057,7 +2052,14 @@ object SparkEntry {
        |$ccGraphCtes
        |, kept AS (
        |  SELECT doc_id FROM documents LEFT JOIN labels ON doc_id = node
-       |  WHERE doc_id = coalesce(cluster_id, doc_id))
+       |  WHERE doc_id = coalesce(cluster_id, doc_id))""".stripMargin
+
+  /** DuckDB replay of corpus_clean — the full training-corpus pipeline
+    * as ONE query: [[keptPairCtes]] → BPE-ish token counts →
+    * contiguous 2048-token bin packing over the kept docs in doc_id
+    * order → md5 train/eval/test split + 16-way shard. */
+  private def corpusCleanOracle: String =
+    s"""$keptPairCtes
        |, toks AS (
        |  SELECT d.doc_id,
        |    CAST(len(regexp_extract_all(d.text,
@@ -2079,42 +2081,14 @@ object SparkEntry {
        |  h % 16 AS shard
        |FROM hv""".stripMargin
 
-  /** DuckDB replay of corpus_clean_v2 — [[corpusCleanOracle]]'s chain
-    * up to `kept`, then the `text_lm_score` replay retrained on the
+  /** DuckDB replay of corpus_clean_v2 — [[keptPairCtes]], then the
+    * `text_lm_score` replay retrained on the
     * kept set (reusing shingleCte's `d` for tokens), the
     * `sample_temperature` replay re-counted over the quality
     * survivors, and the same packing/split/shard tail over the final
     * mixture. */
   private def corpusCleanV2Oracle: String =
-    s"""${shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}
-       |$hsetsCte
-       |$textPairCtes
-       |${lshPlanesCtes(32).replaceFirst("^WITH ", ", ")}
-       |, ebucketed AS (
-       |  SELECT e.vec_id, j // 8 AS tbl,
-       |    sum(CASE WHEN ${dotSql("e.v", "planes.p")} >= 0
-       |        THEN (1::BIGINT << (j % 8)) ELSE 0::BIGINT END)::BIGINT AS b
-       |  FROM e, planes GROUP BY e.vec_id, j // 8)
-       |, eprobe AS (
-       |  SELECT vec_id AS a, tbl, xor(b, f) AS bucket
-       |  FROM ebucketed, (SELECT unnest($probeMasksSql) AS f))
-       |, ecand AS (
-       |  SELECT DISTINCT p.a, c.vec_id AS b
-       |  FROM eprobe p JOIN ebucketed c
-       |    ON c.tbl = p.tbl AND c.b = p.bucket
-       |  WHERE p.a < c.vec_id)
-       |, ep AS (
-       |  SELECT ecand.a, ecand.b
-       |  FROM ecand
-       |  JOIN e ea ON ea.vec_id = ecand.a
-       |  JOIN e eb ON eb.vec_id = ecand.b
-       |  WHERE round(${cosineSql("ea.v", "eb.v")}, 4) >= 0.45)
-       |, pairs AS (SELECT a, b FROM mh UNION SELECT a, b FROM shp
-       |  UNION SELECT a, b FROM ep)
-       |$ccGraphCtes
-       |, kept AS (
-       |  SELECT doc_id FROM documents LEFT JOIN labels ON doc_id = node
-       |  WHERE doc_id = coalesce(cluster_id, doc_id))
+    s"""$keptPairCtes
        |, tk AS (
        |  SELECT d.doc_id, unnest(toks) AS tok,
        |    generate_subscripts(toks, 1) AS i

@@ -75,30 +75,64 @@ object JdbcSink {
         .mode("overwrite").save()
     } else {
       val stg = stagingName(table)
-      dropIfExists(url, stg, options) // crashed-previous-replace leftover
+      // (a crashed previous replace's staging leftover is handled by the
+      // overwrite itself — Spark's JDBC overwrite drops and recreates)
       writer(df, batchSize, options)
         .option("url", url).option("dbtable", stg)
         .mode("overwrite").save()
       val conn = connect(url, options)
-      try {
-        if (truncate || !Rename.supported(url)) {
-          // definition-preserving swap: portable transactional DML
-          conn.setAutoCommit(false)
-          val quote = JdbcDialects.get(url).quoteIdentifier _
-          val cols = df.columns.map(quote).mkString(", ")
-          execute(conn, s"DELETE FROM $table")
-          execute(conn,
-            s"INSERT INTO $table ($cols) SELECT $cols FROM $stg")
-          conn.commit()
-        } else Rename.swap(conn, url, table, stg)
-      } catch {
-        case e: Throwable =>
-          try { if (!conn.getAutoCommit) conn.rollback() }
-          catch { case _: Throwable => () }
-          throw e
-      } finally conn.close()
+      val swapped =
+        try {
+          if (!truncate && Rename.supported(url)) {
+            Rename.swap(conn, url, table, stg); true
+          } else if (sameColumns(conn, table, df.columns)) {
+            // definition-preserving swap: portable transactional DML
+            conn.setAutoCommit(false)
+            val quote = JdbcDialects.get(url).quoteIdentifier _
+            val cols = df.columns.map(quote).mkString(", ")
+            execute(conn, s"DELETE FROM $table")
+            execute(conn,
+              s"INSERT INTO $table ($cols) SELECT $cols FROM $stg")
+            conn.commit()
+            true
+          } else if (Rename.supported(url)) {
+            // truncate was requested but the existing definition cannot
+            // hold the new schema — the rename swap (which adopts the
+            // staging definition) beats failing the repair
+            Rename.swap(conn, url, table, stg); true
+          } else false
+        } catch {
+          case e: Throwable =>
+            try { if (!conn.getAutoCommit) conn.rollback() }
+            catch { case _: Throwable => () }
+            throw e
+        } finally conn.close()
+      if (!swapped) {
+        // schema changed AND the dialect has no atomic rename: the only
+        // remaining move is the non-atomic drop+recreate — a replace
+        // whose column set drifted must still succeed (it is the repair
+        // path after an upstream schema change), even at the cost of
+        // the brief reader-visible gap this method otherwise avoids
+        writer(df, batchSize, options)
+          .option("url", url).option("dbtable", table)
+          .mode("overwrite").save()
+      }
       dropIfExists(url, stg, options)
     }
+  }
+
+  /** Whether `table`'s column names (case-insensitive) equal `cols` —
+    * decides if the definition-preserving DML swap can represent the
+    * incoming frame. One metadata probe, no scan. */
+  private def sameColumns(conn: Connection, table: String,
+      cols: Array[String]): Boolean = {
+    val st = conn.createStatement()
+    try {
+      val md = st.executeQuery(s"SELECT * FROM $table WHERE 1=0")
+        .getMetaData
+      (1 to md.getColumnCount).map(md.getColumnName(_).toLowerCase).toSet ==
+        cols.map(_.toLowerCase).toSet
+    } finally st.close()
   }
 
   private def stagingName(table: String): String = table + "_GRAFT_STG"
@@ -150,15 +184,25 @@ object JdbcSink {
 
   /** SQLStates (plus vendor codes) that mean "table does not exist":
     * 42X05 Derby, 42S02 MySQL/H2/ODBC, 42P01 PostgreSQL, S0002 legacy
-    * ODBC, 42Y55 Derby DROP-target; MySQL error 1146; SQLite reports
-    * no state, only "no such table". Anything else — connection loss,
-    * timeout, auth — is NOT evidence of absence. */
+    * ODBC, 42Y55 Derby DROP-target, 42704 DB2 undefined-name; vendor
+    * codes 1146 (MySQL), 942 (Oracle ORA-00942), 60 (ClickHouse
+    * UNKNOWN_TABLE — the reference's own sink); message probes for
+    * dialects that report no usable state (SQLite "no such table",
+    * ClickHouse/MySQL "doesn't exist", Oracle's text). Anything else —
+    * connection loss, timeout, auth — is NOT evidence of absence and
+    * rethrows, so a transient failure can never trigger a bootstrap
+    * replace over a live table (ADVICE r9). */
   private val MissingTableStates =
-    Set("42X05", "42S02", "42P01", "S0002", "42Y55")
+    Set("42X05", "42S02", "42P01", "S0002", "42Y55", "42704")
   private def isMissingTable(e: java.sql.SQLException): Boolean =
     Option(e.getSQLState).exists(MissingTableStates.contains) ||
-      e.getErrorCode == 1146 ||
-      Option(e.getMessage).exists(_.toLowerCase.contains("no such table"))
+      e.getErrorCode == 1146 || e.getErrorCode == 942 ||
+      e.getErrorCode == 60 ||
+      Option(e.getMessage).exists { m =>
+        val l = m.toLowerCase
+        l.contains("no such table") || l.contains("doesn't exist") ||
+          l.contains("table or view does not exist")
+      }
 
   /** Whether `table` exists at `url` — drives the bootstrap-vs-delta
     * choice in [[graft.streaming.CdcStream.startToJdbc]]. One

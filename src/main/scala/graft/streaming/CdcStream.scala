@@ -68,7 +68,15 @@ object CdcStream {
       keepVersions: Int = 2,
       optimizeEvery: Int = 0,
       tombstoneHorizon: Option[Long] = None) {
-    require(keepVersions >= 1, "keepVersions must be >= 1")
+    // >= 2, not >= 1: maintenance runs INSIDE the live loop, where the
+    // pre-batch version must survive for a crash-replay to re-read —
+    // keep=1 would let "merge v=N, GC, crash before checkpoint commit"
+    // replay batch N against an EMPTY state and silently truncate the
+    // table. (The standalone gcVersions/optimize still accept keep=1
+    // for a stopped stream.)
+    require(keepVersions >= 2,
+      "Maintenance.keepVersions must be >= 2: a crash-replay reads the " +
+        "pre-batch version; keep=1 can truncate state on replay")
     private def due(every: Int, batchId: Long): Boolean =
       every > 0 && batchId > 0 && batchId % every == 0
 

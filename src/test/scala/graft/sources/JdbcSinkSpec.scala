@@ -206,4 +206,25 @@ class JdbcSinkSpec extends AnyFunSuite {
       truncate = true, options = driverOpt)
     assert(state == Map(1 -> "a2", 4 -> "d"))
   }
+
+  test("replace survives a schema change (the repair-after-ALTER path)") {
+    // the definition-preserving DML swap can't represent a frame whose
+    // columns drifted from the existing table — replace must fall back
+    // (rename swap on Derby; documented non-atomic recreate elsewhere)
+    // instead of failing the repair forever
+    JdbcSink.replace(Seq((1, "a")).toDF("K", "V"), url, "evolve_t",
+      options = driverOpt)
+    val widened = Seq((1, "a2", 7L), (2, "b", 8L)).toDF("K", "V", "W")
+    JdbcSink.replace(widened, url, "evolve_t", truncate = true,
+      options = driverOpt)
+    assert(readBack("evolve_t").columns.toSet == Set("K", "V", "W"))
+    assert(readBack("evolve_t").as[(Int, String, Long)].collect().toSet ==
+      Set((1, "a2", 7L), (2, "b", 8L)))
+    // and a narrowing change too (rename-unsupported dialects take the
+    // non-atomic recreate; Derby takes the rename swap)
+    JdbcSink.replace(Seq((5, "x")).toDF("K", "V"), url, "evolve_t",
+      options = driverOpt)
+    assert(readBack("evolve_t").as[(Int, String)].collect().toSet ==
+      Set((5, "x")))
+  }
 }
