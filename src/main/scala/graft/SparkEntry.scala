@@ -323,8 +323,11 @@ object SparkEntry {
   /** ST1-ST7 end-to-end: the I/U/D feed written to a change-log dir as
     * multiple files, replayed through the Structured Streaming path
     * (maxFilesPerTrigger=1 → several micro-batches, checkpointed,
-    * tombstone state), final view read back. Oracle: identical to
-    * cdc_lww — the streaming path must agree with the batch LWW. */
+    * tombstone state) WITH per-batch state-version GC on — the
+    * long-running-stream posture — final view read back. Oracle:
+    * identical to cdc_lww — the streaming path must agree with the
+    * batch LWW, and maintenance must never change what the view
+    * serves. */
   private def cdcStreamReplay(s: SparkSession, dir: String): DataFrame =
       withShufflePartitions(s, 8) {
     val work = scratchDir("graft_stream_")
@@ -333,7 +336,8 @@ object SparkEntry {
     val schema = ChangeFeed.full(s, dir).schema
     streaming.CdcStream.replayToCompletion(s, s"$work/changes", schema,
       s"$work/target", s"$work/ckpt", ChangeFeed.keyCols,
-      maxFilesPerTrigger = Some(1))
+      maxFilesPerTrigger = Some(1),
+      maintenance = streaming.CdcStream.Maintenance(gcEvery = 1))
   }
 
   private def eventSliding(s: SparkSession, dir: String): DataFrame =

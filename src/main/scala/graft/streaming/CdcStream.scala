@@ -330,9 +330,11 @@ object CdcStream {
     * log and return the final user-facing table. */
   def replayToCompletion(spark: SparkSession, changesDir: String,
       changeSchema: StructType, targetDir: String, checkpointDir: String,
-      keyCols: Seq[String], maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      keyCols: Seq[String], maxFilesPerTrigger: Option[Int] = None,
+      maintenance: Maintenance = Maintenance()): DataFrame = {
     val q = start(spark, changesDir, changeSchema, targetDir, checkpointDir,
-      keyCols, maxFilesPerTrigger = maxFilesPerTrigger)
+      keyCols, maxFilesPerTrigger = maxFilesPerTrigger,
+      maintenance = maintenance)
     q.awaitTermination()
     currentView(spark, targetDir, changeSchema)
   }
