@@ -340,6 +340,27 @@ object SparkEntry {
       maintenance = streaming.CdcStream.Maintenance(gcEvery = 1))
   }
 
+  /** [[cdcStreamReplay]]'s bucketed twin with the FULL maintenance
+    * schedule on — per-batch version GC plus the periodic OPTIMIZE
+    * pass (bucket-file compaction + version GC) firing MID-STREAM
+    * between micro-batches. The oracle is still the batch LWW: the
+    * whole maintenance machinery must be invisible to what the view
+    * serves. */
+  private def cdcMaintainedReplay(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_maintq_")
+    ChangeFeed.full(s, dir).repartition(4)
+      .write.mode("overwrite").parquet(s"$work/changes")
+    val schema = ChangeFeed.full(s, dir).schema
+    val q = streaming.CdcStream.start(s, s"$work/changes", schema,
+      s"$work/target", s"$work/ckpt", ChangeFeed.keyCols,
+      maxFilesPerTrigger = Some(1), stateBuckets = Some(8),
+      maintenance = streaming.CdcStream.Maintenance(gcEvery = 1,
+        optimizeEvery = 2))
+    q.awaitTermination()
+    streaming.BucketedState.currentView(s, s"$work/target", schema, 8)
+  }
+
   private def eventSliding(s: SparkSession, dir: String): DataFrame =
     streaming.EventTimeWindows.sliding(events(s, dir), "ts",
       "2 hours", "1 hour", Seq("event_type"),
@@ -1085,6 +1106,7 @@ object SparkEntry {
     "cdc_changed_cols" -> (cdcChangedCols _),
     "cdc_counters" -> (cdcCounters _),
     "cdc_stream_replay" -> (cdcStreamReplay _),
+    "cdc_maintained_replay" -> (cdcMaintainedReplay _),
     "envelope_lww" -> (envelopeLww _),
     "route_filter" -> (routeFilter _),
     "type_enum" -> (typeEnum _),
@@ -1205,6 +1227,7 @@ object SparkEntry {
          |FROM orders""".stripMargin,
     "cdc_lww" -> lwwOracleSql,
     "cdc_stream_replay" -> lwwOracleSql,
+    "cdc_maintained_replay" -> lwwOracleSql,
     "envelope_lww" -> lwwOracleSql,
     "cdc_changed_cols" ->
       """SELECT o_orderkey, concat_ws(',',
