@@ -319,7 +319,7 @@ object JdbcSink {
         rows.foreach { row =>
           fieldIdx.zipWithIndex.foreach { case (fi, i) =>
             if (row.isNullAt(fi)) ps.setNull(i + 1, sqlTypes(i))
-            else ps.setObject(i + 1, row.get(fi))
+            else ps.setObject(i + 1, jdbcValue(row.get(fi)))
           }
           ps.addBatch()
           pending += 1
@@ -328,6 +328,18 @@ object JdbcSink {
         if (pending > 0) { ps.executeBatch(); () }
       } finally ps.close()
     }
+  }
+
+  /** Spark Rows surface date/time values as java.time types
+    * (spark.sql.datetime.java8API.enabled, the Spark 4 default); JDBC
+    * 4.2 `setObject` support for them is spotty (Derby rejects
+    * LocalDateTime→TIMESTAMP), so bind the java.sql equivalents every
+    * driver accepts. */
+  private def jdbcValue(v: Any): Any = v match {
+    case ld: java.time.LocalDate => java.sql.Date.valueOf(ld)
+    case ldt: java.time.LocalDateTime => java.sql.Timestamp.valueOf(ldt)
+    case ins: java.time.Instant => java.sql.Timestamp.from(ins)
+    case other => other
   }
 
   private def writer(df: DataFrame, batchSize: Int,

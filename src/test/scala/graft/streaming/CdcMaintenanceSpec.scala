@@ -116,6 +116,33 @@ class CdcMaintenanceSpec extends AnyFunSuite {
       assert(bucketVersions(s"$work/t", b).size <= 2))
   }
 
+  test("maintenance composes with the JDBC serving loop (startToJdbc)") {
+    // GC runs AFTER each batch's delta push: the serving table still
+    // converges to the batch LWW while the bucketed state stays at
+    // <= keepVersions complete versions per bucket
+    val work = tmp()
+    val nB = 4
+    val home = Files.createTempDirectory("graft_maint_derby_").toString
+    val url = s"jdbc:derby:$home/maintdb;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val feed = ChangeFeed.full(spark, TestSpark.Sf0001)
+    feed.repartition(4).write.parquet(s"$work/changes")
+    val q = CdcStream.startToJdbc(spark, s"$work/changes", feed.schema,
+      s"$work/target", s"$work/ckpt", ChangeFeed.keyCols,
+      url, "maint_t", maxFilesPerTrigger = Some(1),
+      stateBuckets = Some(nB), jdbcOptions = opts,
+      maintenance = CdcStream.Maintenance(gcEvery = 1, keepVersions = 2))
+    q.awaitTermination()
+    (0 until nB).foreach(b =>
+      assert(bucketVersions(s"$work/target", b).size <= 2))
+    val want = BucketedState.currentView(spark, s"$work/target",
+      feed.schema, nB)
+    val got = graft.sources.SnapshotSource.jdbc(spark, url, "maint_t",
+      options = opts)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("maintenance off (defaults) leaves every version behind") {
     val work = tmp()
     for (i <- 0 until 4)
