@@ -1095,6 +1095,43 @@ object SparkEntry {
         .cast("int").as("keep"))
   }
 
+  /** C4-style page cleaning gate. The corpus text is single-line word
+    * soup, so (like text_pii's synthetic PII) a deterministic multi-line
+    * page is synthesized from (doc_id, text) — 8-token chunk lines whose
+    * terminal punctuation cycles with (doc_id + line), plus injected
+    * boilerplate/code/javascript/short lines on doc_id residues — and
+    * the oracle rebuilds the identical page before applying the same
+    * rules. The hash compare therefore proves line-split, per-line
+    * predicates, page blocks, and recomposition all at once. */
+  private def textC4Clean(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextClean, TextFunctions}
+    val toks = TextFunctions.tokens(col("text"))
+    val nChunks = ((size(toks) + lit(7)) / lit(8)).cast("int")
+    val chunkLines = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nChunks), i =>
+        concat(
+          concat_ws(" ", slice(toks, (i - 1) * 8 + 1, lit(8))),
+          element_at(array(lit("."), lit("!"), lit("")),
+            pmod(col("doc_id") + i - 1, lit(3)).cast("int") + 1))))
+    val injected = filter(array(
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        lit("lorem ipsum dolor sit amet.")),
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        lit("int main() { return 0; }")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        lit("enable javascript to view this page.")),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("too short."))),
+      x => x.isNotNull)
+    val page = array_join(concat(injected, chunkLines), "\n")
+    t(s, dir, "documents")
+      .select(col("doc_id"), page.as("p"))
+      .select(col("doc_id"),
+        TextClean.c4Clean(col("p"), minWords = 3, minKeptLines = 3).as("c"))
+      .select(col("doc_id"), col("c.n_lines").as("n_lines"),
+        col("c.n_kept").as("n_kept"), col("c.dropped").as("dropped"),
+        col("c.clean_text").as("clean_text"))
+  }
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1175,7 +1212,8 @@ object SparkEntry {
     "sample_reservoir" -> (sampleReservoir _),
     "decontam_ngram" -> (decontamNgram _),
     "text_pii" -> (textPii _),
-    "text_repetition" -> (textRepetition _))
+    "text_repetition" -> (textRepetition _),
+    "text_c4_clean" -> (textC4Clean _))
 
   /** Last-write-wins replay of the synthetic I/U/D feed — the oracle for
     * both the batch (cdc_lww) and streaming (cdc_stream_replay) paths. */
@@ -1940,7 +1978,47 @@ object SparkEntry {
          |    AND dup8 <= 0.12 AND dup9 <= 0.11 AND dup10 <= 0.10
          |    AS INT) AS keep
          |FROM m""".stripMargin
-    })
+    },
+    "text_c4_clean" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |, built AS (
+        |  SELECT doc_id,
+        |    list_filter([
+        |      CASE WHEN doc_id % 7 = 0
+        |           THEN 'lorem ipsum dolor sit amet.' END,
+        |      CASE WHEN doc_id % 13 = 0
+        |           THEN 'int main() { return 0; }' END,
+        |      CASE WHEN doc_id % 5 = 0
+        |           THEN 'enable javascript to view this page.' END,
+        |      CASE WHEN doc_id % 3 = 0 THEN 'too short.' END],
+        |      x -> x IS NOT NULL)
+        |    || list_transform(generate_series(1, (len(toks) + 7) // 8),
+        |         i -> array_to_string(
+        |                toks[(i-1)*8+1 : least(i*8, len(toks))], ' ')
+        |              || (['.', '!', ''])[(doc_id + i - 1) % 3 + 1]) AS ls
+        |  FROM base)
+        |, page AS (
+        |  SELECT doc_id, ls, array_to_string(ls, chr(10)) AS txt
+        |  FROM built)
+        |, kept AS (
+        |  SELECT doc_id, len(ls) AS n_lines,
+        |    list_filter(ls, l ->
+        |      regexp_matches(trim(l), '[.!?"]$')
+        |      AND CASE WHEN length(trim(l)) = 0 THEN 0
+        |          ELSE len(string_split_regex(trim(l), '\s+')) END >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kl,
+        |    contains(lower(txt), 'lorem ipsum') OR contains(txt, '{')
+        |      AS blocked
+        |  FROM page)
+        |SELECT doc_id, n_lines, len(kl) AS n_kept,
+        |  CAST(blocked OR len(kl) < 3 AS INT) AS dropped,
+        |  CASE WHEN blocked OR len(kl) < 3 THEN NULL
+        |       ELSE array_to_string(kl, chr(10)) END AS clean_text
+        |FROM kept""".stripMargin)
 
   /** Replays AsofJoin's union+running-window formulation verbatim:
     * right rows (tag 0) sort before left rows (tag 1) at equal ts, the
