@@ -600,6 +600,13 @@ object SparkEntry {
     Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45,
       native = true)
 
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    // SemDeDup: cluster-bounded pair space instead of n² — the policy
+    // (including its deliberate cross-cluster misses) replays exactly in
+    // the oracle via the shared centroid chain (ivfCbuckCtes)
+    Similarity.semanticDupes(t(s, dir, "embeddings"), threshold = 0.45,
+      native = true)
+
   private def dedupEmbedBucketed(s: SparkSession, dir: String): DataFrame =
     // the 100 TB path: multi-table LSH candidates + exact-cosine verify
     // (linear equi-join, no O(n²) self-join)
@@ -1181,6 +1188,7 @@ object SparkEntry {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "dedup_embed_bucketed" -> (dedupEmbedBucketed _),
+    "dedup_semantic" -> (dedupSemantic _),
     "streaming_dedup" -> (streamingDedup _),
     "skew_join" -> (skewJoin _),
     "stream_join_static" -> (streamJoinStatic _),
@@ -1612,6 +1620,20 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
+    "dedup_semantic" ->
+      s"""$ivfCbuckCtes
+         |, av AS (
+         |  SELECT c.vec_id, c.bucket, e.v
+         |  FROM cbuck c JOIN e USING (vec_id))
+         |, pr AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+         |  FROM av a JOIN av b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${cosineSql("a.v", "b.v")}, 4) >= 0.45
+         |  GROUP BY 1)
+         |SELECT c.vec_id, CAST(c.bucket AS INT) AS bucket, p.dup_of,
+         |  CAST(p.dup_of IS NOT NULL AS INT) AS is_dup
+         |FROM cbuck c LEFT JOIN pr p USING (vec_id)""".stripMargin,
     "ann_quantized" -> annQuantizedOracle,
     "ann_topk" ->
       s"""WITH e AS (
@@ -2446,7 +2468,12 @@ object SparkEntry {
     * bucket assignment + query probing + cosine ranking replay the plan
     * side. Bit-identical because every float accumulation is a
     * sequential fold in the same element order as the Scala loop. */
-  private def annIvfOracle: String = {
+  /** Shared DuckDB CTE chain replaying Similarity.kmeansCentroids (the
+    * bounded 2048-sample, 3 Lloyd iterations, ties-to-highest-index
+    * argmax) plus the full-corpus cluster assignment — ends at `cbuck
+    * (vec_id, bucket)` with `e (vec_id, v)` still in scope. Serves both
+    * ann_ivf and dedup_semantic, which must agree on the clustering. */
+  private def ivfCbuckCtes: String = {
     def assignCte(n: Int, cents: String): String =
       s""", assign$n AS (
          |  SELECT vec_id, cidx FROM (
@@ -2479,7 +2506,11 @@ object SparkEntry {
        |  SELECT vec_id, cidx AS bucket FROM (
        |    SELECT e.vec_id, c.cidx, row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosineSql("e.v", "c.p")} DESC, c.cidx DESC) AS rn
-       |    FROM e, cents3 c) WHERE rn = 1)
+       |    FROM e, cents3 c) WHERE rn = 1)""".stripMargin
+  }
+
+  private def annIvfOracle: String =
+    s"""$ivfCbuckCtes
        |, qprobe AS (
        |  SELECT vec_id AS query_id, cidx AS bucket FROM (
        |    SELECT e.vec_id, c.cidx, row_number() OVER (PARTITION BY e.vec_id
@@ -2490,7 +2521,6 @@ object SparkEntry {
        |  FROM qprobe q JOIN cbuck c ON c.bucket = q.bucket
        |  WHERE c.vec_id <> q.query_id)
        |$annScoreRankSql""".stripMargin
-  }
 
   /** DuckDB replay of Similarity.quantizedTopK(rescore=30, k=5):
     * per-vector symmetric int8 quantization (scale = max|x|/127 with the

@@ -420,6 +420,52 @@ object Similarity {
       .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means cluster the embedding space, then call a
+    * vector a duplicate iff SOME lower-id vector in the SAME cluster has
+    * cosine ≥ `threshold`; its keeper (`dup_of`) is the smallest such id.
+    *
+    * Shape for 100 TB: centroid training is a bounded deterministic
+    * sample (ONE constant-size collect, [[kmeansCentroids]]); cluster
+    * assignment is one distributed scan; and the pair space is bounded
+    * per-cluster — Σ|cluster|²  instead of n², so `nlist` scales with
+    * the corpus to keep clusters machine-sized. Cross-cluster near-dups
+    * are missed BY DESIGN (that is SemDeDup's recall/cost trade); the
+    * exactness claim is "exactly the clustered policy", which the oracle
+    * replays centroid-for-centroid.
+    *
+    * @return one row per vector: (vec_id, bucket, dup_of, is_dup)
+    */
+  def semanticDupes(corpus: DataFrame, threshold: Double, dim: Int = 64,
+      nlist: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 4,
+      native: Boolean = false): DataFrame = {
+    val cents = kmeansCentroids(corpus, dim, nlist, idCol = idCol,
+      vecCol = vecCol)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val assigned = corpus
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .repartition(par)
+      .withColumn("bucket", nearestCentroid(col("v"), cents, native))
+    val a = assigned.select(col("bucket"), col("vec_id").as("a"),
+      col("v").as("va"))
+    val b = assigned.select(col("bucket"), col("vec_id").as("b"),
+      col("v").as("vb"))
+    // within-cluster equi-join; the lowest colliding lower id wins
+    val dupOf = a.join(b, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .filter(round(cosineBy(native)(col("va"), col("vb")), roundTo)
+        >= threshold)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(col("a")).as("dup_of"))
+    assigned.select(col("vec_id"), col("bucket"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket").cast("int").as("bucket"),
+        col("dup_of"),
+        col("dup_of").isNotNull.cast("int").as("is_dup"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH with multi-probe: a
     * corpus vector is a candidate for a query if their buckets differ in
     * at most `probeDist` bits. The candidate join runs on exploded

@@ -194,4 +194,36 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(approx == exact)
   }
+
+  test("semanticDupes: hand-computed verdicts in a single cluster") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(1f, 0.01f)),  // near-dup of 0
+      (2L, Array(0f, 1f)),     // orthogonal: unique
+      (3L, Array(1f, 0.02f))   // near-dup of 0 AND 1 -> keeper is min = 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .semanticDupes(vecs, threshold = 0.9, dim = 2, nlist = 1)
+      .select($"vec_id", $"dup_of", $"is_dup")
+      .as[(Long, Option[Long], Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, None, 0), (1L, Some(0L), 1),
+      (2L, None, 0), (3L, Some(0L), 1)))
+  }
+
+  test("semanticDupes with nlist=1 equals the unclustered quadratic policy") {
+    // one cluster -> every pair is in scope, so the verdict must match
+    // the policy derived from exact cosinePairs on the same corpus
+    val tau = 0.45
+    val wantDupOf = Similarity.cosinePairs(embeddings, tau, native = true)
+      .groupBy($"b".as("vec_id"))
+      .agg(org.apache.spark.sql.functions.min($"a").as("dup_of"))
+      .as[(Long, Long)].collect().toMap
+    val got = Similarity.semanticDupes(embeddings, tau, nlist = 1,
+        native = true)
+      .select($"vec_id", $"dup_of")
+      .as[(Long, Option[Long])].collect()
+    assert(got.length > 0)
+    got.foreach { case (id, dupOf) =>
+      assert(dupOf == wantDupOf.get(id), s"vec $id") }
+  }
 }
