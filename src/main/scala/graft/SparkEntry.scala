@@ -600,6 +600,13 @@ object SparkEntry {
     Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45,
       native = true)
 
+  private def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    // substring-level (span) dedup at 3-gram granularity; repartition
+    // spreads the shingle-scan CPU off the single local parquet split
+    Dedup.duplicateSpans(
+      t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text", n = 3)
+
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
     // SemDeDup: cluster-bounded pair space instead of n² — the policy
     // (including its deliberate cross-cluster misses) replays exactly in
@@ -1189,6 +1196,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "dedup_embed_bucketed" -> (dedupEmbedBucketed _),
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_spans" -> (dedupSpans _),
     "streaming_dedup" -> (streamingDedup _),
     "skew_join" -> (skewJoin _),
     "stream_join_static" -> (streamJoinStatic _),
@@ -2001,6 +2009,35 @@ object SparkEntry {
          |    AS INT) AS keep
          |FROM m""".stripMargin
     },
+    "dedup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |, sh0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> {'pos': i - 1,
+        |            'h': ('0x' || substr(md5(
+        |                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+        |                 1, 15))::BIGINT})) AS s
+        |  FROM d WHERE len(toks) >= 3)
+        |, sh AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM sh0)
+        |, dup AS (
+        |  SELECT h FROM sh GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2)
+        |, cov0 AS (
+        |  SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS p
+        |  FROM sh JOIN dup USING (h))
+        |, cov AS (SELECT DISTINCT doc_id, p FROM cov0)
+        |, isl AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+        |  FROM cov)
+        |SELECT doc_id, min(p) AS span_start, max(p) AS span_end,
+        |  count(*) AS span_len
+        |FROM isl GROUP BY doc_id, g""".stripMargin,
     "text_c4_clean" ->
       """WITH base AS (
         |  SELECT doc_id,

@@ -254,4 +254,63 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** Substring-level duplicate-SPAN detection (the exact-substring dedup
+    * of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499, at word-n-gram granularity): a
+    * token position is "duplicated" when some n-gram covering it also
+    * appears in at least `minDocs` distinct documents; maximal runs of
+    * duplicated positions are reported as spans, per document.
+    *
+    * Shape for 100 TB (the suffix-array of the paper is replaced by a
+    * shuffle-friendly inverted index):
+    *   1. one scan emits (doc, pos, hash60(n-gram)) — text never leaves
+    *      the scan;
+    *   2. the duplicated-hash table is a groupBy on the hash (bounded by
+    *      distinct shingles, not corpus size) — the ONLY wide shuffle;
+    *   3. positions join back on the hash (equi-join on the same key, so
+    *      the shuffle is reused), and span assembly is a per-document
+    *      window — partitioned by doc_id, never global.
+    *
+    * @return (doc_id, span_start, span_end, span_len) — token indices,
+    *         0-based inclusive; documents with no duplicated span are
+    *         absent.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"ngram n=$n must be >= 1")
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    val toks = tokens(col(textCol))
+    // (doc, pos, h): position-carrying shingle hashes — unlike
+    // hashedShingleSets, duplicates are NOT collapsed (each position
+    // must keep its own verdict)
+    val positioned = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("_toks")) - lit(n - 1)),
+        i => struct((i - 1).as("pos"),
+          hash60(concat_ws(" ",
+            (0 until n).map(j => element_at(col("_toks"), i + lit(j))): _*))
+            .as("h")))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val dupHashes = positioned
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("h"))
+    val covered = positioned.join(dupHashes, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    covered
+      .withColumn("_g", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_g"))
+      .agg(min(col("p")).as("span_start"), max(col("p")).as("span_end"),
+        count(lit(1)).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_len"))
+  }
 }

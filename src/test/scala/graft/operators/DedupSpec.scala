@@ -82,4 +82,28 @@ class DedupSpec extends AnyFunSuite {
     val tiny = Seq((0L, "one two")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(tiny, "doc_id", "text").count() == 0)
   }
+
+  test("duplicateSpans: shared runs merge into maximal spans per doc") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // full dup of doc 4
+      (2L, "x y a b c z"),  // shares only "a b c"
+      (3L, "q r s t u"),    // unique: no spans
+      (4L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", n = 3)
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // docs 1/4: every 3-gram shared -> ONE maximal span covering 0..5;
+    // doc 2: only positions 2..4 (the "a b c" occurrence) are covered
+    assert(got == Seq((1L, 0, 5, 6L), (2L, 2, 4, 3L), (4L, 0, 5, 6L)))
+  }
+
+  test("duplicateSpans: within-doc repetition alone is not a span") {
+    val docs = Seq(
+      (1L, "p q r p q r p q r"), // repeats internally, but no other doc
+      (2L, "entirely different words here")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(docs, "doc_id", "text", n = 3)
+      .count() == 0)
+  }
 }
