@@ -600,6 +600,14 @@ object SparkEntry {
     Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45,
       native = true)
 
+  private def statsQuantiles(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.boundedQuantiles(t(s, dir, "documents"), "doc_id",
+      CorpusStats.tokenMeasure(col("text")))
+
+  private def statsHistogram(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.lengthHistogram(t(s, dir, "documents"),
+      CorpusStats.tokenMeasure(col("text")))
+
   private def dedupSpans(s: SparkSession, dir: String): DataFrame =
     // substring-level (span) dedup at 3-gram granularity; repartition
     // spreads the shingle-scan CPU off the single local parquet split
@@ -1197,6 +1205,8 @@ object SparkEntry {
     "dedup_embed_bucketed" -> (dedupEmbedBucketed _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_spans" -> (dedupSpans _),
+    "stats_quantiles" -> (statsQuantiles _),
+    "stats_histogram" -> (statsHistogram _),
     "streaming_dedup" -> (streamingDedup _),
     "skew_join" -> (skewJoin _),
     "stream_join_static" -> (streamJoinStatic _),
@@ -2009,6 +2019,37 @@ object SparkEntry {
          |    AS INT) AS keep
          |FROM m""".stripMargin
     },
+    "stats_quantiles" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM documents)
+        |, samp AS (
+        |  SELECT doc_id, tc FROM base ORDER BY h, doc_id LIMIT 256)
+        |, r AS (
+        |  SELECT tc, row_number() OVER (ORDER BY tc, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM samp)
+        |, qs AS (
+        |  SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q)
+        |SELECT qs.q AS q, CAST(r.tc AS BIGINT) AS value,
+        |  CAST(r.n AS BIGINT) AS n_sample
+        |FROM qs JOIN r ON r.rn = ceil(qs.q * r.n)""".stripMargin,
+    "stats_histogram" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+        |  FROM documents)
+        |SELECT CAST(tc // 10 AS BIGINT) AS bucket,
+        |  CAST((tc // 10) * 10 AS BIGINT) AS lo,
+        |  count(*) AS n_docs,
+        |  CAST(min(tc) AS BIGINT) AS min_v,
+        |  CAST(max(tc) AS BIGINT) AS max_v,
+        |  CAST(sum(tc) AS BIGINT) AS sum_v
+        |FROM base GROUP BY 1, 2""".stripMargin,
     "dedup_spans" ->
       """WITH d AS (
         |  SELECT doc_id,

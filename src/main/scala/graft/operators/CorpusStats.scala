@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level statistics for training-data pipelines: distribution
+  * summaries a 100 TB curation run needs before and after every filter
+  * stage (what did the dedup do to the length distribution? how many
+  * tokens survive per bucket?).
+  *
+  * Both operators are deterministic and oracle-replayable — no
+  * approx_percentile / random sampling, because the correctness gate
+  * hash-compares against an external SQL engine:
+  *   - [[boundedQuantiles]] uses the KMV trick (the `k` rows with the
+  *     smallest md5-derived id hashes form a uniform-but-deterministic
+  *     sample) and then EXACT rank selection inside the bounded sample.
+  *   - [[lengthHistogram]] is an exact fixed-width histogram — one
+  *     scan-local aggregation, output rows = bucket count.
+  *
+  * The reference engine has no stats surface (it is a row replicator —
+  * river/sync.go); this is part of the LLM-pipeline extension surface.
+  */
+object CorpusStats {
+
+  /** 60-bit md5 hash of the id — the same engine-portable hash family as
+    * [[Sampling.hashBucket]], kept as a raw value so "lowest k" is
+    * well-defined. */
+  private def idHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic quantiles of a per-document measure over a KMV-style
+    * bounded sample.
+    *
+    * Shape for 100 TB: `orderBy(hash).limit(k)` compiles to
+    * TakeOrderedAndProject — each partition keeps its local top-k, the
+    * driver merges k rows — so the corpus is scanned once, nothing wide
+    * shuffles, and every downstream step (ranking, quantile selection)
+    * runs on a ≤k-row frame. The single-partition window below is
+    * therefore bounded by construction (same convention as
+    * Sampling.trainingOrder's shards-row window).
+    *
+    * Quantile definition (replayed verbatim by the oracle): with the
+    * sample ordered by (value, doc_id), quantile q is the value at rank
+    * `ceil(q·n)`, n = sample size.
+    *
+    * @return one row per requested quantile: (q, value, n_sample)
+    */
+  def boundedQuantiles(docs: DataFrame, idCol: String, measure: Column,
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99),
+      k: Int = 256): DataFrame = {
+    require(k > 0, s"sample bound k=$k must be positive")
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1]: $quantiles")
+    val samp = docs
+      .select(col(idCol).cast("long").as("_id"), measure.as("_v"),
+        idHash(col(idCol)).as("_h"))
+      .orderBy(col("_h"), col("_id")).limit(k)
+    val w = Window.orderBy(col("_v"), col("_id")) // ≤k rows: bounded
+    val ranked = samp
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy()))
+    val qCol = explode(array(quantiles.map(lit): _*)).as("q")
+    ranked.select(col("_v"), col("_rn"), col("_n"), qCol)
+      .filter(col("_rn") === ceil(col("q") * col("_n")))
+      .select(col("q").cast("double").as("q"),
+        col("_v").cast("long").as("value"),
+        col("_n").cast("long").as("n_sample"))
+  }
+
+  /** Exact fixed-width histogram of a per-document integer measure: one
+    * scan-local partial aggregation, one tiny shuffle on ~(max/width)
+    * bucket keys. @return (bucket, lo, n_docs, min_v, max_v, sum_v) */
+  def lengthHistogram(docs: DataFrame, measure: Column,
+      width: Int = 10): DataFrame = {
+    require(width > 0, s"bucket width=$width must be positive")
+    val v = measure.cast("long")
+    docs.select(v.as("_v"))
+      .withColumn("bucket", floor(col("_v") / width))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min("_v").as("min_v"),
+        max("_v").as("max_v"), sum("_v").as("sum_v"))
+      .select(col("bucket").cast("long").as("bucket"),
+        (col("bucket") * width).cast("long").as("lo"),
+        col("n_docs"), col("min_v"), col("max_v"), col("sum_v"))
+  }
+
+  /** Convenience: whitespace token count, the usual length measure. */
+  def tokenMeasure(textCol: Column): Column =
+    TextFunctions.tokenCount(textCol).cast("long")
+}
