@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import graft.operators.{AsofJoin, Clustering, Decontam, Dedup,
+import graft.operators.{AsofJoin, Clustering, CorpusStats, Decontam, Dedup,
   IncrementalDedup, LangModel, Packing, RangeJoin, Sampling, Similarity}
 import graft.functions.TextFunctions
 
@@ -471,6 +471,73 @@ object BenchScale {
     * the cross volume; never materializes the pairs. Per-copy counts
     * are independent hash draws (prefix membership re-rolls per
     * rotation), hence the 2× slack on the linear gate. */
+  /** Duplicate-span detection at ×N: the alphabet rotation is a token
+    * bijection, so every copy reproduces the base corpus's span
+    * structure exactly — spans must replicate ×N row-for-row, the
+    * duplicated-hash posting volume must be EXACTLY ×N, and cross-copy
+    * duplicated hashes must be ZERO. Evidence comes from a per-hash
+    * histogram, untimed. */
+  private def runDedupSpans(s: SparkSession, dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val r = timed {
+      Dedup.duplicateSpans(docs, "doc_id", "text", n = 3).count()
+    }(Map.empty)
+    val copyOf = (c: Column) => call_function("div", c, lit(100000000L))
+    val perHash = Dedup.hashedShingleSets(docs, "doc_id", "text", 3)
+      .select(copyOf(col("doc_id")).as("copy"), col("doc_id"),
+        explode(col("hs")).as("h"))
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        countDistinct(col("copy")).as("nc"))
+      .filter(col("nd") >= 2)
+    val row = perHash.agg(
+      coalesce(sum(col("nd")), lit(0L)).cast("long"),
+      coalesce(sum(when(col("nc") >= 2, 1L).otherwise(0L)), lit(0L))
+        .cast("long")).head()
+    r.copy(evidence = r.evidence ++ Map(
+      "candidates" -> row.getLong(0),
+      "cross_dup_hashes" -> row.getLong(1)))
+  }
+
+  /** SemDeDup at ×N runs the documented 100 TB configuration — `nlist`
+    * scales with the corpus, so the per-cluster pair space (Σ_b C(s_b,2),
+    * the quadratic term the clustering exists to bound) stays ~linear.
+    * Every vector gets exactly one verdict row at any scale. */
+  private def runSemanticDedup(s: SparkSession, dir: String,
+      m: Int): OpResult = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val nlist = 16 * m
+    val r = timed {
+      Similarity.semanticDupes(emb, threshold = 0.45, nlist = nlist,
+        native = true).count()
+    }(Map.empty)
+    val cents = Similarity.kmeansCentroids(emb, dim = 64, k = nlist)
+    val cands = emb
+      .select(Similarity.nearestCentroid(
+        col("embedding").cast("array<double>"), cents, native = true)
+        .as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0))
+        .cast("long")).head().getLong(0)
+    r.copy(evidence = r.evidence ++ Map(
+      "candidates" -> cands, "nlist" -> nlist.toLong))
+  }
+
+  /** Bounded-quantile sketch at ×N: output is |quantiles| rows and the
+    * sample is exactly k rows at EVERY corpus size — the whole point of
+    * the KMV bound. Time should track the single scan. */
+  private def runStatsQuantiles(s: SparkSession, dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    var nSample = 0L
+    val r = timed {
+      val rows = CorpusStats.boundedQuantiles(docs, "doc_id",
+        CorpusStats.tokenMeasure(col("text"))).collect()
+      nSample = rows.map(_.getAs[Long]("n_sample")).max
+      rows.length.toLong
+    }(Map.empty)
+    r.copy(evidence = r.evidence + ("n_sample" -> nSample))
+  }
+
   private def runNgramJaccard(s: SparkSession, dir: String): OpResult = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val r = timed {
@@ -769,7 +836,11 @@ object BenchScale {
       "dedup_compact" -> (d => runCompact(spark, d, incBatch)),
       "text_lm_score" -> (d => runLmScore(spark, d)),
       "cdc_serve" -> (d => runCdcServe(spark, d,
-        if (d.endsWith("x1")) 1 else n)))
+        if (d.endsWith("x1")) 1 else n)),
+      "dedup_spans" -> (d => runDedupSpans(spark, d)),
+      "dedup_semantic" -> (d => runSemanticDedup(spark, d,
+        if (d.endsWith("x1")) 1 else n)),
+      "stats_quantiles" -> (d => runStatsQuantiles(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -912,6 +983,23 @@ object BenchScale {
             atN.evidence("files_read") <= at1.evidence("files_read") * 2 &&
             atN.evidence("state_files") > at1.evidence("state_files") &&
             atN.evidence("state_files") >= atN.evidence("files_read") * 4
+        case "dedup_spans" =>
+          // copies are span-isomorphic and shingle-disjoint: spans and
+          // posting volume replicate EXACTLY ×N, zero cross collisions
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("cross_dup_hashes") == 0L &&
+            atN.evidence("candidates") == at1.evidence("candidates") * n
+        case "dedup_semantic" =>
+          // one verdict per vector; with nlist ∝ corpus the clustered
+          // pair space must stay ~linear (slack 3: cluster sizes under
+          // the sign-flip copies redraw per scale)
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("candidates") <=
+              (at1.evidence("candidates") * n * 3.0).toLong
+        case "stats_quantiles" =>
+          // constant output, constant sample — at ANY corpus size
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("n_sample") == at1.evidence("n_sample")
         case "dedup_incremental" =>
           // the probe batch pairs only within itself (its rotation
           // collides with no store copy), so the emitted pairs must be
