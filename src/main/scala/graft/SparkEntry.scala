@@ -608,6 +608,15 @@ object SparkEntry {
     CorpusStats.lengthHistogram(t(s, dir, "documents"),
       CorpusStats.tokenMeasure(col("text")))
 
+  /** Line-level global dedup over the same synthesized pages as
+    * text_c4_clean — the injected boilerplate lines repeat across many
+    * docs, so only the lowest (doc, pos) occurrence survives. */
+  private def dedupLines(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupLines(
+      t(s, dir, "documents").select(col("doc_id"),
+        synthPageCol.as("text")),
+      "doc_id", "text")
+
   private def dedupSpans(s: SparkSession, dir: String): DataFrame =
     // substring-level (span) dedup at 3-gram granularity; repartition
     // spreads the shingle-scan CPU off the single local parquet split
@@ -1125,8 +1134,11 @@ object SparkEntry {
     * the oracle rebuilds the identical page before applying the same
     * rules. The hash compare therefore proves line-split, per-line
     * predicates, page blocks, and recomposition all at once. */
-  private def textC4Clean(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{TextClean, TextFunctions}
+  /** Deterministic multi-line page synthesized from (doc_id, text) —
+    * the shared input of the line-granularity queries (text_c4_clean,
+    * dedup_lines); [[synthPageCtes]] is its DuckDB twin. */
+  private def synthPageCol: Column = {
+    import graft.functions.TextFunctions
     val toks = TextFunctions.tokens(col("text"))
     val nChunks = ((size(toks) + lit(7)) / lit(8)).cast("int")
     val chunkLines = when(size(toks) === 0, array().cast("array<string>"))
@@ -1144,7 +1156,12 @@ object SparkEntry {
         lit("enable javascript to view this page.")),
       when(pmod(col("doc_id"), lit(3)) === 0, lit("too short."))),
       x => x.isNotNull)
-    val page = array_join(concat(injected, chunkLines), "\n")
+    array_join(concat(injected, chunkLines), "\n")
+  }
+
+  private def textC4Clean(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextClean
+    val page = synthPageCol
     t(s, dir, "documents")
       .select(col("doc_id"), page.as("p"))
       .select(col("doc_id"),
@@ -1205,6 +1222,7 @@ object SparkEntry {
     "dedup_embed_bucketed" -> (dedupEmbedBucketed _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_spans" -> (dedupSpans _),
+    "dedup_lines" -> (dedupLines _),
     "stats_quantiles" -> (statsQuantiles _),
     "stats_histogram" -> (statsHistogram _),
     "streaming_dedup" -> (streamingDedup _),
@@ -1266,6 +1284,35 @@ object SparkEntry {
 
   private val ordersPayload =
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+  /** DuckDB twin of [[synthPageCol]]: ends at `page (doc_id, ls, txt)`
+    * — the synthesized multi-line page shared by text_c4_clean and
+    * dedup_lines. */
+  private lazy val synthPageCtes: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents)
+      |, built AS (
+      |  SELECT doc_id,
+      |    list_filter([
+      |      CASE WHEN doc_id % 7 = 0
+      |           THEN 'lorem ipsum dolor sit amet.' END,
+      |      CASE WHEN doc_id % 13 = 0
+      |           THEN 'int main() { return 0; }' END,
+      |      CASE WHEN doc_id % 5 = 0
+      |           THEN 'enable javascript to view this page.' END,
+      |      CASE WHEN doc_id % 3 = 0 THEN 'too short.' END],
+      |      x -> x IS NOT NULL)
+      |    || list_transform(generate_series(1, (len(toks) + 7) // 8),
+      |         i -> array_to_string(
+      |                toks[(i-1)*8+1 : least(i*8, len(toks))], ' ')
+      |              || (['.', '!', ''])[(doc_id + i - 1) % 3 + 1]) AS ls
+      |  FROM base)
+      |, page AS (
+      |  SELECT doc_id, ls, array_to_string(ls, chr(10)) AS txt
+      |  FROM built)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "snapshot_load" ->
@@ -2019,6 +2066,30 @@ object SparkEntry {
          |    AS INT) AS keep
          |FROM m""".stripMargin
     },
+    "dedup_lines" -> (synthPageCtes + "\n" +
+      """, lx AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ls)),
+        |      i -> {'pos': i - 1, 'line': ls[i]})) AS s
+        |  FROM page)
+        |, l AS (
+        |  SELECT doc_id, s.pos AS pos, s.line AS line,
+        |    md5(lower(regexp_replace(trim(s.line), '\s+', ' ', 'g')))
+        |      AS fp
+        |  FROM lx)
+        |, win AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (
+        |      PARTITION BY fp ORDER BY doc_id, pos) AS rn
+        |    FROM l) WHERE rn = 1)
+        |, agg AS (
+        |  SELECT l.doc_id, count(*) AS n_kept,
+        |    array_to_string(list(l.line ORDER BY l.pos), chr(10))
+        |      AS clean_text
+        |  FROM l JOIN win USING (doc_id, pos) GROUP BY l.doc_id)
+        |SELECT p.doc_id, len(p.ls) AS n_lines,
+        |  coalesce(a.n_kept, 0) AS n_kept, a.clean_text
+        |FROM page p LEFT JOIN agg a USING (doc_id)""".stripMargin),
     "stats_quantiles" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -2079,32 +2150,11 @@ object SparkEntry {
         |SELECT doc_id, min(p) AS span_start, max(p) AS span_end,
         |  count(*) AS span_len
         |FROM isl GROUP BY doc_id, g""".stripMargin,
-    "text_c4_clean" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
-        |  FROM documents)
-        |, built AS (
-        |  SELECT doc_id,
-        |    list_filter([
-        |      CASE WHEN doc_id % 7 = 0
-        |           THEN 'lorem ipsum dolor sit amet.' END,
-        |      CASE WHEN doc_id % 13 = 0
-        |           THEN 'int main() { return 0; }' END,
-        |      CASE WHEN doc_id % 5 = 0
-        |           THEN 'enable javascript to view this page.' END,
-        |      CASE WHEN doc_id % 3 = 0 THEN 'too short.' END],
-        |      x -> x IS NOT NULL)
-        |    || list_transform(generate_series(1, (len(toks) + 7) // 8),
-        |         i -> array_to_string(
-        |                toks[(i-1)*8+1 : least(i*8, len(toks))], ' ')
-        |              || (['.', '!', ''])[(doc_id + i - 1) % 3 + 1]) AS ls
-        |  FROM base)
-        |, page AS (
-        |  SELECT doc_id, ls, array_to_string(ls, chr(10)) AS txt
-        |  FROM built)
-        |, kept AS (
+    // NOTE: synthPageCtes is concatenated (not s-interpolated into a
+    // stripMargin string) because its `|| list` lines would lose a pipe
+    // to the outer stripMargin
+    "text_c4_clean" -> (synthPageCtes + "\n" +
+      """, kept AS (
         |  SELECT doc_id, len(ls) AS n_lines,
         |    list_filter(ls, l ->
         |      regexp_matches(trim(l), '[.!?"]$')
@@ -2118,7 +2168,7 @@ object SparkEntry {
         |  CAST(blocked OR len(kl) < 3 AS INT) AS dropped,
         |  CASE WHEN blocked OR len(kl) < 3 THEN NULL
         |       ELSE array_to_string(kl, chr(10)) END AS clean_text
-        |FROM kept""".stripMargin)
+        |FROM kept""".stripMargin))
 
   /** Replays AsofJoin's union+running-window formulation verbatim:
     * right rows (tag 0) sort before left rows (tag 1) at equal ts, the

@@ -255,6 +255,50 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Global line-level exact dedup (C4's "discard all but one of any
+    * repeated three-sentence span" policy at line granularity, Raffel
+    * et al. 2020): every distinct normalized line is kept ONCE
+    * corpus-wide — the occurrence with the lowest (doc, position) — and
+    * each document is recomposed from its surviving lines in order.
+    *
+    * Shape for 100 TB:
+    *   1. winner election shuffles (fingerprint, doc, pos) triples only
+    *      — `min(struct)` is associative, so map-side partial
+    *      aggregation collapses each partition's postings before the
+    *      shuffle and line TEXT never rides the fingerprint shuffle;
+    *   2. the winner set joins back on (doc, pos) — one equi-join — and
+    *      recomposition groups on doc_id, the corpus's natural key.
+    *
+    * @return one row per document:
+    *         (doc_id, n_lines, n_kept, clean_text — null if nothing kept)
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import graft.functions.TextClean
+    val positioned = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextClean.docLines(col(textCol))).as(Seq("pos", "line")))
+      .withColumn("_fp", fingerprint(col("line")))
+    val winners = positioned
+      .groupBy(col("_fp"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"))
+    val perDoc = positioned
+      .join(winners, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(TextClean.docLines(col(textCol))).as("n_lines"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_text"))
+  }
+
   /** Substring-level duplicate-SPAN detection (the exact-substring dedup
     * of Lee et al. 2021, "Deduplicating Training Data Makes Language
     * Models Better", arXiv:2107.06499, at word-n-gram granularity): a

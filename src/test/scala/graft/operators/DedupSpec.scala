@@ -98,6 +98,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0, 5, 6L), (2L, 2, 4, 3L), (4L, 0, 5, 6L)))
   }
 
+  test("dedupLines: lowest (doc, pos) occurrence wins, docs recompose") {
+    val docs = Seq(
+      (1L, "shared line here.\nunique to one."),
+      (2L, "Shared   LINE here.\nanother unique line."), // fp-equal l1
+      (3L, "  ")                                         // blank page
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Int, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2, 2L, Some("shared line here.\nunique to one.")),
+      (2L, 2, 1L, Some("another unique line.")),
+      (3L, 0, 0L, None)))
+  }
+
+  test("dedupLines: within-doc repeats also collapse to the first") {
+    val docs = Seq((7L, "same thing.\nsame thing.\nsame thing."))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text")
+      .select("n_kept", "clean_text").as[(Long, String)].head()
+    assert(got == ((1L, "same thing.")))
+  }
+
   test("duplicateSpans: within-doc repetition alone is not a span") {
     val docs = Seq(
       (1L, "p q r p q r p q r"), // repeats internally, but no other doc
