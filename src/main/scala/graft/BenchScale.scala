@@ -538,6 +538,38 @@ object BenchScale {
     r.copy(evidence = r.evidence + ("n_sample" -> nSample))
   }
 
+  /** Line-level global dedup at ×N: pages are pure functions of the
+    * text (8-token chunk lines, no id-derived decoration), so the
+    * alphabet rotation maps copy i's lines bijectively — per-copy kept
+    * counts replicate EXACTLY ×N and cross-copy line fingerprints are
+    * disjoint. */
+  private def runDedupLines(s: SparkSession, dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val toks = TextFunctions.tokens(col("text"))
+    val nChunks = ((size(toks) + lit(7)) / lit(8)).cast("int")
+    val page = array_join(
+      when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), nChunks), i =>
+          concat_ws(" ", slice(toks, (i - 1) * 8 + 1, lit(8))))), "\n")
+    val paged = docs.select(col("doc_id"), page.as("text"))
+    var sumKept = 0L
+    val r = timed {
+      val row = Dedup.dedupLines(paged, "doc_id", "text")
+        .agg(count(lit(1)), sum("n_kept")).head()
+      sumKept = row.getLong(1)
+      row.getLong(0)
+    }(Map.empty)
+    val copyOf = (c: Column) => call_function("div", c, lit(100000000L))
+    val cross = paged
+      .select(copyOf(col("doc_id")).as("copy"),
+        explode(split(col("text"), "\n")).as("line"))
+      .select(col("copy"), TextFunctions.fingerprint(col("line")).as("fp"))
+      .groupBy("fp").agg(countDistinct(col("copy")).as("nc"))
+      .filter(col("nc") >= 2).count()
+    r.copy(evidence = r.evidence ++ Map(
+      "sum_kept" -> sumKept, "cross_fps" -> cross))
+  }
+
   private def runNgramJaccard(s: SparkSession, dir: String): OpResult = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val r = timed {
@@ -840,7 +872,8 @@ object BenchScale {
       "dedup_spans" -> (d => runDedupSpans(spark, d)),
       "dedup_semantic" -> (d => runSemanticDedup(spark, d,
         if (d.endsWith("x1")) 1 else n)),
-      "stats_quantiles" -> (d => runStatsQuantiles(spark, d)))
+      "stats_quantiles" -> (d => runStatsQuantiles(spark, d)),
+      "dedup_lines" -> (d => runDedupLines(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -996,6 +1029,12 @@ object BenchScale {
           atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
             atN.evidence("candidates") <=
               (at1.evidence("candidates") * n * 3.0).toLong
+        case "dedup_lines" =>
+          // rotation-bijective pages: verdicts and kept counts replicate
+          // exactly; any cross-copy fingerprint collision voids the run
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("sum_kept") == at1.evidence("sum_kept") * n &&
+            atN.evidence("cross_fps") == 0L
         case "stats_quantiles" =>
           // constant output, constant sample — at ANY corpus size
           atN.evidence("out_rows") == at1.evidence("out_rows") &&
