@@ -977,6 +977,22 @@ object SparkEntry {
       .agg(round(call_function("kmv_distinct",
         col("user_id").cast("string"), lit(64)), 4).as("nd_est"))
 
+  /** Count-Min frequency estimates for a probe key set, with the exact
+    * counts alongside — the one-sided (est ≥ exact) sketch guarantee is
+    * hash-checked, and width 32 forces real collisions at this key
+    * cardinality so the estimate path (not just the exact path) is
+    * exercised. */
+  private def sketchCms(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"))
+    val sketch = Cms.build(ev, "user_id", width = 32, depth = 3)
+    val keys = ev.filter(col("user_id") < 50).distinct()
+    val exact = ev.filter(col("user_id") < 50)
+      .groupBy("user_id").agg(count(lit(1)).as("exact"))
+    Cms.estimate(sketch, keys, "user_id", width = 32, depth = 3)
+      .join(exact, Seq("user_id"))
+      .select(col("user_id"), col("est"), col("exact"))
+  }
+
   /** Deterministic split + shard assignment by id hash: the
     * reproducible train/eval/test partition and shard layout. */
   private def sampleShard(s: SparkSession, dir: String): DataFrame =
@@ -1245,6 +1261,7 @@ object SparkEntry {
     "corpus_clean" -> (corpusClean _),
     "corpus_clean_v2" -> (corpusCleanV2 _),
     "sketch_kmv" -> (sketchKmv _),
+    "sketch_cms" -> (sketchCms _),
     "sample_shard" -> (sampleShard _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_temperature" -> (sampleTemperature _),
@@ -1807,6 +1824,31 @@ object SparkEntry {
         |    AS nd_est
         |FROM r WHERE rk = CASE WHEN nd < 64 THEN nd ELSE 64 END"""
         .stripMargin,
+    "sketch_cms" ->
+      """WITH js AS (SELECT unnest([0, 1, 2]) AS j)
+        |, cells AS (
+        |  SELECT js.j,
+        |    ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':'
+        |       || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 32
+        |      AS cell,
+        |    count(*) AS c
+        |  FROM events e, js GROUP BY 1, 2)
+        |, keys AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50)
+        |, probes AS (
+        |  SELECT k.user_id, js.j,
+        |    ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':'
+        |       || CAST(k.user_id AS VARCHAR)), 1, 15))::BIGINT % 32
+        |      AS cell
+        |  FROM keys k, js)
+        |, est AS (
+        |  SELECT p.user_id, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+        |  FROM probes p LEFT JOIN cells c ON p.j = c.j AND p.cell = c.cell
+        |  GROUP BY 1)
+        |, exact AS (
+        |  SELECT user_id, count(*) AS exact FROM events
+        |  WHERE user_id < 50 GROUP BY 1)
+        |SELECT e.user_id, e.est, x.exact
+        |FROM est e JOIN exact x USING (user_id)""".stripMargin,
     "sample_shard" ->
       """WITH b AS (
         |  SELECT doc_id,
