@@ -617,6 +617,26 @@ object SparkEntry {
         synthPageCol.as("text")),
       "doc_id", "text")
 
+  /** The page-level cleaning FRONT-END of a corpus pipeline composed as
+    * one query: synthesized pages → C4 page/line cleaning → corpus-wide
+    * line-level dedup over the survivors → per-doc token counts of the
+    * final text. Chains the same operators `text_c4_clean` and
+    * `dedup_lines` gate individually; the oracle chains their SQL
+    * replays over the same intermediate sets. */
+  private def corpusPageClean(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextClean
+    val survivors = t(s, dir, "documents")
+      .select(col("doc_id"), synthPageCol.as("p"))
+      .select(col("doc_id"), TextClean.c4Clean(col("p")).as("c"))
+      .filter(col("c.dropped") === 0)
+      .select(col("doc_id"), col("c.clean_text").as("text"))
+    Dedup.dedupLines(survivors, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("clean_text"),
+        TextFunctions.bpeTokenCount(coalesce(col("clean_text"), lit("")))
+          .cast("long").as("n_tok"))
+  }
+
   private def dedupSpans(s: SparkSession, dir: String): DataFrame =
     // substring-level (span) dedup at 3-gram granularity; repartition
     // spreads the shingle-scan CPU off the single local parquet split
@@ -1239,6 +1259,7 @@ object SparkEntry {
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_lines" -> (dedupLines _),
+    "corpus_page_clean" -> (corpusPageClean _),
     "stats_quantiles" -> (statsQuantiles _),
     "stats_histogram" -> (statsHistogram _),
     "streaming_dedup" -> (streamingDedup _),
@@ -1330,6 +1351,22 @@ object SparkEntry {
       |, page AS (
       |  SELECT doc_id, ls, array_to_string(ls, chr(10)) AS txt
       |  FROM built)""".stripMargin
+
+  /** [[synthPageCtes]] + the C4 verdict CTE — ends at `kept (doc_id,
+    * n_lines, kl, blocked)`; shared by text_c4_clean and
+    * corpus_page_clean. Concatenated, never re-stripMargin'd (the `||`
+    * lines in synthPageCtes would lose a pipe). */
+  private lazy val c4KeptCtes: String = synthPageCtes + "\n" +
+    """, kept AS (
+      |  SELECT doc_id, len(ls) AS n_lines,
+      |    list_filter(ls, l ->
+      |      regexp_matches(trim(l), '[.!?"]$')
+      |      AND CASE WHEN length(trim(l)) = 0 THEN 0
+      |          ELSE len(string_split_regex(trim(l), '\s+')) END >= 3
+      |      AND NOT contains(lower(l), 'javascript')) AS kl,
+      |    contains(lower(txt), 'lorem ipsum') OR contains(txt, '{')
+      |      AS blocked
+      |  FROM page)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "snapshot_load" ->
@@ -2192,25 +2229,41 @@ object SparkEntry {
         |SELECT doc_id, min(p) AS span_start, max(p) AS span_end,
         |  count(*) AS span_len
         |FROM isl GROUP BY doc_id, g""".stripMargin,
-    // NOTE: synthPageCtes is concatenated (not s-interpolated into a
-    // stripMargin string) because its `|| list` lines would lose a pipe
-    // to the outer stripMargin
-    "text_c4_clean" -> (synthPageCtes + "\n" +
-      """, kept AS (
-        |  SELECT doc_id, len(ls) AS n_lines,
-        |    list_filter(ls, l ->
-        |      regexp_matches(trim(l), '[.!?"]$')
-        |      AND CASE WHEN length(trim(l)) = 0 THEN 0
-        |          ELSE len(string_split_regex(trim(l), '\s+')) END >= 3
-        |      AND NOT contains(lower(l), 'javascript')) AS kl,
-        |    contains(lower(txt), 'lorem ipsum') OR contains(txt, '{')
-        |      AS blocked
-        |  FROM page)
-        |SELECT doc_id, n_lines, len(kl) AS n_kept,
+    "text_c4_clean" -> (c4KeptCtes + "\n" +
+      """SELECT doc_id, n_lines, len(kl) AS n_kept,
         |  CAST(blocked OR len(kl) < 3 AS INT) AS dropped,
         |  CASE WHEN blocked OR len(kl) < 3 THEN NULL
         |       ELSE array_to_string(kl, chr(10)) END AS clean_text
-        |FROM kept""".stripMargin))
+        |FROM kept""".stripMargin),
+    "corpus_page_clean" -> (c4KeptCtes + "\n" +
+      """, surv AS (
+        |  SELECT doc_id, kl FROM kept
+        |  WHERE NOT (blocked OR len(kl) < 3))
+        |, lx AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(kl)),
+        |      i -> {'pos': i - 1, 'line': kl[i]})) AS s
+        |  FROM surv)
+        |, l AS (
+        |  SELECT doc_id, s.pos AS pos, s.line AS line,
+        |    md5(lower(regexp_replace(trim(s.line), '\s+', ' ', 'g')))
+        |      AS fp
+        |  FROM lx)
+        |, win AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (
+        |      PARTITION BY fp ORDER BY doc_id, pos) AS rn
+        |    FROM l) WHERE rn = 1)
+        |, agg AS (
+        |  SELECT l.doc_id, count(*) AS n_kept,
+        |    array_to_string(list(l.line ORDER BY l.pos), chr(10))
+        |      AS clean_text
+        |  FROM l JOIN win USING (doc_id, pos) GROUP BY l.doc_id)
+        |SELECT s.doc_id, len(s.kl) AS n_lines,
+        |  coalesce(a.n_kept, 0) AS n_kept, a.clean_text,
+        |  len(regexp_extract_all(coalesce(a.clean_text, ''),
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+        |FROM surv s LEFT JOIN agg a USING (doc_id)""".stripMargin))
 
   /** Replays AsofJoin's union+running-window formulation verbatim:
     * right rows (tag 0) sort before left rows (tag 1) at equal ts, the
