@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import graft.operators.{AsofJoin, Clustering, CorpusStats, Decontam, Dedup,
-  IncrementalDedup, LangModel, Packing, RangeJoin, Sampling, Similarity}
+import graft.operators.{AsofJoin, Clustering, Cms, CorpusStats, Decontam,
+  Dedup, IncrementalDedup, LangModel, Packing, RangeJoin, Sampling,
+  Similarity}
 import graft.functions.TextFunctions
 
 /** Scale-claim validation — every operator in this engine carries a
@@ -570,6 +571,32 @@ object BenchScale {
       "sum_kept" -> sumKept, "cross_fps" -> cross))
   }
 
+  /** CMS at ×N: the sketch must stay ≤ depth×width CELLS — constant —
+    * at any corpus size (the bounded-state claim), while a fixed probe
+    * set (copy-0 keys) returns one estimate per key at every scale and
+    * the guarantee est ≥ exact never breaks. */
+  private def runCms(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet").select(col("user_id"))
+    val width = 64; val depth = 3
+    var cells = 0L; var under = 0L
+    val r = timed {
+      val sketch = Cms.build(ev, "user_id", width, depth)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        cells = sketch.count()
+        val probe = ev.filter(col("user_id") < 50)
+        val exact = probe.groupBy("user_id")
+          .agg(count(lit(1)).as("exact"))
+        val est = Cms.estimate(sketch, exact, "user_id", width, depth)
+        val joined = est.join(exact, "user_id")
+        under = joined.filter(col("est") < col("exact")).count()
+        joined.count()
+      } finally sketch.unpersist(false)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map(
+      "cells" -> cells, "under_estimates" -> under))
+  }
+
   private def runNgramJaccard(s: SparkSession, dir: String): OpResult = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val r = timed {
@@ -873,7 +900,8 @@ object BenchScale {
       "dedup_semantic" -> (d => runSemanticDedup(spark, d,
         if (d.endsWith("x1")) 1 else n)),
       "stats_quantiles" -> (d => runStatsQuantiles(spark, d)),
-      "dedup_lines" -> (d => runDedupLines(spark, d)))
+      "dedup_lines" -> (d => runDedupLines(spark, d)),
+      "sketch_cms" -> (d => runCms(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -1039,6 +1067,13 @@ object BenchScale {
           // constant output, constant sample — at ANY corpus size
           atN.evidence("out_rows") == at1.evidence("out_rows") &&
             atN.evidence("n_sample") == at1.evidence("n_sample")
+        case "sketch_cms" =>
+          // bounded state: ≤ depth×width cells at EVERY corpus size;
+          // fixed copy-0 probe set; one-sided guarantee never breaks
+          atN.evidence("cells") <= 192L && at1.evidence("cells") <= 192L &&
+            atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("under_estimates") == 0L &&
+            at1.evidence("under_estimates") == 0L
         case "dedup_incremental" =>
           // the probe batch pairs only within itself (its rotation
           // collides with no store copy), so the emitted pairs must be
