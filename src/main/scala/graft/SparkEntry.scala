@@ -625,16 +625,26 @@ object SparkEntry {
     * replays over the same intermediate sets. */
   private def corpusPageClean(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextClean
+    // persist the cleaned survivors: dedupLines references its input
+    // three times (winner election, join-back, n_lines), and without the
+    // persist each reference re-synthesizes and re-cleans every page —
+    // measured 4.7 s vs ~2.5 s composed at sf0.1. Same lifecycle
+    // convention as corpusCleanV2: eager localCheckpoint of the result,
+    // then release.
     val survivors = t(s, dir, "documents")
       .select(col("doc_id"), synthPageCol.as("p"))
       .select(col("doc_id"), TextClean.c4Clean(col("p")).as("c"))
       .filter(col("c.dropped") === 0)
       .select(col("doc_id"), col("c.clean_text").as("text"))
-    Dedup.dedupLines(survivors, "doc_id", "text")
-      .select(col("doc_id"), col("n_lines"), col("n_kept"),
-        col("clean_text"),
-        TextFunctions.bpeTokenCount(coalesce(col("clean_text"), lit("")))
-          .cast("long").as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Dedup.dedupLines(survivors, "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("clean_text"),
+          TextFunctions.bpeTokenCount(coalesce(col("clean_text"), lit("")))
+            .cast("long").as("n_tok"))
+        .localCheckpoint(true)
+    } finally survivors.unpersist(false)
   }
 
   private def dedupSpans(s: SparkSession, dir: String): DataFrame =
