@@ -611,11 +611,15 @@ object SparkEntry {
   /** Line-level global dedup over the same synthesized pages as
     * text_c4_clean — the injected boilerplate lines repeat across many
     * docs, so only the lowest (doc, pos) occurrence survives. */
-  private def dedupLines(s: SparkSession, dir: String): DataFrame =
-    Dedup.dedupLines(
-      t(s, dir, "documents").select(col("doc_id"),
-        synthPageCol.as("text")),
-      "doc_id", "text")
+  private def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    // persist the synthesized pages: dedupLines references its input
+    // three times (same lifecycle convention as corpusPageClean)
+    val pages = t(s, dir, "documents")
+      .select(col("doc_id"), synthPageCol.as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Dedup.dedupLines(pages, "doc_id", "text").localCheckpoint(true)
+    finally pages.unpersist(false)
+  }
 
   /** The page-level cleaning FRONT-END of a corpus pipeline composed as
     * one query: synthesized pages → C4 page/line cleaning → corpus-wide
