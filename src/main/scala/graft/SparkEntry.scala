@@ -867,6 +867,31 @@ object SparkEntry {
     } finally sigs.unpersist(false)
   }
 
+  /** Leakage-free train/eval/test split: the `dedup_clusters` labeling
+    * (minhash ∪ simhash pairs → connected components) followed by the
+    * `sample_shard` hash split keyed on CLUSTER id instead of doc id —
+    * every near-duplicate cluster lands whole in one split, so an eval
+    * document can never have a near-dup twin in train (the split-level
+    * contamination the plain per-doc hash split permits). Zero extra
+    * shuffle beyond the clustering itself; the split label is a
+    * scan-local expression on the label frame. */
+  private def splitLeakageFree(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = Dedup.textSignatures(docs, "doc_id", "text", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mh = Dedup.minhashDedupPairsFromSets(sigs,
+        k = 16, bands = 4, threshold = 0.8).select("a", "b")
+      val sh = Dedup.simhashPairsBlockedFromSigs(sigs, maxDist = 3)
+        .select("a", "b")
+      Sampling.hashSplit(
+          Clustering.canonicalize(docs.select("doc_id"),
+            mh.unionByName(sh), "doc_id"),
+          "cluster_id", Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+    } finally sigs.unpersist(false)
+  }
+
   /** AvailableNow replay of the as-of enrich through the STREAMING
     * path: clicks re-written as four files → four micro-batches, each
     * enriched per batch by StreamJoins.streamAsofEnrich against the
@@ -1124,6 +1149,26 @@ object SparkEntry {
       n = 5, minMatched = 5L, minOverlap = 0.5)
   }
 
+  /** Bloom-filter decontamination gate — the bounded-memory variant of
+    * `decontam_ngram` over the SAME benchmark subset: bench 5-grams
+    * fold into a 65,536-bit / k=3 Bloom filter (one bounded collect,
+    * broadcast as an 8 KB literal bitmask), and the corpus membership
+    * test runs inside the scan projection. The exact inverted-index
+    * count rides along so the one-sided sketch guarantee
+    * (`bloom_matched ≥ exact_matched`, false positives only) is
+    * hash-checked in-data — the width is deliberately small enough
+    * that real collisions occur at this corpus size, exercising the
+    * estimate path, the `sketch_cms` posture. */
+  private def decontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val bench = docs
+      .filter(Sampling.hashBucket(col("doc_id"), 10) === 0)
+      .select(col("text"))
+    Decontam.flagBloom(docs, bench, "doc_id", "text", "text",
+      n = 5, mBits = 1 << 16, k = 3, minMatched = 5L, minOverlap = 0.5)
+  }
+
   /** PII scrub gate: deterministic synthetic PII (derived from doc_id,
     * so the oracle rebuilds the identical text) is injected ahead of
     * each document, then counted and redacted — the hash compare on the
@@ -1307,6 +1352,8 @@ object SparkEntry {
     "sample_stratified" -> (sampleStratified _),
     "sample_reservoir" -> (sampleReservoir _),
     "decontam_ngram" -> (decontamNgram _),
+    "decontam_bloom" -> (decontamBloom _),
+    "split_leakage_free" -> (splitLeakageFree _),
     "text_pii" -> (textPii _),
     "text_repetition" -> (textRepetition _),
     "text_c4_clean" -> (textC4Clean _))
@@ -1841,6 +1888,7 @@ object SparkEntry {
         |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"""
         .stripMargin,
     "dedup_clusters" -> dedupClustersOracle,
+    "split_leakage_free" -> splitLeakageFreeOracle,
     "corpus_clean" -> corpusCleanOracle,
     "corpus_clean_v2" -> corpusCleanV2Oracle,
     "pack_budget" ->
@@ -2068,6 +2116,57 @@ object SparkEntry {
         |    OR coalesce(a.max_overlap, 0.0) >= 0.5 AS INT) AS contaminated
         |FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id"""
         .stripMargin,
+    "decontam_bloom" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |, sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct(list_transform(
+        |           generate_series(1, len(toks) - 4),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS s
+        |  FROM d)
+        |, dx AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(s,
+        |      g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS h
+        |  FROM sh WHERE len(s) > 0)
+        |, bh AS (
+        |  SELECT DISTINCT h FROM dx
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT % 10 = 0)
+        |, js AS (SELECT unnest([0, 1, 2]) AS j)
+        |, bpos AS (
+        |  SELECT DISTINCT (h % 1073741824
+        |    + j * ((h // 1073741824) * 2 + 1)) % 65536 AS pos
+        |  FROM bh, js)
+        |, dpos AS (
+        |  SELECT doc_id, h, (h % 1073741824
+        |    + j * ((h // 1073741824) * 2 + 1)) % 65536 AS pos
+        |  FROM dx, js)
+        |, bhit AS (
+        |  SELECT doc_id, h FROM dpos JOIN bpos USING (pos)
+        |  GROUP BY 1, 2 HAVING count(*) = 3)
+        |, bloomc AS (
+        |  SELECT doc_id, count(*) AS bm FROM bhit GROUP BY 1)
+        |, exactc AS (
+        |  SELECT doc_id, count(*) AS em FROM dx JOIN bh USING (h)
+        |  GROUP BY 1)
+        |, nn AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_ngrams FROM sh)
+        |SELECT nn.doc_id, nn.n_ngrams,
+        |  CAST(coalesce(b.bm, 0) AS BIGINT) AS bloom_matched,
+        |  CAST(coalesce(e.em, 0) AS BIGINT) AS exact_matched,
+        |  CAST(coalesce(b.bm, 0) >= 5
+        |    OR (nn.n_ngrams > 0 AND
+        |        CAST(coalesce(b.bm, 0) AS DOUBLE) / nn.n_ngrams >= 0.5)
+        |    AS INT) AS contaminated
+        |FROM nn
+        |LEFT JOIN bloomc b USING (doc_id)
+        |LEFT JOIN exactc e USING (doc_id)""".stripMargin,
     "text_pii" -> {
       val email = Pii.EmailRe
       val ip = Pii.Ipv4Re
@@ -2381,6 +2480,26 @@ object SparkEntry {
        |SELECT doc_id, coalesce(cluster_id, doc_id) AS cluster_id,
        |  CAST(doc_id = coalesce(cluster_id, doc_id) AS INT) AS keep
        |FROM documents LEFT JOIN labels ON doc_id = node""".stripMargin
+
+  /** DuckDB replay of split_leakage_free: the dedup_clusters CC chain,
+    * then the `sample_shard` md5 split keyed on the cluster id. */
+  private def splitLeakageFreeOracle: String =
+    s"""${shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}
+       |$hsetsCte
+       |$textPairCtes
+       |, pairs AS (SELECT a, b FROM mh UNION SELECT a, b FROM shp)
+       |$ccGraphCtes
+       |, lab AS (
+       |  SELECT doc_id, coalesce(cluster_id, doc_id) AS cluster_id
+       |  FROM documents LEFT JOIN labels ON doc_id = node)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN hb < 8 THEN 'train'
+       |       WHEN hb < 9 THEN 'eval' ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, cluster_id,
+       |    ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+       |      ::BIGINT % 10 AS hb
+       |  FROM lab)""".stripMargin
 
   /** Shared DuckDB CTE chain of the composed-pipeline oracles — the
     * SQL twin of [[dedupKeptIds]]: text pairs (mh, shp) ∪ embedding

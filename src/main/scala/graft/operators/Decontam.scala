@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -83,6 +83,95 @@ object Decontam {
         coalesce(col("max_matched"), lit(0L)).as("max_matched"),
         (coalesce(col("max_matched"), lit(0L)) >= minMatched ||
           coalesce(col("max_overlap"), lit(0.0)) >= minOverlap)
+          .cast("int").as("contaminated"))
+  }
+
+  /** Bloom-filter bit positions of a 60-bit shingle hash `h`: classic
+    * double hashing `pos_j = (h1 + j·h2) mod m` with `h1 = h mod 2³⁰`,
+    * `h2 = 2·(h div 2³⁰) + 1` (odd, so the probe sequence covers a
+    * power-of-two `m`). Pure integer arithmetic on the engine-portable
+    * [[TextFunctions.hash60]] value — an external SQL engine replays
+    * every position bit-for-bit. */
+  def bloomPos(h: Column, j: Int, mBits: Int): Column =
+    pmod(pmod(h, lit(1L << 30)) +
+      lit(j.toLong) * (shiftright(h, 30) * lit(2L) + lit(1L)),
+      lit(mBits.toLong))
+
+  /** Bloom-filter contamination flag — the bounded-memory variant of
+    * [[flag]] for benchmark sets too large to join exactly: the
+    * benchmark's n-gram hashes fold into an `mBits`-bit Bloom filter
+    * (`k` probes per n-gram), and every corpus document counts its
+    * shingles whose k positions are ALL set. One-sided by
+    * construction: `bloom_matched ≥ exact_matched` for every document
+    * (no false negatives; false positives bounded by the standard
+    * `(1-e^{-kn/m})^k`). Both counts are emitted so the guarantee is
+    * visible in the output.
+    *
+    * Shape for 100 TB: the filter is built from one bounded collect —
+    * the benchmark side reduces to ≤ `mBits` DISTINCT positions
+    * (65,536 default = an 8 KB bitmask) regardless of benchmark size —
+    * and ships to every task as a literal array; the corpus-side
+    * membership test runs entirely inside the scan projection (no
+    * explode, no join, no shuffle for the bloom path). The exact
+    * companion count reuses the [[overlapPairs]] inverted-index join
+    * on the benchmark's distinct hashes. Unlike [[flag]] there is no
+    * per-pair identity, so benchmark members ARE self-matched — filter
+    * the benchmark ids out downstream if the id spaces alias.
+    *
+    * @return (doc_id, n_ngrams, bloom_matched, exact_matched,
+    *         contaminated)
+    */
+  def flagBloom(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, benchTextCol: String, n: Int,
+      mBits: Int = 1 << 16, k: Int = 3,
+      minMatched: Long = 1L, minOverlap: Double = 1.0): DataFrame = {
+    require(n >= 1, s"ngram n=$n must be >= 1")
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0,
+      s"mBits=$mBits must be a positive power of two")
+    require(k >= 1, s"bloom k=$k must be >= 1")
+    def hashedSet(text: Column) =
+      call_function("hashed_shingles", TextFunctions.tokens(text), lit(n))
+    // build: benchmark n-grams -> k positions each -> DISTINCT (bounded
+    // by mBits) -> ONE bounded collect -> bitmask words
+    val positions = bench
+      .select(explode(hashedSet(col(benchTextCol))).as("_h"))
+      .select(explode(array((0 until k).map(j =>
+        bloomPos(col("_h"), j, mBits)): _*)).as("pos"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    positions.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63)))
+    val mask = typedLit(words.toSeq)
+    // probe: bit test per position, all-k conjunction per shingle —
+    // evaluated inside the scan projection over the distinct-shingle
+    // array (k bit probes per shingle; the HOF is interpreted but the
+    // work per element is trivial)
+    def bitSet(pos: Column) =
+      call_function("shiftright",
+        element_at(mask, (shiftright(pos, 6) + lit(1L)).cast("int")),
+        pmod(pos, lit(64L)).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    def bloomHit(h: Column) =
+      (0 until k).map(j => bitSet(bloomPos(h, j, mBits)))
+        .reduce(_ && _)
+    val scored = docs.select(col(idCol).cast("long").as("doc_id"),
+        hashedSet(col(textCol)).as("_hs"))
+      .select(col("doc_id"), size(col("_hs")).cast("long").as("n_ngrams"),
+        size(filter(col("_hs"), h => bloomHit(h))).cast("long")
+          .as("bloom_matched"),
+        explode_outer(col("_hs")).as("_h"))
+    // exact companion: inverted-index join on the benchmark's distinct
+    // hashes (the [[overlapPairs]] posture without the pair identity)
+    val benchHashes = bench
+      .select(explode(hashedSet(col(benchTextCol))).as("_h")).distinct()
+      .withColumn("_bench", lit(1))
+    scored.join(broadcast(benchHashes), Seq("_h"), "left")
+      .groupBy("doc_id", "n_ngrams", "bloom_matched")
+      .agg(count(col("_bench")).as("exact_matched"))
+      .select(col("doc_id"), col("n_ngrams"), col("bloom_matched"),
+        col("exact_matched"),
+        (col("bloom_matched") >= minMatched ||
+          (col("n_ngrams") > 0 &&
+            col("bloom_matched") / col("n_ngrams") >= minOverlap))
           .cast("int").as("contaminated"))
   }
 }

@@ -75,4 +75,60 @@ class DecontamSpec extends AnyFunSuite {
     assert(Decontam.flag(docs, cleanBench, "doc_id", "text", "bench_id",
       "text", n = 3).filter("contaminated = 1").count() == 0)
   }
+
+  test("flagBloom: wide filter agrees with the exact counts") {
+    // ~30 set bits in 2^16 -> P(3-probe false positive) ~ 1e-10: the
+    // bloom count must equal the exact inverted-index count here
+    val f = Decontam.flagBloom(docs, bench.select("text"), "doc_id",
+        "text", "text", n = 3, mBits = 1 << 16, k = 3,
+        minMatched = 5L, minOverlap = 0.9)
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 8 trigrams, 4 shared; neither threshold arm trips
+    assert(f(1L) == ((1L, 8L, 4L, 4L, 0)))
+    // doc 2: verbatim bench copy -> full overlap trips the ratio arm
+    // (flagBloom has no pair identity, so bench members DO self-match)
+    assert(f(2L) == ((2L, 7L, 7L, 7L, 1)))
+    // doc 3: clean (9 tokens -> 7 trigrams)
+    assert(f(3L) == ((3L, 7L, 0L, 0L, 0)))
+  }
+
+  test("flagBloom: one-sided under a saturated tiny filter") {
+    // m=64 bits holding ~30 positions -> false positives all over;
+    // the guarantee that must survive is bloom >= exact, never <
+    val f = Decontam.flagBloom(docs, bench.select("text"), "doc_id",
+        "text", "text", n = 3, mBits = 64, k = 2,
+        minMatched = 5L, minOverlap = 0.9)
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(f.nonEmpty)
+    f.foreach { case (id, n, bloom, exact, _) =>
+      assert(bloom >= exact, s"doc $id: bloom $bloom < exact $exact")
+      assert(bloom <= n, s"doc $id: bloom $bloom > n_ngrams $n")
+    }
+    // monotone flags: anything the exact rule catches, bloom catches
+    f.foreach { case (id, n, bloom, exact, contaminated) =>
+      val exactFlag = exact >= 5L || (n > 0 && exact.toDouble / n >= 0.9)
+      if (exactFlag) assert(contaminated == 1,
+        s"doc $id exact-contaminated but bloom missed it")
+    }
+  }
+
+  test("bloomPos: k probe positions stay in [0, m)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val hs = spark.range(1000)
+      .select(expr("conv(substring(md5(cast(id as string)), 1, 15), 16, 10)")
+        .cast("long").as("h"))
+    (0 until 3).foreach { j =>
+      val bad = hs.select(Decontam.bloomPos(col("h"), j, 4096).as("p"))
+        .filter(col("p") < 0 || col("p") >= 4096).count()
+      assert(bad == 0, s"probe $j out of range")
+    }
+  }
+
+  test("flagBloom rejects a non-power-of-two width") {
+    intercept[IllegalArgumentException] {
+      Decontam.flagBloom(docs, bench.select("text"), "doc_id", "text",
+        "text", n = 3, mBits = 1000)
+    }
+  }
 }
