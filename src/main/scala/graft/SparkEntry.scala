@@ -470,6 +470,18 @@ object SparkEntry {
   private def textVocab(s: SparkSession, dir: String): DataFrame =
     TextFunctions.vocabulary(t(s, dir, "documents"), "text")
 
+  /** Curriculum ordering gate: every document globally ranked by
+    * (quality desc, doc_id) via [[operators.GlobalRank]] — the two-pass
+    * distributed rank, NOT the single-partition `row_number()` window
+    * the naive phrasing plans to. The score is rounded to 6 places on
+    * both sides so rank ties resolve by doc_id identically in either
+    * engine. */
+  private def curriculumOrder(s: SparkSession, dir: String): DataFrame =
+    operators.GlobalRank.rank(
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality")),
+      Seq(col("quality").desc, col("doc_id")), "rank")
+
   private def textTfidf(s: SparkSession, dir: String): DataFrame =
     // top term per doc by tf-idf (rounded), deterministic tiebreak
     TextFunctions.tfidf(t(s, dir, "documents"), "doc_id", "text")
@@ -1303,6 +1315,7 @@ object SparkEntry {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_quality" -> (textQuality _),
+    "curriculum_order" -> (curriculumOrder _),
     "text_langid" -> (textLangId _),
     "text_langid_ngram" -> (textLangIdNgram _),
     "text_vocab" -> (textVocab _),
@@ -1663,6 +1676,25 @@ object SparkEntry {
          |         ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
          |              / length(text) END) / 3.0 AS quality
          |FROM d""".stripMargin,
+    "curriculum_order" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |, q AS (
+        |  SELECT doc_id,
+        |    round((least(len(toks) / 200.0, 1.0)
+        |      + CASE WHEN len(toks) = 0 THEN 0.0
+        |             ELSE len(list_distinct(toks)) / len(toks) END
+        |      + CASE WHEN length(text) = 0 THEN 0.0
+        |             ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |                  / length(text) END) / 3.0, 6) AS quality
+        |  FROM d)
+        |SELECT doc_id, quality,
+        |  CAST(row_number() OVER (ORDER BY quality DESC, doc_id) - 1
+        |    AS BIGINT) AS "rank"
+        |FROM q""".stripMargin,
     "text_langid" ->
       s"""WITH d AS (
          |  SELECT doc_id,
