@@ -15,7 +15,7 @@ import graft.functions.TextFunctions
   * "100 TB shape" argument (bounded equi-joins, O(log n) rounds, no
   * global window); this main MEASURES those claims instead of asserting
   * them. It blows the sf0.1 tables up ×N with structure-preserving
-  * transforms, runs the fifteen scale-argued operators (including the
+  * transforms, runs the scale-argued operator set (including the
   * composed corpus_clean pipeline, the streaming as-of enrich, the ANN
   * family, decontamination, and the incremental-dedup store) at
   * ×1 and ×N, and records both wall time and load-independent
@@ -462,6 +462,65 @@ object BenchScale {
       "cross_candidates" -> cells.getLong(1)))
   }
 
+  /** Bloom-filter decontamination at ×N runs the documented 100 TB
+    * configuration — the filter width scales with the benchmark
+    * (m ∝ bench n-grams, the SemDeDup `nlist ∝ corpus` posture), so
+    * the fp rate stays constant while the filter stays mBits BITS of
+    * broadcast state. Gates: every doc gets a verdict row (×N exact),
+    * the distinct set-position count respects the mBits bound at both
+    * scales (the bounded-state claim), and the one-sided guarantee
+    * (bloom ≥ exact, per doc) holds unbroken at scale. */
+  private def runDecontamBloom(s: SparkSession, dir: String,
+      m: Int): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+    def bench = docs
+      .filter(Sampling.hashBucket(col("doc_id"), 10) === 0)
+      .select(col("text"))
+    // next power of two ≥ 2^16·m: width tracks the benchmark's growth
+    val mBits = Integer.highestOneBit(m) * (1 << 16) *
+      (if (Integer.bitCount(m) > 1) 2 else 1)
+    def flagged = Decontam.flagBloom(docs, bench, "doc_id", "text",
+      "text", n = 5, mBits = mBits, k = 3,
+      minMatched = 5L, minOverlap = 0.5)
+    val r = timed { flagged.count() }(Map.empty)
+    def hset(t: Column) =
+      call_function("hashed_shingles", TextFunctions.tokens(t), lit(5))
+    val positions = bench
+      .select(explode(hset(col("text"))).as("h"))
+      .select(explode(array((0 until 3).map(j =>
+        Decontam.bloomPos(col("h"), j, mBits)): _*)).as("pos"))
+      .distinct().count()
+    val violations = flagged
+      .filter(col("bloom_matched") < col("exact_matched")).count()
+    r.copy(evidence = r.evidence ++ Map(
+      "positions" -> positions, "m_bits" -> mBits.toLong,
+      "violations" -> violations))
+  }
+
+  /** Global rank at ×N: the two-pass distributed row_number must emit a
+    * DENSE 0-based cover of [0, rows) at every scale — max rank + 1
+    * equals the row count and min is 0 (a broken offset seed or a
+    * dropped partition breaks the identity) — with only the one range
+    * shuffle (time ~linear; a single-partition window would send the
+    * ×N corpus through one task and crash the exponent). */
+  private def runGlobalRank(s: SparkSession, dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    var maxRank = 0L
+    var minRank = 0L
+    val r = timed {
+      val ranked = graft.operators.GlobalRank.rank(
+        docs.select(col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("q")),
+        Seq(col("q").desc, col("doc_id")), "rank")
+      val row = ranked.agg(count(lit(1)), max("rank"), min("rank")).head()
+      maxRank = row.getLong(1); minRank = row.getLong(2)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map(
+      "max_rank" -> maxRank, "min_rank" -> minRank))
+  }
+
   /** Exact n-gram Jaccard via prefix filtering at ×N: the TRUE pair
     * set replicates exactly ×N (the alphabet rotation is a shingle-set
     * isomorphism, so within-copy Jaccard values are unchanged), while
@@ -889,6 +948,9 @@ object BenchScale {
       "ann_ivf" -> (d => runAnn(spark, d, "ivf")),
       "ann_quantized" -> (d => runAnn(spark, d, "quantized")),
       "decontam_ngram" -> (d => runDecontam(spark, d)),
+      "decontam_bloom" -> (d => runDecontamBloom(spark, d,
+        if (d.endsWith("x1")) 1 else n)),
+      "curriculum_order" -> (d => runGlobalRank(spark, d)),
       "dedup_ngram" -> (d => runNgramJaccard(spark, d)),
       "corpus_shuffle" -> (d => runCorpusShuffle(spark, d)),
       "dedup_incremental" -> (d => runIncDedup(spark, d, incBatch)),
@@ -1003,6 +1065,20 @@ object BenchScale {
             atN.evidence("cross_candidates") == 0L &&
             atN.evidence("candidates") <=
               (at1.evidence("candidates") * n * 2.0).toLong
+        case "decontam_bloom" =>
+          // verdict per doc; bit positions bounded by the configured
+          // width at BOTH scales; the one-sided guarantee never breaks
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("positions") <= atN.evidence("m_bits") &&
+            at1.evidence("positions") <= at1.evidence("m_bits") &&
+            atN.evidence("violations") == 0L &&
+            at1.evidence("violations") == 0L
+        case "curriculum_order" =>
+          // dense 0-based rank cover of [0, rows) at every scale
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("max_rank") + 1 == atN.evidence("out_rows") &&
+            at1.evidence("max_rank") + 1 == at1.evidence("out_rows") &&
+            atN.evidence("min_rank") == 0L && at1.evidence("min_rank") == 0L
         case "corpus_shuffle" =>
           // contiguous-bijection identity must hold at scale
           atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
