@@ -470,6 +470,41 @@ object SparkEntry {
   private def textVocab(s: SparkSession, dir: String): DataFrame =
     TextFunctions.vocabulary(t(s, dir, "documents"), "text")
 
+  /** In-engine classifier training gate: a linear quality model
+    * (bias + length/diversity/alpha signals → "is English") trained by
+    * 3 deterministic full-batch GD steps via
+    * [[operators.QualityClassifier]] — gradients accumulate in EXACT
+    * DECIMAL(25,12) fixed-point, so the distributed sum is
+    * order-independent and DuckDB replays the whole training
+    * trajectory (3 chained CTE iterations) bit-for-bit; squared loss
+    * keeps the chain free of transcendentals. Output: every doc's
+    * model score and an above-base-rate verdict (the linear
+    * probability model scores hover around E[y], so the base rate —
+    * an exact, order-independent integer-sum statistic — is the
+    * meaningful threshold). */
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val feats = t(s, dir, "documents").select(
+      col("doc_id"),
+      least(TextFunctions.tokenCount(col("text")) / lit(200.0), lit(1.0))
+        .as("f1"),
+      TextFunctions.uniqueTokenRatio(col("text")).as("f2"),
+      TextFunctions.alphaRatio(col("text")).as("f3"),
+      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fcols = Seq(lit(1.0), col("f1"), col("f2"), col("f3"))
+      val w = operators.QualityClassifier.train(feats, fcols, col("y"),
+        iters = 3, lr = 0.5)
+      // base rate: a sum of exact-integer doubles — order-independent
+      val stats = feats.agg(sum("y"), count(lit(1))).head()
+      val thr = stats.getDouble(0) / stats.getLong(1)
+      val sc = round(operators.QualityClassifier.score(fcols, w), 6)
+      feats.select(col("doc_id"), sc.as("score"),
+          (sc >= thr).cast("int").as("pred"))
+        .localCheckpoint(true)
+    } finally feats.unpersist(false)
+  }
+
   /** Curriculum ordering gate: every document globally ranked by
     * (quality desc, doc_id) via [[operators.GlobalRank]] — the two-pass
     * distributed rank, NOT the single-partition `row_number()` window
@@ -1316,6 +1351,7 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "text_quality" -> (textQuality _),
     "curriculum_order" -> (curriculumOrder _),
+    "quality_classifier" -> (qualityClassifier _),
     "text_langid" -> (textLangId _),
     "text_langid_ngram" -> (textLangIdNgram _),
     "text_vocab" -> (textVocab _),
@@ -1921,6 +1957,7 @@ object SparkEntry {
         .stripMargin,
     "dedup_clusters" -> dedupClustersOracle,
     "split_leakage_free" -> splitLeakageFreeOracle,
+    "quality_classifier" -> qualityClassifierOracle,
     "corpus_clean" -> corpusCleanOracle,
     "corpus_clean_v2" -> corpusCleanV2Oracle,
     "pack_budget" ->
@@ -2512,6 +2549,59 @@ object SparkEntry {
        |SELECT doc_id, coalesce(cluster_id, doc_id) AS cluster_id,
        |  CAST(doc_id = coalesce(cluster_id, doc_id) AS INT) AS keep
        |FROM documents LEFT JOIN labels ON doc_id = node""".stripMargin
+
+  /** DuckDB replay of quality_classifier: the SAME 3 GD iterations as
+    * chained CTEs — residual·feature contributions cast to
+    * DECIMAL(25,12) before summing (exact, order-free, so the
+    * cross-engine gradient is bit-identical), weight updates in
+    * doubles with the verbatim `w + 0.5·(g/n)` order. */
+  private def qualityClassifierOracle: String = {
+    val xs = Seq("1.0", "f.f1", "f.f2", "f.f3")
+    def dot(w: Seq[String]): String =
+      xs.zip(w).map { case (x, wj) => s"$wj * $x" }.mkString(" + ")
+    def gradCte(name: String, w: Seq[String], extraFrom: String): String =
+      s""", $name AS (
+         |  SELECT ${xs.indices.map { j =>
+        s"sum(CAST((f.y - (${dot(w)})) * ${xs(j)} AS DECIMAL(25,12)))" +
+          s" AS s$j"
+      }.mkString(", ")}
+         |  FROM f$extraFrom)""".stripMargin
+    def weightCte(name: String, grad: String, wPrev: Seq[String],
+        extraFrom: String): String =
+      s""", $name AS (
+         |  SELECT ${xs.indices.map { j =>
+        s"${wPrev(j)} + 0.5 * (CAST($grad.s$j AS DOUBLE) / c.n) AS a$j"
+      }.mkString(", ")}
+         |  FROM $grad, c$extraFrom)""".stripMargin
+    val w0 = Seq("0.0", "0.0", "0.0", "0.0")
+    def wRef(cte: String) = xs.indices.map(j => s"$cte.a$j")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, lang,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents)
+       |, f AS (
+       |  SELECT doc_id,
+       |    least(len(toks) / 200.0, 1.0) AS f1,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE len(list_distinct(toks)) / len(toks) END AS f2,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+       |              / length(text) END AS f3,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM d)
+       |, c AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f)
+       |${gradCte("g1", w0, "")}
+       |${weightCte("w1", "g1", w0, "")}
+       |${gradCte("g2", wRef("w1"), ", w1")}
+       |${weightCte("w2", "g2", wRef("w1"), ", w1")}
+       |${gradCte("g3", wRef("w2"), ", w2")}
+       |${weightCte("w3", "g3", wRef("w2"), ", w2")}
+       |, t AS (SELECT (SELECT sum(y) FROM f) / n AS thr FROM c)
+       |SELECT f.doc_id, round(${dot(wRef("w3"))}, 6) AS score,
+       |  CAST(round(${dot(wRef("w3"))}, 6) >= t.thr AS INT) AS pred
+       |FROM f, w3, t""".stripMargin
+  }
 
   /** DuckDB replay of split_leakage_free: the dedup_clusters CC chain,
     * then the `sample_shard` md5 split keyed on the cluster id. */
