@@ -597,6 +597,55 @@ object SparkEntry {
     s.read.schema(outSchema).parquet(s"$work/out")
   }
 
+  /** Streaming ingest decontamination: the `decontam_bloom` bitmask
+    * (built ONCE from the static benchmark, shipped as a literal) drops
+    * into a Structured Streaming projection — each micro-batch of
+    * arriving documents is scored and filtered scan-locally, no join,
+    * no state; survivors (plus their counts) append to the sink. Two
+    * files → two micro-batches prove the batch boundary changes
+    * nothing for a stateless filter; the oracle replays the bloom
+    * probes over the whole corpus and keeps the same survivors. */
+  private def streamDecontam(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_sdecon_")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .repartition(1).write.parquet(s"$work/in")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .repartition(1).write.mode("append").parquet(s"$work/in")
+    val bench = docs
+      .filter(Sampling.hashBucket(col("doc_id"), 10) === 0)
+      .select(col("text"))
+    val matched = operators.Decontam.bloomMatchCount(bench, "text",
+      n = 5, mBits = 1 << 16, k = 3)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val hs = call_function("hashed_shingles",
+      TextFunctions.tokens(col("text")), lit(5))
+    val scored = stream.select(col("doc_id"),
+      size(hs).cast("long").as("n_ngrams"),
+      matched(hs).as("bloom_matched"))
+    val survivors = scored.filter(!(col("bloom_matched") >= 5L ||
+      (col("n_ngrams") > 0L &&
+        col("bloom_matched") / col("n_ngrams") >= 0.5)))
+    val q = survivors.writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$work/out")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_ngrams",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bloom_matched",
+        org.apache.spark.sql.types.LongType)))
+    s.read.schema(outSchema).parquet(s"$work/out")
+  }
+
   // ------------------------------------------------- dedup (SURVEY §7.9)
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -1402,6 +1451,7 @@ object SparkEntry {
     "sample_reservoir" -> (sampleReservoir _),
     "decontam_ngram" -> (decontamNgram _),
     "decontam_bloom" -> (decontamBloom _),
+    "stream_decontam" -> (streamDecontam _),
     "split_leakage_free" -> (splitLeakageFree _),
     "text_pii" -> (textPii _),
     "text_repetition" -> (textRepetition _),
@@ -2236,6 +2286,51 @@ object SparkEntry {
         |FROM nn
         |LEFT JOIN bloomc b USING (doc_id)
         |LEFT JOIN exactc e USING (doc_id)""".stripMargin,
+    "stream_decontam" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |, sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct(list_transform(
+        |           generate_series(1, len(toks) - 4),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS s
+        |  FROM d)
+        |, dx AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(s,
+        |      g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS h
+        |  FROM sh WHERE len(s) > 0)
+        |, bh AS (
+        |  SELECT DISTINCT h FROM dx
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT % 10 = 0)
+        |, js AS (SELECT unnest([0, 1, 2]) AS j)
+        |, bpos AS (
+        |  SELECT DISTINCT (h % 1073741824
+        |    + j * ((h // 1073741824) * 2 + 1)) % 65536 AS pos
+        |  FROM bh, js)
+        |, dpos AS (
+        |  SELECT doc_id, h, (h % 1073741824
+        |    + j * ((h // 1073741824) * 2 + 1)) % 65536 AS pos
+        |  FROM dx, js)
+        |, bhit AS (
+        |  SELECT doc_id, h FROM dpos JOIN bpos USING (pos)
+        |  GROUP BY 1, 2 HAVING count(*) = 3)
+        |, bloomc AS (
+        |  SELECT doc_id, count(*) AS bm FROM bhit GROUP BY 1)
+        |, nn AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_ngrams FROM sh)
+        |SELECT nn.doc_id, nn.n_ngrams,
+        |  CAST(coalesce(b.bm, 0) AS BIGINT) AS bloom_matched
+        |FROM nn LEFT JOIN bloomc b USING (doc_id)
+        |WHERE NOT (coalesce(b.bm, 0) >= 5
+        |  OR (nn.n_ngrams > 0 AND
+        |      CAST(coalesce(b.bm, 0) AS DOUBLE) / nn.n_ngrams >= 0.5))"""
+        .stripMargin,
     "text_pii" -> {
       val email = Pii.EmailRe
       val ip = Pii.Ipv4Re

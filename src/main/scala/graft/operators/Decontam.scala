@@ -97,6 +97,42 @@ object Decontam {
       lit(j.toLong) * (shiftright(h, 30) * lit(2L) + lit(1L)),
       lit(mBits.toLong))
 
+  /** Build the Bloom bitmask from `bench`'s n-grams (ONE bounded
+    * collect — ≤ `mBits` distinct positions regardless of benchmark
+    * size) and return the scan-local counter: hashed-shingle array →
+    * how many shingles have all `k` probe bits set. The returned
+    * function is a pure projection over a broadcast literal, so it
+    * drops into ANY plan — batch scans and Structured Streaming
+    * micro-batches alike (no join, no state). */
+  def bloomMatchCount(bench: DataFrame, benchTextCol: String, n: Int,
+      mBits: Int, k: Int): Column => Column = {
+    require(n >= 1, s"ngram n=$n must be >= 1")
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0,
+      s"mBits=$mBits must be a positive power of two")
+    require(k >= 1, s"bloom k=$k must be >= 1")
+    val positions = bench
+      .select(explode(call_function("hashed_shingles",
+        TextFunctions.tokens(col(benchTextCol)), lit(n))).as("_h"))
+      .select(explode(array((0 until k).map(j =>
+        bloomPos(col("_h"), j, mBits)): _*)).as("pos"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    positions.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63)))
+    val mask = typedLit(words.toSeq)
+    // bit test per position, all-k conjunction per shingle — evaluated
+    // inside the scan projection (k bit probes per shingle; the HOF is
+    // interpreted but the work per element is trivial)
+    def bitSet(pos: Column) =
+      call_function("shiftright",
+        element_at(mask, (shiftright(pos, 6) + lit(1L)).cast("int")),
+        pmod(pos, lit(64L)).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    def bloomHit(h: Column) =
+      (0 until k).map(j => bitSet(bloomPos(h, j, mBits)))
+        .reduce(_ && _)
+    hs => size(filter(hs, h => bloomHit(h))).cast("long")
+  }
+
   /** Bloom-filter contamination flag — the bounded-memory variant of
     * [[flag]] for benchmark sets too large to join exactly: the
     * benchmark's n-gram hashes fold into an `mBits`-bit Bloom filter
@@ -125,39 +161,13 @@ object Decontam {
       textCol: String, benchTextCol: String, n: Int,
       mBits: Int = 1 << 16, k: Int = 3,
       minMatched: Long = 1L, minOverlap: Double = 1.0): DataFrame = {
-    require(n >= 1, s"ngram n=$n must be >= 1")
-    require(mBits > 0 && (mBits & (mBits - 1)) == 0,
-      s"mBits=$mBits must be a positive power of two")
-    require(k >= 1, s"bloom k=$k must be >= 1")
     def hashedSet(text: Column) =
       call_function("hashed_shingles", TextFunctions.tokens(text), lit(n))
-    // build: benchmark n-grams -> k positions each -> DISTINCT (bounded
-    // by mBits) -> ONE bounded collect -> bitmask words
-    val positions = bench
-      .select(explode(hashedSet(col(benchTextCol))).as("_h"))
-      .select(explode(array((0 until k).map(j =>
-        bloomPos(col("_h"), j, mBits)): _*)).as("pos"))
-      .distinct()
-      .collect().map(_.getLong(0))
-    val words = new Array[Long](mBits / 64)
-    positions.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63)))
-    val mask = typedLit(words.toSeq)
-    // probe: bit test per position, all-k conjunction per shingle —
-    // evaluated inside the scan projection over the distinct-shingle
-    // array (k bit probes per shingle; the HOF is interpreted but the
-    // work per element is trivial)
-    def bitSet(pos: Column) =
-      call_function("shiftright",
-        element_at(mask, (shiftright(pos, 6) + lit(1L)).cast("int")),
-        pmod(pos, lit(64L)).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
-    def bloomHit(h: Column) =
-      (0 until k).map(j => bitSet(bloomPos(h, j, mBits)))
-        .reduce(_ && _)
+    val matched = bloomMatchCount(bench, benchTextCol, n, mBits, k)
     val scored = docs.select(col(idCol).cast("long").as("doc_id"),
         hashedSet(col(textCol)).as("_hs"))
       .select(col("doc_id"), size(col("_hs")).cast("long").as("n_ngrams"),
-        size(filter(col("_hs"), h => bloomHit(h))).cast("long")
-          .as("bloom_matched"),
+        matched(col("_hs")).as("bloom_matched"),
         explode_outer(col("_hs")).as("_h"))
     // exact companion: inverted-index join on the benchmark's distinct
     // hashes (the [[overlapPairs]] posture without the pair identity)
