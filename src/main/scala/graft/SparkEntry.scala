@@ -505,6 +505,18 @@ object SparkEntry {
     } finally feats.unpersist(false)
   }
 
+  /** Feature-correlation gate: the Pearson matrix over the three
+    * quality signals from ORDER-INDEPENDENT exact-decimal moments
+    * ([[operators.CorpusStats.exactCorr]]) — one aggregate job, the
+    * driver sees the moment sums; sqrt is IEEE-correctly-rounded, so
+    * the full double chain replays bit-for-bit in DuckDB. */
+  private def statsCorr(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.exactCorr(t(s, dir, "documents"), Seq(
+      "alpha" -> TextFunctions.alphaRatio(col("text")),
+      "len" -> least(TextFunctions.tokenCount(col("text")) / lit(200.0),
+        lit(1.0)),
+      "uniq" -> TextFunctions.uniqueTokenRatio(col("text"))))
+
   /** Curriculum ordering gate: every document globally ranked by
     * (quality desc, doc_id) via [[operators.GlobalRank]] — the two-pass
     * distributed rank, NOT the single-partition `row_number()` window
@@ -1401,6 +1413,7 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "curriculum_order" -> (curriculumOrder _),
     "quality_classifier" -> (qualityClassifier _),
+    "stats_corr" -> (statsCorr _),
     "text_langid" -> (textLangId _),
     "text_langid_ngram" -> (textLangIdNgram _),
     "text_vocab" -> (textVocab _),
@@ -2008,6 +2021,7 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersOracle,
     "split_leakage_free" -> splitLeakageFreeOracle,
     "quality_classifier" -> qualityClassifierOracle,
+    "stats_corr" -> statsCorrOracle,
     "corpus_clean" -> corpusCleanOracle,
     "corpus_clean_v2" -> corpusCleanV2Oracle,
     "pack_budget" ->
@@ -2696,6 +2710,51 @@ object SparkEntry {
        |SELECT f.doc_id, round(${dot(wRef("w3"))}, 6) AS score,
        |  CAST(round(${dot(wRef("w3"))}, 6) >= t.thr AS INT) AS pred
        |FROM f, w3, t""".stripMargin
+  }
+
+  /** DuckDB replay of stats_corr: the same exact-decimal moment sums,
+    * the same double arithmetic `n·Sxy − Sx·Sy` over
+    * `√(n·Sxx − Sx²)·√(n·Syy − Sy²)`, per pair. */
+  private def statsCorrOracle: String = {
+    val names = Seq("alpha", "len", "uniq")
+    def s(a: String) = s"CAST(s_$a AS DOUBLE)"
+    def ss(a: String) = s"CAST(ss_$a AS DOUBLE)"
+    def sp(a: String, b: String) = s"CAST(sp_${a}_$b AS DOUBLE)"
+    val pairSelects = (for {
+      i <- names.indices; j <- i + 1 until names.size
+    } yield {
+      val (a, b) = (names(i), names(j))
+      s"""SELECT '$a' AS feat_a, '$b' AS feat_b,
+         |  round((n * ${sp(a, b)} - ${s(a)} * ${s(b)})
+         |    / (sqrt(n * ${ss(a)} - ${s(a)} * ${s(a)})
+         |       * sqrt(n * ${ss(b)} - ${s(b)} * ${s(b)})), 6) AS corr
+         |FROM m""".stripMargin
+    }).mkString("\n UNION ALL\n")
+    val sums =
+      (names.map(a => s"sum(CAST($a AS DECIMAL(25,12))) AS s_$a") ++
+        names.map(a => s"sum(CAST($a * $a AS DECIMAL(25,12))) AS ss_$a") ++
+        (for { i <- names.indices; j <- i + 1 until names.size } yield {
+          val (a, b) = (names(i), names(j))
+          s"sum(CAST($a * $b AS DECIMAL(25,12))) AS sp_${a}_$b"
+        }) :+ "CAST(count(*) AS DOUBLE) AS n").mkString(",\n    ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents)
+       |, f AS (
+       |  SELECT
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+       |              / length(text) END AS alpha,
+       |    least(len(toks) / 200.0, 1.0) AS len,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE len(list_distinct(toks)) / len(toks) END AS uniq
+       |  FROM d)
+       |, m AS (
+       |  SELECT $sums
+       |  FROM f)
+       |$pairSelects""".stripMargin
   }
 
   /** DuckDB replay of split_leakage_free: the dedup_clusters CC chain,

@@ -91,4 +91,57 @@ object CorpusStats {
   /** Convenience: whitespace token count, the usual length measure. */
   def tokenMeasure(textCol: Column): Column =
     TextFunctions.tokenCount(textCol).cast("long")
+
+  /** Pearson correlation matrix over `measures` (named column
+    * expressions), computed from ORDER-INDEPENDENT moments: every
+    * per-row term (x, x², x·y) is rounded to DECIMAL(25,12) and summed
+    * in exact fixed-point — the [[QualityClassifier]] posture — so the
+    * result is bit-identical under any partitioning or engine, and the
+    * final double arithmetic (including sqrt, which IEEE 754 requires
+    * correctly rounded) replays exactly in external SQL. ONE aggregate
+    * job over the corpus: d + d(d+1)/2 + d(d-1)/2 cells shuffle per
+    * partition; the driver computes the d(d-1)/2 correlations from
+    * those sums.
+    *
+    * @return (feat_a, feat_b, corr): one row per unordered pair,
+    *         lexicographic; corr rounded to 6 places, null when either
+    *         variance is zero
+    */
+  def exactCorr(df: DataFrame,
+      measures: Seq[(String, Column)]): DataFrame = {
+    require(measures.size >= 2, "exactCorr: need at least two measures")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(25, 12)
+    val names = measures.map(_._1)
+    val base = df.select(measures.map { case (n, c) =>
+      c.cast("double").as(n)
+    }: _*)
+    val pairs = for {
+      i <- names.indices; j <- i + 1 until names.size
+    } yield (i, j)
+    val aggs =
+      names.map(n => sum(col(n).cast(dec)).as(s"s_$n")) ++
+        names.map(n => sum((col(n) * col(n)).cast(dec)).as(s"ss_$n")) ++
+        pairs.map { case (i, j) =>
+          sum((col(names(i)) * col(names(j))).cast(dec))
+            .as(s"sp_${names(i)}_${names(j)}")
+        } :+ count(lit(1)).as("n")
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("n").toDouble
+    def d(field: String): Double =
+      row.getAs[java.math.BigDecimal](field).doubleValue()
+    val out = pairs.map { case (i, j) =>
+      val (a, b) = (names(i), names(j))
+      val cov = n * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+      val va = n * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")
+      val vb = n * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")
+      val corr: java.lang.Double =
+        if (va <= 0.0 || vb <= 0.0) null
+        else BigDecimal(cov / (math.sqrt(va) * math.sqrt(vb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, corr)
+    }
+    out.toDF("feat_a", "feat_b", "corr")
+  }
 }

@@ -54,4 +54,49 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 0L, 2L, 3L, 7L, 10L),
       (1L, 10L, 2L, 10L, 19L, 29L), (2L, 20L, 1L, 25L, 25L, 25L)))
   }
+
+  private lazy val corrToy = (0 until 200).map { i =>
+    val x = i / 200.0
+    (x, 2.0 * x + 1.0, -3.0 * x, (i * 37 % 50) / 50.0)
+  }.toDF("x", "up", "down", "noise")
+
+  test("exactCorr: perfect linear relations hit ±1, noise does not") {
+    val got = CorpusStats.exactCorr(corrToy, Seq(
+        "down" -> $"down", "noise" -> $"noise",
+        "up" -> $"up", "x" -> $"x"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got(("up", "x")).contains(1.0))
+    assert(got(("down", "x")).contains(-1.0))
+    assert(got(("down", "up")).contains(-1.0))
+    assert(math.abs(got(("noise", "x")).get) < 0.3)
+  }
+
+  test("exactCorr matches the driver-side Pearson formula") {
+    val rows = corrToy.select($"x", $"noise")
+      .as[(Double, Double)].collect()
+    val n = rows.length.toDouble
+    val sx = rows.map(_._1).sum; val sy = rows.map(_._2).sum
+    val sxx = rows.map(r => r._1 * r._1).sum
+    val syy = rows.map(r => r._2 * r._2).sum
+    val sxy = rows.map(r => r._1 * r._2).sum
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = CorpusStats.exactCorr(corrToy,
+        Seq("noise" -> $"noise", "x" -> $"x"))
+      .head().getDouble(2)
+    assert(math.abs(got - want) < 1e-6)
+  }
+
+  test("exactCorr is bit-identical across partitionings; constant -> null") {
+    val ms = Seq("c" -> lit(5.0), "noise" -> $"noise", "x" -> $"x")
+    val a = CorpusStats.exactCorr(corrToy.repartition(1), ms).collect()
+    val b = CorpusStats.exactCorr(corrToy.repartition(17), ms).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val byPair = a.map(r => (r.getString(0), r.getString(1)) -> r.get(2))
+      .toMap
+    assert(byPair(("c", "noise")) == null)
+    assert(byPair(("c", "x")) == null)
+    assert(byPair(("noise", "x")) != null)
+  }
 }
