@@ -505,6 +505,16 @@ object SparkEntry {
     } finally feats.unpersist(false)
   }
 
+  /** Retrieval-scoring gate: BM25 of every matching document against a
+    * fixed probe query via [[operators.Retrieval.bm25]] — per-doc term
+    * frequencies scan-local, corpus statistics one |Q|+2-number
+    * aggregate, idf weights folded back as literals; the corpus never
+    * shuffles. The oracle recomputes the identical double chain
+    * (exact counts + exact integer length sum ⇒ identical avgdl/idf). */
+  private def textBm25(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+      queryTerms = Seq("hash", "join", "vector"))
+
   /** Feature-correlation gate: the Pearson matrix over the three
     * quality signals from ORDER-INDEPENDENT exact-decimal moments
     * ([[operators.CorpusStats.exactCorr]]) — one aggregate job, the
@@ -1414,6 +1424,7 @@ object SparkEntry {
     "curriculum_order" -> (curriculumOrder _),
     "quality_classifier" -> (qualityClassifier _),
     "stats_corr" -> (statsCorr _),
+    "text_bm25" -> (textBm25 _),
     "text_langid" -> (textLangId _),
     "text_langid_ngram" -> (textLangIdNgram _),
     "text_vocab" -> (textVocab _),
@@ -2022,6 +2033,42 @@ object SparkEntry {
     "split_leakage_free" -> splitLeakageFreeOracle,
     "quality_classifier" -> qualityClassifierOracle,
     "stats_corr" -> statsCorrOracle,
+    "text_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |, base AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
+        |      AS tf2
+        |  FROM d)
+        |, st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM base)
+        |, p AS (
+        |  SELECT n, sl / n AS avgdl,
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) AS idf0,
+        |    ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) AS idf1,
+        |    ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) AS idf2
+        |  FROM st)
+        |SELECT b.doc_id,
+        |  round(
+        |    idf0 * (tf0 * (1.2 + 1.0))
+        |      / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + idf1 * (tf1 * (1.2 + 1.0))
+        |      / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + idf2 * (tf2 * (1.2 + 1.0))
+        |      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+        |    AS bm25
+        |FROM base b, p
+        |WHERE tf0 + tf1 + tf2 > 0""".stripMargin,
     "corpus_clean" -> corpusCleanOracle,
     "corpus_clean_v2" -> corpusCleanV2Oracle,
     "pack_budget" ->
