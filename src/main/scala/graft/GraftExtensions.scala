@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{ByteHistogram, ConnectDecimal, CosineSimilarity, HashedShingles, KmvSketch, MinHashSig, RepetitionSignals, SimHash60, SortedIntersectCount}
+import graft.functions.expr.{ByteHistogram, ConnectDecimal, CosineSimilarity, HashedShingles, HllSketch, KmvSketch, MinHashSig, RepetitionSignals, SimHash60, SortedIntersectCount}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -48,6 +48,10 @@ object GraftExtensions {
     // aggregate; k via int literal, e.g. kmv_distinct(v, 64)
     fn("kmv_distinct", classOf[KmvSketch], 2)(c =>
       KmvSketch(c.head, c(1).eval().asInstanceOf[Int])),
+    // aggregate; register-count exponent p via int literal,
+    // e.g. hll_sketch(v, 6) -> struct(t, zeros)
+    fn("hll_sketch", classOf[HllSketch], 2)(c =>
+      HllSketch(c.head, c(1).eval().asInstanceOf[Int])),
     fn("repetition_signals", classOf[RepetitionSignals], 1)(c =>
       RepetitionSignals(c.head)),
     // scale via int literal, e.g. connect_decimal(unbase64(v), 2)

@@ -680,6 +680,14 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       n = 3, threshold = 0.8)
 
+  /** Asymmetric containment pairs (doc-inside-doc, the case Jaccard
+    * misses): C(A,B) = |A∩B|/|A| ≥ 0.8 over 3-gram shingle hashes,
+    * recall-1 prefix filter on the contained side, full inverted index
+    * on the container side. */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.8)
+
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
       n = 3, k = 16, bands = 4, threshold = 0.8)
@@ -1154,6 +1162,43 @@ object SparkEntry {
       .agg(round(call_function("kmv_distinct",
         col("user_id").cast("string"), lit(64)), 4).as("nd_est"))
 
+  /** HyperLogLog distinct-user estimate per event type, alongside the
+    * exact count. The native aggregate emits EXACT integers (the
+    * power-of-two indicator sum `t`, scaled 2^55, plus the
+    * empty-register count); the raw estimate α·m²·2^55 / t is applied
+    * HERE as one literal-product IEEE division both engines replay
+    * term for term — no approx_count_distinct, whose engine-private
+    * hash could never be oracle-checked. p=6 → 64 one-byte registers
+    * per group: the per-group shuffle is 64 bytes no matter how many
+    * billions of rows fed it. */
+  private def sketchHll(s: SparkSession, dir: String): DataFrame = {
+    val est = round(lit(graft.functions.expr.HllSketch.alpha(6)) *
+      lit(4096.0) * lit(3.6028797018963968e16) /
+      col("h.t").cast("double"), 4)
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(call_function("hll_sketch",
+          col("user_id").cast("string"), lit(6)).as("h"),
+        countDistinct(col("user_id")).as("exact_nd"))
+      .select(col("event_type"), col("h.t").as("t"),
+        col("h.zeros").as("zeros"), est.as("hll_est"), col("exact_nd"))
+  }
+
+  /** Per-domain RELATIVE quality filtering (CCNet posture: filter
+    * within each source, so a verbose domain cannot crowd out a terse
+    * one): keep docs at or above their own domain's median quality,
+    * the threshold read off a deterministic 128-doc KMV sample per
+    * domain. Corpus scan-local except the narrow 4-column sample
+    * ranking; thresholds broadcast back. */
+  private def qualityDomainFilter(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.filterByDomainQuantile(
+      t(s, dir, "documents").select("doc_id", "source", "text"),
+      "doc_id", "source", TextFunctions.qualityScore(col("text")),
+      p = 0.5, k = 128)
+      .select(col("doc_id"), col("source"),
+        round(col("_score"), 6).as("quality"),
+        round(col("threshold"), 6).as("thr"))
+
   /** Count-Min frequency estimates for a probe key set, with the exact
     * counts alongside — the one-sided (est ≥ exact) sketch guarantee is
     * hash-checked, and width 32 forces real collisions at this key
@@ -1464,6 +1509,9 @@ object SparkEntry {
     "corpus_clean_v2" -> (corpusCleanV2 _),
     "sketch_kmv" -> (sketchKmv _),
     "sketch_cms" -> (sketchCms _),
+    "sketch_hll" -> (sketchHll _),
+    "quality_domain_filter" -> (qualityDomainFilter _),
+    "dedup_containment" -> (dedupContainment _),
     "sample_shard" -> (sampleShard _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_temperature" -> (sampleTemperature _),
@@ -1786,6 +1834,45 @@ object SparkEntry {
          |         ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
          |              / length(text) END) / 3.0 AS quality
          |FROM d""".stripMargin,
+    // per-domain relative filter: the threshold is the median quality of
+    // a deterministic per-domain sample (the 128 lowest md5 id-hashes),
+    // replayed with the same (hash, id) and (quality, id) orderings
+    "quality_domain_filter" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents)
+         |, scored AS (
+         |  SELECT doc_id, source,
+         |   (least(
+         |      (CASE WHEN length(trim(text)) = 0 THEN 0
+         |            ELSE len(string_split_regex(trim(text), '\\s+')) END)
+         |        / 200.0, 1.0)
+         |    + CASE WHEN len(toks) = 0 THEN 0.0
+         |           ELSE len(list_distinct(toks)) / len(toks) END
+         |    + CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |                / length(text) END) / 3.0 AS q
+         |  FROM d)
+         |, samp AS (
+         |  SELECT source, doc_id, q,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+         |  FROM scored)
+         |, ranked AS (
+         |  SELECT source, doc_id, q,
+         |    row_number() OVER (PARTITION BY source ORDER BY q, doc_id)
+         |      AS qr,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM samp WHERE r <= 128)
+         |, thr AS (
+         |  SELECT source, q AS threshold
+         |  FROM ranked WHERE qr = CAST(ceil(0.5 * n) AS BIGINT))
+         |SELECT s.doc_id, s.source, round(s.q, 6) AS quality,
+         |  round(t.threshold, 6) AS thr
+         |FROM scored s JOIN thr t ON s.source = t.source
+         |WHERE s.q >= t.threshold""".stripMargin,
     "curriculum_order" ->
       """WITH d AS (
         |  SELECT doc_id, text,
@@ -1892,6 +1979,29 @@ object SparkEntry {
          |  FROM prefix x JOIN prefix y
          |    ON x.h = y.h AND x.doc_id < y.doc_id)
          |$verifySql""".stripMargin,
+    // containment: prefix filter on the CONTAINED side only (any
+    // superset matches, so the container side indexes all hashes);
+    // verify divides the exact intersection by |A| instead of the union
+    "dedup_containment" ->
+      s"""$shingleCte
+         |$hsetsCte
+         |, prefix AS (
+         |  SELECT doc_id, unnest(hs[1 : CAST(floor(
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) * n) AS INT) + 1])
+         |    AS h
+         |  FROM hsets)
+         |, whole AS (SELECT doc_id, unnest(hs) AS h FROM hsets)
+         |, cands AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM prefix x JOIN whole y
+         |    ON x.h = y.h AND x.doc_id <> y.doc_id)
+         |SELECT c.a, c.b,
+         |  len(list_intersect(ha.hs, hb.hs)) / ha.n AS containment
+         |FROM cands c
+         |JOIN hsets ha ON c.a = ha.doc_id
+         |JOIN hsets hb ON c.b = hb.doc_id
+         |WHERE len(list_intersect(ha.hs, hb.hs)) / ha.n >= 0.8"""
+      .stripMargin,
     "dedup_minhash" -> minhashPairsOracle,
     // the incremental 2-batch replay must land on the SAME pair set as
     // batch minhash over the whole corpus — that equality IS the gate
@@ -2128,6 +2238,47 @@ object SparkEntry {
         |  WHERE user_id < 50 GROUP BY 1)
         |SELECT e.user_id, e.est, x.exact
         |FROM est e JOIN exact x USING (user_id)""".stripMargin,
+    // HLL register replay: j = h % 64, w = h // 64, ρ = 55 − bitlength(w)
+    // (bin() renders minimal binary digits, so length(bin(w)) is the exact
+    // integer bitlength — no floating log2); registers are max(ρ) per
+    // bucket, empty buckets ρ=0 via the 64-row grid, and the indicator
+    // sum is the exact long t = Σ 2^(55−Mⱼ). The estimate repeats the
+    // engine's literal IEEE chain (0.709·4096·2^55)/t term for term.
+    "sketch_hll" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS hv
+        |  FROM events WHERE user_id IS NOT NULL)
+        |, b AS (SELECT event_type, hv % 64 AS j, hv // 64 AS w FROM h)
+        |, rho AS (
+        |  SELECT event_type, j,
+        |    CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS r
+        |  FROM b)
+        |, regs AS (
+        |  SELECT event_type, j, max(r) AS mj FROM rho GROUP BY 1, 2)
+        |, grid AS (
+        |  SELECT et.event_type, g.j
+        |  FROM (SELECT DISTINCT event_type FROM events) et,
+        |       (SELECT unnest(generate_series(0, 63)) AS j) g)
+        |, allregs AS (
+        |  SELECT g.event_type, g.j, coalesce(r.mj, 0) AS mj
+        |  FROM grid g LEFT JOIN regs r
+        |    ON g.event_type = r.event_type AND g.j = r.j)
+        |, agg AS (
+        |  SELECT event_type,
+        |    CAST(sum(1::BIGINT << (55 - mj)) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS INT) AS zeros
+        |  FROM allregs GROUP BY 1)
+        |, ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_nd
+        |  FROM events GROUP BY 1)
+        |SELECT a.event_type, a.t, a.zeros,
+        |  round((0.709::DOUBLE * 4096.0::DOUBLE
+        |         * 36028797018963968.0::DOUBLE)
+        |        / CAST(a.t AS DOUBLE), 4) AS hll_est,
+        |  ex.exact_nd
+        |FROM agg a JOIN ex ON a.event_type = ex.event_type""".stripMargin,
     "sample_shard" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -92,6 +92,76 @@ object CorpusStats {
   def tokenMeasure(textCol: Column): Column =
     TextFunctions.tokenCount(textCol).cast("long")
 
+  /** Per-domain score threshold at quantile `p`, from a deterministic
+    * KMV-style per-domain sample — the machinery behind
+    * [[filterByDomainQuantile]], exposed for reporting.
+    *
+    * Why RELATIVE thresholds: a single global quality cutoff lets a
+    * verbose domain crowd out a terse one (reference-style quality
+    * pipelines filter WITHIN each source for exactly this reason — e.g.
+    * CCNet's per-language perplexity buckets, Wenzek et al. 2020).
+    * The threshold for each domain is the score at rank ⌈p·n⌉ of a
+    * deterministic uniform sample of that domain: the `k` docs with the
+    * smallest md5 id-hashes ([[Sampling.hashBucket]]'s family), ordered
+    * by (score, id).
+    *
+    * Scale shape: the corpus projects to four narrow columns (domain,
+    * id, score, hash) before anything wide happens; the per-domain
+    * top-k runs two-level ([[Sampling.reservoirByHash]]'s posture —
+    * per-(domain, sub-bucket) rank first, so no one-task-per-domain
+    * straggler), and every later step ranks ≤k-row frames. The output
+    * is domains-sized.
+    *
+    * @return (domain, threshold, n_sample)
+    */
+  def domainThresholds(scored: DataFrame, idCol: String,
+      domainCol: String, scoreCol: String, p: Double, k: Int = 128,
+      subParts: Int = 32): DataFrame = {
+    require(p > 0 && p <= 1, s"quantile p=$p must be in (0, 1]")
+    require(k > 0 && subParts > 0, "k and subParts must be positive")
+    val h = md5(col(idCol).cast("string"))
+    val samp = scored
+      .select(col(domainCol).as("domain"), col(idCol).as("_id"),
+        col(scoreCol).as("_q"), h.as("_h"),
+        Sampling.hashBucket(col(idCol), subParts).as("_sub"))
+      .withColumn("_prerank", row_number().over(Window
+        .partitionBy(col("domain"), col("_sub"))
+        .orderBy(col("_h").asc, col("_id").asc)))
+      .filter(col("_prerank") <= k)
+      .withColumn("_r", row_number().over(Window.partitionBy(col("domain"))
+        .orderBy(col("_h").asc, col("_id").asc)))
+      .filter(col("_r") <= k)
+    val byScore = Window.partitionBy(col("domain"))
+      .orderBy(col("_q").asc, col("_id").asc)
+    samp
+      .withColumn("_qr", row_number().over(byScore))
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy(col("domain"))))
+      .filter(col("_qr") === ceil(lit(p) * col("_n")))
+      .select(col("domain"), col("_q").as("threshold"),
+        col("_n").cast("long").as("n_sample"))
+  }
+
+  /** Keep documents scoring at or above their OWN domain's `p`-quantile
+    * threshold (from [[domainThresholds]]). The thresholds frame is
+    * domains-sized, so the join back is a broadcast and the filter is
+    * scan-local — the corpus itself never shuffles.
+    *
+    * @return the kept rows of `docs` plus (score, threshold) columns
+    */
+  def filterByDomainQuantile(docs: DataFrame, idCol: String,
+      domainCol: String, score: Column, p: Double, k: Int = 128,
+      subParts: Int = 32): DataFrame = {
+    val scored = docs.withColumn("_score", score)
+    val thr = domainThresholds(
+      scored.select(col(domainCol), col(idCol), col("_score")),
+      idCol, domainCol, "_score", p, k, subParts)
+    scored
+      .join(broadcast(thr.withColumnRenamed("domain", domainCol)),
+        Seq(domainCol))
+      .filter(col("_score") >= col("threshold"))
+  }
+
   /** Pearson correlation matrix over `measures` (named column
     * expressions), computed from ORDER-INDEPENDENT moments: every
     * per-row term (x, x², x·y) is rounded to DECIMAL(25,12) and summed

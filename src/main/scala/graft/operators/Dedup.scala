@@ -125,6 +125,50 @@ object Dedup {
     jaccardVerify(cands, sets, threshold)
   }
 
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / |A| ≥ `threshold`,
+    * over distinct n-gram shingle-hash sets — the asymmetric companion
+    * to [[ngramJaccardPairs]]. Jaccard misses the doc-inside-doc case
+    * (a page quoted whole inside a much longer page scores
+    * |A|/|B| ≈ 0 Jaccard but containment 1), which is the shape
+    * boilerplate injection and scraper wrapping actually take in web
+    * corpora (Broder, "On the resemblance and containment of
+    * documents", SEQUENCES'97 — the containment half).
+    *
+    * Prefix filtering still applies on the CONTAINED side only: if
+    * C(A,B) ≥ t then fewer than (1−t)·|A|+1 of A's hashes miss B, so A's
+    * ⌊(1−t)·|A|⌋+1 smallest hashes must hit B somewhere — but B is
+    * unconstrained (any superset matches), so the B side indexes ALL its
+    * hashes. Recall is exactly 1; the index is ids+hashes only (the same
+    * O(corpus tokens) row count as the positioned index in
+    * [[duplicateSpans]], never text), and the verify tail is the shared
+    * fused-kernel exact intersection. Emits (a, b, containment) with
+    * a ≠ b, a the contained doc — both directions can fire for mutual
+    * near-copies, which downstream cluster resolution collapses.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = hashedShingleSets(docs, idCol, textCol, n)
+    val prefixLen =
+      (floor(lit(1.0 - threshold) * col("n_sh")) + 1).cast("int")
+    val prefix = sets.select(col("doc_id"),
+      explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
+    val full = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val cands = prefix.as("x")
+      .join(full.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("a"), col("hs").as("hsa"),
+        col("n_sh").as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("hs").as("hsb")),
+        Seq("b"))
+      .withColumn("containment",
+        intersectCount(col("hsa"), col("hsb")) / col("na"))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   /** LSH candidate pairs: split the k-wide MinHash signature into `bands`
     * bands of k/bands rows; docs agreeing on any full band collide.
     * Returns distinct (a, b) with a < b. The join key is (band index,

@@ -55,6 +55,20 @@ object JdbcSink {
     *     path regardless of `truncate`, since their rename cannot be
     *     made atomic.
     *
+    * Isolation fine print for the DML swap: "never sees partial" holds
+    * at the reader's statement-snapshot level. MVCC engines
+    * (PostgreSQL, MySQL/InnoDB) give every single statement a
+    * consistent snapshot even at READ COMMITTED, so any reader
+    * qualifies. Lock-based engines (Derby) release read locks per row
+    * at READ COMMITTED, so a scan racing the swap's commit can
+    * interleave old and new rows — and REPEATABLE READ still admits
+    * the inserted rows as phantoms; on such engines a reader needs
+    * SERIALIZABLE (table-level share lock for the scan) for the
+    * guarantee. The rename swap has no such caveat anywhere: the
+    * reader's statement either resolves the old table or the new one
+    * (lock-based engines simply block the `DROP` until in-flight scans
+    * finish).
+    *
     * `atomic = false` restores the plain Spark JDBC overwrite (the
     * documented non-atomic truncate-or-recreate) for sinks with no
     * concurrent readers. A crash mid-replace never corrupts the live

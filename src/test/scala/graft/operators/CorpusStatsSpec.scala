@@ -99,4 +99,48 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(byPair(("c", "x")) == null)
     assert(byPair(("noise", "x")) != null)
   }
+
+  test("domainThresholds: with k >= domain size the threshold is the " +
+      "exact domain quantile") {
+    // domain A scores 1..10, domain B scores 101..104: p=0.5 thresholds
+    // are the values at rank ceil(0.5*n) in (score, id) order
+    val docs = ((1L to 10L).map(i => ("A", i, i.toDouble)) ++
+      (11L to 14L).map(i => ("B", i, (i + 90).toDouble)))
+      .toDF("dom", "id", "score")
+    val got = CorpusStats
+      .domainThresholds(docs, "id", "dom", "score", p = 0.5, k = 100)
+      .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("A", 5.0, 10L), ("B", 102.0, 4L)))
+  }
+
+  test("filterByDomainQuantile keeps each domain's upper half " +
+      "independently of the other domain's scale") {
+    // every B score dwarfs every A score; a global cutoff would drop
+    // all of A, the relative filter keeps A's top half
+    val docs = ((1L to 10L).map(i => ("A", i, i.toDouble)) ++
+      (11L to 20L).map(i => ("B", i, (i * 100).toDouble)))
+      .toDF("dom", "id", "score")
+    val kept = CorpusStats.filterByDomainQuantile(docs, "id", "dom",
+        col("score"), p = 0.5, k = 100)
+      .select("dom", "id").as[(String, Long)].collect().toSet
+    assert(kept.count(_._1 == "A") == 6) // ranks 5..10 (>= rank-5 score)
+    assert(kept.count(_._1 == "B") == 6)
+    assert(kept.contains(("A", 10L)) && !kept.contains(("A", 1L)))
+  }
+
+  test("domainThresholds: sub-bucketed sample rank equals the plain " +
+      "per-domain rank (two-level top-k is exact)") {
+    val docs = (1L to 500L).map(i => (s"d${i % 3}", i, (i % 37).toDouble))
+      .toDF("dom", "id", "score")
+    val twoLevel = CorpusStats
+      .domainThresholds(docs, "id", "dom", "score", p = 0.7, k = 32,
+        subParts = 16)
+      .as[(String, Double, Long)].collect().toSet
+    val oneLevel = CorpusStats
+      .domainThresholds(docs, "id", "dom", "score", p = 0.7, k = 32,
+        subParts = 1)
+      .as[(String, Double, Long)].collect().toSet
+    assert(twoLevel == oneLevel)
+    assert(twoLevel.forall(_._3 == 32L))
+  }
 }

@@ -129,4 +129,49 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.duplicateSpans(docs, "doc_id", "text", n = 3)
       .count() == 0)
   }
+
+  test("containment: doc-inside-doc fires asymmetrically where Jaccard " +
+      "misses") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, small), // contained whole in 2
+      (2L, small + " plus a very long tail of distinct words " +
+        "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"),
+      (3L, "entirely unrelated content about query engines and parquet")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    // 1 ⊂ 2: containment(1→2) = 1.0; the reverse direction is far below
+    assert(cont.map(c => (c._1, c._2)).toSet == Set((1L, 2L)))
+    assert(cont.head._3 == 1.0)
+    // Jaccard at the same threshold does NOT find it: |A|/|B| is small
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9).count()
+    assert(jac == 0)
+  }
+
+  test("containment: equals exhaustive pairwise at the same threshold") {
+    // recall-1 claim: the prefix-filtered path reproduces the quadratic
+    // definition exactly on a corpus with partial overlaps either side
+    // of the threshold
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+      (3L, "a b c d e f g q r s t u v w x y z aa bb cc"),
+      (4L, "totally different words in this one here now")
+    ).toDF("doc_id", "text")
+    val fast = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.6).as[(Long, Long, Double)].collect().toSet
+    val sets = Dedup.hashedShingleSets(docs, "doc_id", "text", 3)
+      .as[(Long, Seq[Long], Int)].collect()
+      .map(r => r._1 -> r._2.toSet).toMap
+    val slow = (for {
+      (a, ha) <- sets; (b, hb) <- sets if a != b
+      c = ha.intersect(hb).size.toDouble / ha.size if c >= 0.6
+    } yield (a, b, c)).toSet
+    assert(fast == slow)
+    assert(fast.nonEmpty)
+  }
 }

@@ -151,6 +151,16 @@ class JdbcSinkSpec extends AnyFunSuite {
     Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
     val reader = new Thread(() => {
       val conn = java.sql.DriverManager.getConnection(url)
+      // Derby is lock-based: at READ COMMITTED a scan releases row
+      // locks as it goes, so a DML-swap commit mid-scan can interleave
+      // old and new rows (and REPEATABLE READ still admits the fresh
+      // inserts as phantoms) — that is the engine's isolation contract,
+      // not the sink's swap. SERIALIZABLE is the Derby level that makes
+      // a single SELECT statement-consistent, i.e. the equivalent of
+      // the statement snapshot MVCC engines give every reader for free
+      // (see JdbcSink.replace's isolation fine print).
+      conn.setTransactionIsolation(
+        java.sql.Connection.TRANSACTION_SERIALIZABLE)
       try {
         while (!stop.get) {
           try {
