@@ -435,6 +435,59 @@ object SparkEntry {
       .select(col("win_start"), col("cnt"), col("sum_value"))
   }
 
+  /** Streaming sessionization replay == batch sessionization (the
+    * stateful-merge companion to [[eventLateDrop]]'s drop policy): the
+    * event feed split at its time midpoint and fed IN EVENT-TIME ORDER
+    * through [[graft.streaming.EventTimeWindows.sessionsStream]] as
+    * three checkpointed AvailableNow runs — old half, new half, then a
+    * far-future sentinel under a reserved user. Sessions straddling the
+    * split exercise the state-store merge: a session is emitted only
+    * once its gap-extended end drops below the watermark, and a closed
+    * session provably cannot be re-opened by the next run (closure
+    * means the last event is ≥ gap below the watermark, while every
+    * later feed row is above it). The sentinel closes every real
+    * session; its own never finalizes and never appears. Final emitted
+    * set must therefore equal the BATCH session computation — the
+    * event_sessions oracle verbatim. */
+  private def streamSessions(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_streamsess_")
+    val ev = events(s, dir).select(col("ts"), col("user_id"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val (mnUs, mxUs) = (bounds.getLong(0), bounds.getLong(1))
+    val cutUs = mnUs + (mxUs - mnUs) / 2
+    val in = s"$work/in"
+    def run(): Unit = {
+      val stream = s.readStream.schema(ev.schema).parquet(in)
+      val agg = streaming.EventTimeWindows.sessionsStream(stream, "ts",
+        "30 minutes", "1 second", Seq("user_id"),
+        Seq(count(lit(1)).as("n")))
+      val q = agg.writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$work/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter(unix_micros(col("ts")) < cutUs).coalesce(1)
+      .write.mode("append").parquet(in)
+    run()
+    ev.filter(unix_micros(col("ts")) >= cutUs).coalesce(1)
+      .write.mode("append").parquet(in)
+    run()
+    ev.limit(1)
+      .select(timestamp_micros(lit(mxUs + 60L * 86400 * 1000000))
+        .as("ts"), lit(-1L).as("user_id"))
+      .write.mode("append").parquet(in)
+    run()
+    s.read.parquet(s"$work/out")
+      .select(col("user_id"), col("win_start"), col("n"))
+  }
+
   /** The generic envelope path end-to-end (SURVEY §1.2): string-encoded
     * multi-table change stream → registry cast → LWW. Must agree with the
     * typed path (cdc_lww) exactly — same oracle. */
@@ -1463,6 +1516,7 @@ object SparkEntry {
     "event_sliding" -> (eventSliding _),
     "event_sessions" -> (eventSessions _),
     "event_late_drop" -> (eventLateDrop _),
+    "stream_sessions" -> (streamSessions _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_quality" -> (textQuality _),
@@ -1751,23 +1805,10 @@ object SparkEntry {
         |          AS win_start
         |      FROM events)
         |GROUP BY 1, 2""".stripMargin,
-    "event_sessions" ->
-      """WITH o AS (
-        |  SELECT user_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        |  FROM events)
-        |, m AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS ns
-        |  FROM o)
-        |, s AS (
-        |  SELECT user_id, ts, sum(ns) OVER (
-        |    PARTITION BY user_id ORDER BY ts
-        |    ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m)
-        |SELECT user_id, min(ts) AS win_start, count(*) AS n
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "event_sessions" -> sessionsOracleSql,
+    // the streaming replay's emitted set must equal the batch
+    // sessionization — the SAME oracle (the sentinel user never emits)
+    "stream_sessions" -> sessionsOracleSql,
     "event_late_drop" ->
       """WITH ev AS (
         |  SELECT ts, value FROM events WHERE event_type = 'click'),
@@ -3140,6 +3181,28 @@ object SparkEntry {
        |       ELSE 'und' END AS lang_pred
        |FROM s""".stripMargin
   }
+
+  /** Gaps-and-islands sessionization (30-minute gap) — the oracle for
+    * BOTH the batch (`event_sessions`) and streaming
+    * (`stream_sessions`) paths: the streaming claim is exactly that
+    * the watermark-driven emitted set equals this batch computation. */
+  private val sessionsOracleSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events)
+      |, m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM o)
+      |, s AS (
+      |  SELECT user_id, ts, sum(ns) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, min(ts) AS win_start, count(*) AS n
+      |FROM s GROUP BY user_id, sid""".stripMargin
 
   /** Shared DuckDB CTE: per-doc distinct 3-gram shingles (mirrors
     * TextFunctions.shingles(text, 3)). */

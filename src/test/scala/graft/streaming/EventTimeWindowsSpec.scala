@@ -75,4 +75,49 @@ class EventTimeWindowsSpec extends AnyFunSuite {
     // 13:00 still exceed the 11:45 watermark), so exactly one window out
     assert(got == Map("2024-01-01 10:00:00" -> 2L))
   }
+
+  test("streaming sessions: a session straddling two runs merges in " +
+      "state, then closes once and only once") {
+    val work = Files.createTempDirectory("graft_sess_").toString
+    val schema = evts(("2024-01-01 10:00:00", "u1")).schema
+    val emitted =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$work/events")
+      val q = EventTimeWindows.sessionsStream(stream, "ts", "30 minutes",
+        "1 second", Seq("user"), Seq(count(lit(1)).as("n")))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(col("user"), col("win_start").cast("string"),
+              col("n"))
+            .collect().foreach(r =>
+              emitted.add((r.getString(0), r.getString(1), r.getLong(2))))
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: u1 session open (10:00, 10:20); u2 session (10:00)
+    evts(("2024-01-01 10:00:00", "u1"), ("2024-01-01 10:20:00", "u1"),
+      ("2024-01-01 10:00:00", "u2"))
+      .write.mode("append").parquet(s"$work/events")
+    run()
+    // run 2: 10:40 is within 30m of u1's 10:20 -> MUST merge into the
+    // open session, not start a new one; u2's session (ended 10:30)
+    // closes as the watermark passes it
+    evts(("2024-01-01 10:40:00", "u1")).write.mode("append")
+      .parquet(s"$work/events")
+    run()
+    // run 3: sentinel far ahead closes u1's merged session
+    evts(("2024-01-02 10:00:00", "zz")).write.mode("append")
+      .parquet(s"$work/events")
+    run()
+    import scala.jdk.CollectionConverters._
+    val got = emitted.asScala.toSet
+    assert(got == Set(
+      ("u1", "2024-01-01 10:00:00", 3L), // one MERGED session, emitted once
+      ("u2", "2024-01-01 10:00:00", 1L)))
+  }
 }
