@@ -630,6 +630,117 @@ object BenchScale {
       "sum_kept" -> sumKept, "cross_fps" -> cross))
   }
 
+  /** HLL at ×N: events copies hold DISJOINT user ranges, so the true
+    * per-type distinct count grows exactly ×N while the sketch state
+    * stays 64 one-byte registers per group — the estimate must keep
+    * tracking the exact count (relative error within the m=64 bound)
+    * at both scales, with constant output rows. A state blowup can't
+    * hide: it would surface as broken estimates, not just time. */
+  private def runSketchHll(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("user_id"))
+    var exactSum = 0L; var worstErrPm = 0L
+    val r = timed {
+      val est = round(lit(graft.functions.expr.HllSketch.alpha(6)) *
+        lit(4096.0) * lit(3.6028797018963968e16) /
+        col("h.t").cast("double"), 4)
+      val rows = ev.groupBy("event_type")
+        .agg(call_function("hll_sketch",
+            col("user_id").cast("string"), lit(6)).as("h"),
+          countDistinct(col("user_id")).as("nd"))
+        .select(est.as("est"), col("nd")).collect()
+      exactSum = rows.map(_.getAs[Long]("nd")).sum
+      worstErrPm = rows.map { row =>
+        val (e, nd) = (row.getAs[Double]("est"), row.getAs[Long]("nd"))
+        math.ceil(math.abs(e - nd) / nd * 1000).toLong
+      }.max
+      rows.length.toLong
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map(
+      "exact_nd_sum" -> exactSum, "worst_err_permille" -> worstErrPm))
+  }
+
+  /** Per-domain relative quality filter at ×N: the alphabet rotation
+    * preserves every quality signal (letters map to letters, token
+    * structure unchanged), so the ×N corpus repeats the ×1 score
+    * distribution n times over the SAME domains. The per-domain
+    * 128-doc sample redraws over the new id range, so thresholds move
+    * within sampling error — the gate pins what must hold regardless:
+    * domain count constant, sample size pinned at k, and the kept
+    * fraction near the requested median at both scales. */
+  private def runQualityDomainFilter(s: SparkSession,
+      dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+    var domains = 0L; var total = 0L
+    val r = timed {
+      total = docs.count()
+      val kept = CorpusStats.filterByDomainQuantile(docs, "doc_id",
+        "source", TextFunctions.qualityScore(col("text")), p = 0.5,
+        k = 128)
+      val row = kept.agg(count(lit(1)),
+        countDistinct(col("source"))).head()
+      domains = row.getLong(1)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map(
+      "domains" -> domains, "total_docs" -> total,
+      "kept_permille" -> (r.evidence("out_rows") * 1000 / total)))
+  }
+
+  /** Containment dedup at ×N: rotation = shingle-set isomorphism with
+    * disjoint hashes across copies, so containment pairs replicate
+    * EXACTLY ×N, cross-copy index collisions are zero, and the
+    * prefix×full candidate volume stays ~linear (the recall-1 filter's
+    * scale claim — without the prefix bound the full×full index join
+    * would be quadratic in duplicated shingles). */
+  private def runContainment(s: SparkSession, dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val r = timed {
+      Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8).count()
+    }(Map.empty)
+    val sets = Dedup.hashedShingleSets(docs, "doc_id", "text", 3)
+    val prefixLen = (floor(lit(1.0 - 0.8) * col("n_sh")) + 1).cast("int")
+    val copyOf = (c: Column) => call_function("div", c, lit(100000000L))
+    val pre = sets.select(copyOf(col("doc_id")).as("copy"),
+        explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
+      .groupBy("h", "copy").agg(count(lit(1)).as("p"))
+    val ful = sets.select(copyOf(col("doc_id")).as("copy"),
+        explode(col("hs")).as("h"))
+      .groupBy("h", "copy").agg(count(lit(1)).as("f"))
+    // per hash: within-copy directed candidates p·f − p (each prefix
+    // entry also appears on its own full list); cross-copy p·f' pairs
+    val agg = pre.as("x").join(ful.as("y"), Seq("h"))
+      .select(col("h"),
+        when(col("x.copy") === col("y.copy"),
+          col("p") * col("f") - col("p")).otherwise(lit(0L)).as("within"),
+        when(col("x.copy") =!= col("y.copy"),
+          col("p") * col("f")).otherwise(lit(0L)).as("cross"))
+      .agg(coalesce(sum("within"), lit(0L)).cast("long"),
+        coalesce(sum("cross"), lit(0L)).cast("long"))
+      .head()
+    r.copy(evidence = r.evidence ++ Map(
+      "candidates" -> agg.getLong(0), "cross_candidates" -> agg.getLong(1)))
+  }
+
+  /** Streaming sessionization at ×N: event copies keep timestamps and
+    * offset user ids, so every copy replays the ×1 session structure
+    * over fresh keys — emitted sessions and their event sum must grow
+    * EXACTLY ×N through the full 3-run watermark lifecycle (state
+    * merge, closure, sentinel flush). Runs the gated SparkEntry query
+    * itself, checkpoints and all. */
+  private def runStreamSessions(s: SparkSession, dir: String): OpResult = {
+    var sumN = 0L
+    val r = timed {
+      val row = SparkEntry.queries("stream_sessions")(s, dir)
+        .agg(count(lit(1)), sum("n")).head()
+      sumN = row.getLong(1)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence + ("sum_n" -> sumN))
+  }
+
   /** CMS at ×N: the sketch must stay ≤ depth×width CELLS — constant —
     * at any corpus size (the bounded-state claim), while a fixed probe
     * set (copy-0 keys) returns one estimate per key at every scale and
@@ -963,7 +1074,11 @@ object BenchScale {
         if (d.endsWith("x1")) 1 else n)),
       "stats_quantiles" -> (d => runStatsQuantiles(spark, d)),
       "dedup_lines" -> (d => runDedupLines(spark, d)),
-      "sketch_cms" -> (d => runCms(spark, d)))
+      "sketch_cms" -> (d => runCms(spark, d)),
+      "sketch_hll" -> (d => runSketchHll(spark, d)),
+      "quality_domain_filter" -> (d => runQualityDomainFilter(spark, d)),
+      "dedup_containment" -> (d => runContainment(spark, d)),
+      "stream_sessions" -> (d => runStreamSessions(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -1150,6 +1265,35 @@ object BenchScale {
             atN.evidence("out_rows") == at1.evidence("out_rows") &&
             atN.evidence("under_estimates") == 0L &&
             at1.evidence("under_estimates") == 0L
+        case "sketch_hll" =>
+          // constant groups, ×N true distincts, estimate keeps tracking
+          // (σ ≈ 13% at m=64; 400‰ is > 3σ — and deterministic here)
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("exact_nd_sum") ==
+              at1.evidence("exact_nd_sum") * n &&
+            atN.evidence("worst_err_permille") <= 400L &&
+            at1.evidence("worst_err_permille") <= 400L
+        case "quality_domain_filter" =>
+          // same domains, k-pinned samples, kept fraction near the
+          // requested median (p=0.5) at BOTH scales: 300‰ of slack is
+          // > 5σ of the 128-sample median position
+          atN.evidence("domains") == at1.evidence("domains") &&
+            atN.evidence("total_docs") == at1.evidence("total_docs") * n &&
+            math.abs(atN.evidence("kept_permille") - 500L) <= 300L &&
+            math.abs(at1.evidence("kept_permille") - 500L) <= 300L
+        case "dedup_containment" =>
+          // directed pairs replicate ×N exactly; zero cross-copy index
+          // collisions; prefix×full candidate volume ~N (2× slack:
+          // prefix membership is a fresh hash draw per rotated copy)
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("cross_candidates") == 0L &&
+            atN.evidence("candidates") <=
+              (at1.evidence("candidates") * n * 2.0).toLong
+        case "stream_sessions" =>
+          // the full watermark lifecycle must reproduce each copy's
+          // session structure exactly: sessions and event mass ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("sum_n") == at1.evidence("sum_n") * n
         case "dedup_incremental" =>
           // the probe batch pairs only within itself (its rotation
           // collides with no store copy), so the emitted pairs must be
