@@ -1252,6 +1252,29 @@ object SparkEntry {
         round(col("_score"), 6).as("quality"),
         round(col("threshold"), 6).as("thr"))
 
+  /** In-engine BPE merge training (the tokenizer-training member of
+    * the in-engine-training family): 8 merges learned from the
+    * word-frequency table — one corpus scan, then 8 bounded aggregates
+    * + 1-row argmaxes. The oracle replays every iteration as chained
+    * CTEs (pair counts, deterministic argmax, literal `|x||y|`→`|xy|`
+    * rewrite), bit-exact. */
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    BpeTrainer.mergesDF(s,
+      BpeTrainer.train(t(s, dir, "documents"), "text", iters = 8))
+
+  /** The learned vocabulary applied: per-doc BPE symbol count under
+    * the 8 trained merges, as a scan-local chain of literal replaces
+    * (no join — the merge table rides into the plan as literals). */
+  private def bpeSegment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = BpeTrainer.train(docs, "text", iters = 8)
+    val words = filter(TextFunctions.tokens(col("text")),
+      w => w.rlike("^[a-z]+$"))
+    val cnts = transform(words, w => BpeTrainer.segmentCount(w, merges))
+    docs.select(col("doc_id"), size(words).as("n_words"),
+      aggregate(cnts, lit(0), (a, x) => a + x).as("n_bpe_syms"))
+  }
+
   /** Count-Min frequency estimates for a probe key set, with the exact
     * counts alongside — the one-sided (est ≥ exact) sketch guarantee is
     * hash-checked, and width 32 forces real collisions at this key
@@ -1566,6 +1589,8 @@ object SparkEntry {
     "sketch_hll" -> (sketchHll _),
     "quality_domain_filter" -> (qualityDomainFilter _),
     "dedup_containment" -> (dedupContainment _),
+    "bpe_train" -> (bpeTrain _),
+    "bpe_segment" -> (bpeSegment _),
     "sample_shard" -> (sampleShard _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_temperature" -> (sampleTemperature _),
@@ -2320,6 +2345,8 @@ object SparkEntry {
         |        / CAST(a.t AS DOUBLE), 4) AS hll_est,
         |  ex.exact_nd
         |FROM agg a JOIN ex ON a.event_type = ex.event_type""".stripMargin,
+    "bpe_train" -> bpeTrainOracle(8),
+    "bpe_segment" -> bpeSegmentOracle(8),
     "sample_shard" ->
       """WITH b AS (
         |  SELECT doc_id,
@@ -3180,6 +3207,86 @@ object SparkEntry {
        |       $picks
        |       ELSE 'und' END AS lang_pred
        |FROM s""".stripMargin
+  }
+
+  /** DuckDB CTE chain replaying [[graft.operators.BpeTrainer.train]]
+    * iteration by iteration: w0 = char-encoded word frequencies; then
+    * per iteration i, pi = adjacent-pair counts over w(i−1), bi = the
+    * (count DESC, x, y) argmax, wi = the literal `|x||y|`→`|xy|`
+    * rewrite. Shared by the bpe_train (merge table) and bpe_segment
+    * (application) oracles. */
+  private def bpeCtes(iters: Int): String = {
+    val head =
+      """WITH wfreq AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(CASE WHEN length(trim(text)) = 0
+        |        THEN []::VARCHAR[]
+        |        ELSE string_split_regex(trim(text), '\s+') END) AS word
+        |    FROM documents) t
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1)
+        |, w0 AS (
+        |  SELECT cnt, regexp_replace(word, '(.)', '|\1|', 'g') AS sym
+        |  FROM wfreq)""".stripMargin
+    // MATERIALIZED is load-bearing: each b$i is referenced by several
+    // scalar subqueries, and DuckDB inlines plain CTEs — without it the
+    // per-reference expansion of the whole chain is exponential in the
+    // iteration count
+    val iterCtes = (1 to iters).map { i =>
+      s""", p$i AS MATERIALIZED (
+         |  SELECT p.x AS x, p.y AS y, sum(cnt) AS pc FROM (
+         |    SELECT cnt, unnest(list_transform(
+         |      generate_series(1, len(a) - 1),
+         |      i -> struct_pack(x := a[i], y := a[i+1]))) AS p
+         |    FROM (SELECT cnt, string_split(trim(sym, '|'), '||') AS a
+         |          FROM w${i - 1}) s) t
+         |  GROUP BY 1, 2)
+         |, b$i AS MATERIALIZED (SELECT x, y, pc FROM p$i
+         |  ORDER BY pc DESC, x, y LIMIT 1)
+         |, w$i AS MATERIALIZED (
+         |  SELECT cnt, replace(sym,
+         |    '|' || (SELECT x FROM b$i) || '||'
+         |        || (SELECT y FROM b$i) || '|',
+         |    '|' || (SELECT x FROM b$i)
+         |        || (SELECT y FROM b$i) || '|') AS sym
+         |  FROM w${i - 1})""".stripMargin
+    }
+    head + iterCtes.mkString("\n", "\n", "")
+  }
+
+  private def bpeTrainOracle(iters: Int): String =
+    bpeCtes(iters) + "\n" + (1 to iters).map { i =>
+      s"""SELECT $i AS iter, x AS "left", y AS "right",
+         |  x || y AS merged, CAST(pc AS BIGINT) AS pair_count
+         |FROM b$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  private def bpeSegmentOracle(iters: Int): String = {
+    // apply the learned merges in order to every word occurrence: the
+    // same literal rewrite chain, innermost = iteration 1
+    // single-line on purpose: a continuation line starting with `||`
+    // would be eaten by the enclosing stripMargin
+    val applied = (1 to iters).foldLeft(
+      "regexp_replace(word, '(.)', '|\\1|', 'g')") { (inner, i) =>
+      s"replace($inner, '|' || (SELECT x FROM b$i) || '||' || " +
+        s"(SELECT y FROM b$i) || '|', '|' || (SELECT x FROM b$i) || " +
+        s"(SELECT y FROM b$i) || '|')"
+    }
+    bpeCtes(iters) +
+      s"""
+         |, wd AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+         |      THEN []::VARCHAR[]
+         |      ELSE string_split_regex(trim(text), '\\s+') END) AS word
+         |  FROM documents)
+         |, seg AS (
+         |  SELECT doc_id, count(*) AS n_words,
+         |    CAST(sum(len(string_split(trim($applied, '|'), '||')))
+         |      AS INT) AS n_bpe_syms
+         |  FROM wd WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(s.n_words, 0) AS INT) AS n_words,
+         |  CAST(coalesce(s.n_bpe_syms, 0) AS INT) AS n_bpe_syms
+         |FROM documents d LEFT JOIN seg s ON d.doc_id = s.doc_id"""
+        .stripMargin
   }
 
   /** Gaps-and-islands sessionization (30-minute gap) — the oracle for
