@@ -1388,6 +1388,19 @@ object SparkEntry {
       n = 5, minMatched = 5L, minOverlap = 0.5)
   }
 
+  /** Embedding-space decontamination gate: the bench subset is the
+    * first 40 vectors, broadcast against the corpus for a scan-local
+    * max-cosine verdict per vector — the semantic-contamination
+    * companion to the n-gram and Bloom gates (paraphrases share no
+    * 13-gram). Threshold 0.45 = the established near-dup bar. */
+  private def decontamEmbed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val bench = emb.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("bid"), col("embedding"))
+    Decontam.flagEmbed(emb, bench, "vec_id", "embedding",
+      "bid", "embedding", threshold = 0.45)
+  }
+
   /** Bloom-filter decontamination gate — the bounded-memory variant of
     * `decontam_ngram` over the SAME benchmark subset: bench 5-grams
     * fold into a 65,536-bit / k=3 Bloom filter (one bounded collect,
@@ -1602,6 +1615,7 @@ object SparkEntry {
     "sample_reservoir" -> (sampleReservoir _),
     "decontam_ngram" -> (decontamNgram _),
     "decontam_bloom" -> (decontamBloom _),
+    "decontam_embed" -> (decontamEmbed _),
     "stream_decontam" -> (streamDecontam _),
     "split_leakage_free" -> (splitLeakageFree _),
     "text_pii" -> (textPii _),
@@ -2611,6 +2625,19 @@ object SparkEntry {
         |  OR (nn.n_ngrams > 0 AND
         |      CAST(coalesce(b.bm, 0) AS DOUBLE) / nn.n_ngrams >= 0.5))"""
         .stripMargin,
+    // embedding-space decontamination: max cosine vs the 40-vector
+    // bench, self-pairs excluded; cosineSql replays the exact fold order
+    "decontam_embed" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |, b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id < 40)
+         |, s AS (
+         |  SELECT e.vec_id,
+         |    max(round(${cosineSql("e.v", "b.bv")}, 4)) AS max_sim
+         |  FROM e, b WHERE e.vec_id <> b.bid GROUP BY 1)
+         |SELECT vec_id, max_sim,
+         |  CAST(max_sim >= 0.45 AS INT) AS contaminated
+         |FROM s""".stripMargin,
     "text_pii" -> {
       val email = Pii.EmailRe
       val ip = Pii.Ipv4Re

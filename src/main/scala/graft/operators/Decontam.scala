@@ -184,4 +184,41 @@ object Decontam {
             col("bloom_matched") / col("n_ngrams") >= minOverlap))
           .cast("int").as("contaminated"))
   }
+
+  /** EMBEDDING-space decontamination: flag corpus vectors whose cosine
+    * against any benchmark vector clears `threshold` — the semantic
+    * contamination an n-gram test misses outright (a paraphrased or
+    * translated eval item shares no 13-gram with its source but sits
+    * next to it in embedding space; cf. the embedding-dedup rationale
+    * in SemDeDup, Abbas et al. 2023, applied contamination-wise).
+    *
+    * Shape for 100 TB: the bench side is small by definition and
+    * BROADCASTS; the corpus side is a scan-local nested loop over that
+    * broadcast (|bench| fused-kernel cosines per corpus row) feeding a
+    * partial max — no shuffle ever carries a corpus vector, and the
+    * output is one verdict row per corpus vector. For bench sets too
+    * large to broadcast, pre-filter with [[Similarity.lshCosinePairs]]
+    * and verify the survivors — same verdict, candidate-bounded cost.
+    *
+    * Self-pairs (a bench vector that is itself in the corpus frame)
+    * are excluded by id, so bench members report their similarity to
+    * the REST of the bench, not a trivial 1.0.
+    *
+    * @return (idCol, max_sim, contaminated) — max_sim rounded to 4
+    */
+  def flagEmbed(corpus: DataFrame, bench: DataFrame, idCol: String,
+      vecCol: String, benchIdCol: String, benchVecCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("_v"))
+    val b = bench.select(col(benchIdCol).as("_bid"),
+      col(benchVecCol).cast("array<double>").as("_bv"))
+    c.crossJoin(broadcast(b))
+      .filter(col(idCol) =!= col("_bid"))
+      .groupBy(idCol)
+      .agg(max(round(Similarity.cosineNative(col("_v"), col("_bv")), 4))
+        .as("max_sim"))
+      .select(col(idCol), col("max_sim"),
+        (col("max_sim") >= threshold).cast("int").as("contaminated"))
+  }
 }

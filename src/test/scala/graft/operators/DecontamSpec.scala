@@ -131,4 +131,38 @@ class DecontamSpec extends AnyFunSuite {
         "text", n = 3, mBits = 1000)
     }
   }
+
+  test("flagEmbed: identical and near vectors flag, orthogonal do not; " +
+      "self-pairs excluded") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),   // identical to bench 10
+      (2L, Seq(0.9f, 0.1f, 0.0f)),   // near bench 10
+      (3L, Seq(0.0f, 0.0f, 1.0f)),   // orthogonal to the whole bench
+      (10L, Seq(1.0f, 0.0f, 0.0f))   // IS bench 10: must not self-match
+    ).toDF("vec_id", "embedding")
+    val bench = corpus.filter($"vec_id" === 10L)
+      .select($"vec_id".as("bid"), $"embedding")
+    val got = Decontam.flagEmbed(corpus, bench, "vec_id", "embedding",
+        "bid", "embedding", threshold = 0.9)
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(1L) == ((1.0, 1)))
+    assert(got(2L)._2 == 1 && got(2L)._1 > 0.9)
+    assert(got(3L) == ((0.0, 0)))
+    // vec 10 compared only against the REST of the bench (none) — no
+    // row rather than a trivial self-similarity 1.0
+    assert(!got.contains(10L))
+  }
+
+  test("flagEmbed plans the bench side as a broadcast") {
+    val corpus = (1 to 50).map(i => (i.toLong, Seq(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val bench = corpus.limit(5)
+      .select($"vec_id".as("bid"), $"embedding")
+    val plan = Decontam.flagEmbed(corpus, bench, "vec_id", "embedding",
+        "bid", "embedding", threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }
