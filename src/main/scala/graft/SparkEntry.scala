@@ -1200,6 +1200,47 @@ object SparkEntry {
     } finally kept.unpersist(false)
   }
 
+  /** [[corpusCleanV2]] with the round-10 per-domain RELATIVE quality
+    * gate composed in (CCNet's within-source filtering posture): dedup
+    * → drop each source's bottom-30%-quality docs against its OWN
+    * KMV-sampled threshold → corpus-trained LM filter over the
+    * survivors (the model now trains on the domain-filtered set) →
+    * temperature mixture → packing → split/shard. Stage reuse is
+    * exact: the domain gate is `quality_domain_filter`'s operator at
+    * p = 0.3, and the oracle splices that query's replay between the
+    * kept-set and LM CTEs of the v2 chain. */
+  private def corpusCleanV3(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = dedupKeptIds(s, dir, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val clean = docs.join(kept, Seq("doc_id"))
+      val domKept = CorpusStats.filterByDomainQuantile(
+        clean.select("doc_id", "source", "text"), "doc_id", "source",
+        TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
+        .select("doc_id")
+      val base = clean.join(domKept, Seq("doc_id"))
+      val good = operators.LangModel.score(
+        base.select("doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")
+        .filter(col("lm_score") >= -3.40).select("doc_id")
+      val mixed = Sampling.temperatureSampleByHash(
+        base.join(good, Seq("doc_id")).select("doc_id", "lang"),
+        "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
+      val toks = base.join(mixed.select("doc_id"), Seq("doc_id"))
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long")
+            .as("n_tok"))
+      val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
+        budget = 2048L)
+      Sampling.hashSplit(packed, "doc_id",
+          Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+        .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+        .localCheckpoint(true)
+    } finally kept.unpersist(false)
+  }
+
   /** Token-budget packing of the corpus into contiguous training bins
     * via the two-pass distributed prefix sum (no global-window reducer). */
   private def packBudget(s: SparkSession, dir: String): DataFrame =
@@ -1597,6 +1638,7 @@ object SparkEntry {
     "pack_budget" -> (packBudget _),
     "corpus_clean" -> (corpusClean _),
     "corpus_clean_v2" -> (corpusCleanV2 _),
+    "corpus_clean_v3" -> (corpusCleanV3 _),
     "sketch_kmv" -> (sketchKmv _),
     "sketch_cms" -> (sketchCms _),
     "sketch_hll" -> (sketchHll _),
@@ -2261,6 +2303,7 @@ object SparkEntry {
         |WHERE tf0 + tf1 + tf2 > 0""".stripMargin,
     "corpus_clean" -> corpusCleanOracle,
     "corpus_clean_v2" -> corpusCleanV2Oracle,
+    "corpus_clean_v3" -> corpusCleanV3Oracle,
     "pack_budget" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -3141,10 +3184,16 @@ object SparkEntry {
     * mixture. */
   private def corpusCleanV2Oracle: String =
     s"""$keptPairCtes
-       |, tk AS (
+       |${lmMixPackTailSql("kept")}""".stripMargin
+
+  /** The v2 pipeline tail (LM filter retrained on `fromCte`'s doc set,
+    * temperature mixture, packing, split/shard) — shared by the v2 and
+    * v3 replays, which differ only in the set the LM trains on. */
+  private def lmMixPackTailSql(fromCte: String): String =
+    s""", tk AS (
        |  SELECT d.doc_id, unnest(toks) AS tok,
        |    generate_subscripts(toks, 1) AS i
-       |  FROM d JOIN kept USING (doc_id))
+       |  FROM d JOIN $fromCte USING (doc_id))
        |, lbg AS (
        |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
        |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
@@ -3194,6 +3243,50 @@ object SparkEntry {
        |       WHEN h % 10 < 9 THEN 'eval' ELSE 'test' END AS split,
        |  h % 16 AS shard
        |FROM hv2""".stripMargin
+
+  /** DuckDB replay of corpus_clean_v3: the v2 chain with the
+    * quality_domain_filter replay (p = 0.3, against the KEPT set)
+    * spliced between the dedup CTEs and the LM/mixture/packing tail —
+    * the tail then trains and filters over `qkept`. */
+  private def corpusCleanV3Oracle: String =
+    s"""$keptPairCtes
+       |, qd AS (
+       |  SELECT dd.doc_id, dd.source, dd.text,
+       |    CASE WHEN length(trim(dd.text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(dd.text), '\\s+') END
+       |      AS qtoks
+       |  FROM documents dd JOIN kept USING (doc_id))
+       |, qscored AS (
+       |  SELECT doc_id, source,
+       |   (least(
+       |      (CASE WHEN length(trim(text)) = 0 THEN 0
+       |            ELSE len(string_split_regex(trim(text), '\\s+')) END)
+       |        / 200.0, 1.0)
+       |    + CASE WHEN len(qtoks) = 0 THEN 0.0
+       |           ELSE len(list_distinct(qtoks)) / len(qtoks) END
+       |    + CASE WHEN length(text) = 0 THEN 0.0
+       |           ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+       |                / length(text) END) / 3.0 AS q
+       |  FROM qd)
+       |, qsamp AS (
+       |  SELECT source, doc_id, q,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+       |  FROM qscored)
+       |, qranked AS (
+       |  SELECT source, doc_id, q,
+       |    row_number() OVER (PARTITION BY source ORDER BY q, doc_id)
+       |      AS qr,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM qsamp WHERE r <= 128)
+       |, qthr AS (
+       |  SELECT source, q AS threshold
+       |  FROM qranked WHERE qr = CAST(ceil(0.3 * n) AS BIGINT))
+       |, qkept AS (
+       |  SELECT s.doc_id FROM qscored s
+       |  JOIN qthr t ON s.source = t.source
+       |  WHERE s.q >= t.threshold)
+       |${lmMixPackTailSql("qkept")}""".stripMargin
 
   /** DuckDB list of the language-ID stopwords, quoted. */
   private def stopwordsSqlList: String =
