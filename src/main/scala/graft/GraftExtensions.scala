@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{ByteHistogram, ConnectDecimal, CosineSimilarity, HashedShingles, HllSketch, KmvSketch, MinHashSig, RepetitionSignals, SimHash60, SortedIntersectCount}
+import graft.functions.expr.{ByteHistogram, ConnectDecimal, CosineSimilarity, HashedShingles, HllSketch, KmvSetSketch, KmvSketch, MinHashSig, RepetitionSignals, SimHash60, SortedIntersectCount}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -52,6 +52,9 @@ object GraftExtensions {
     // e.g. hll_sketch(v, 6) -> struct(t, zeros)
     fn("hll_sketch", classOf[HllSketch], 2)(c =>
       HllSketch(c.head, c(1).eval().asInstanceOf[Int])),
+    // aggregate; k via int literal, e.g. kmv_set(v, 64) -> array<long>
+    fn("kmv_set", classOf[KmvSetSketch], 2)(c =>
+      KmvSetSketch(c.head, c(1).eval().asInstanceOf[Int])),
     fn("repetition_signals", classOf[RepetitionSignals], 1)(c =>
       RepetitionSignals(c.head)),
     // scale via int literal, e.g. connect_decimal(unbase64(v), 2)

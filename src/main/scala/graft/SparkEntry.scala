@@ -101,6 +101,28 @@ object SparkEntry {
     // A1: ReplacingMergeTree-FINAL equivalence from an I/U/D stream.
     CdcMerge.lastWriteWins(ChangeFeed.full(s, dir), ChangeFeed.keyCols)
 
+  /** Snapshot→stream HANDOFF (the reference's dump-then-binlog flow,
+    * river/river.go:135-145 → river/sync.go:72-102, including its real
+    * hazard: the binlog tail usually starts EARLIER than the snapshot
+    * position, so part of the tail re-delivers changes the snapshot
+    * already reflects). Snapshot = LWW state at seq ≤ W; tail = every
+    * event with seq > W/2 — a deep overlap replayed on top. Because a
+    * binlog tail is a contiguous SUFFIX, each key's replayed events
+    * either end at its snapshot state (LWW no-op) or extend past it
+    * (newer state wins), so the merged result must equal the full
+    * replay — the cdc_lww oracle verbatim. */
+  private def cdcBootstrapHandoff(s: SparkSession, dir: String): DataFrame = {
+    val feed = ChangeFeed.full(s, dir)
+    val maxSeq = feed.agg(max(col(graft.model.ChangeEvent.SeqCol)))
+      .head().getLong(0)
+    val w = maxSeq / 2
+    val snapshot = CdcMerge.lastWriteWins(
+      feed.filter(col(graft.model.ChangeEvent.SeqCol) <= w),
+      ChangeFeed.keyCols)
+    val tail = feed.filter(col(graft.model.ChangeEvent.SeqCol) > w / 2)
+    CdcMerge.applyChanges(snapshot, tail, ChangeFeed.keyCols)
+  }
+
   private def cdcChangedCols(s: SparkSession, dir: String): DataFrame =
     // P4: sparse update projection (before != after column set).
     CdcMerge.changedColumns(ChangeFeed.updatePairs(s, dir),
@@ -486,6 +508,64 @@ object SparkEntry {
     run()
     s.read.parquet(s"$work/out")
       .select(col("user_id"), col("win_start"), col("n"))
+  }
+
+  /** Bounded sketch state INSIDE Structured Streaming: hourly
+    * distinct-user HLL registers per event type, accumulated across
+    * watermarked micro-batches (the state store holds the 64-byte
+    * serialized register buffer per open (window, type) group — the
+    * bounded-state posture carried into streaming). Same 3-run
+    * AvailableNow harness as [[streamSessions]]; the emitted windows'
+    * registers must equal the BATCH register computation, which the
+    * oracle replays hash-for-hash. The sentinel rides a reserved
+    * event type whose window never finalizes. */
+  private def streamHll(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_streamhll_")
+    val ev = events(s, dir)
+      .select(col("ts"), col("event_type"), col("user_id"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val (mnUs, mxUs) = (bounds.getLong(0), bounds.getLong(1))
+    val cutUs = mnUs + (mxUs - mnUs) / 2
+    val in = s"$work/in"
+    def run(): Unit = {
+      val stream = s.readStream.schema(ev.schema).parquet(in)
+      val est = round(lit(graft.functions.expr.HllSketch.alpha(6)) *
+        lit(4096.0) * lit(3.6028797018963968e16) /
+        col("h.t").cast("double"), 4)
+      val agg = stream.withWatermark("ts", "1 second")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(call_function("hll_sketch",
+          col("user_id").cast("string"), lit(6)).as("h"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("h.t").as("t"), col("h.zeros").as("zeros"),
+          est.as("hll_est"))
+      val q = agg.writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$work/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter(unix_micros(col("ts")) < cutUs).coalesce(1)
+      .write.mode("append").parquet(in)
+    run()
+    ev.filter(unix_micros(col("ts")) >= cutUs).coalesce(1)
+      .write.mode("append").parquet(in)
+    run()
+    ev.limit(1)
+      .select(timestamp_micros(lit(mxUs + 60L * 86400 * 1000000))
+        .as("ts"), lit("zz_sentinel").as("event_type"),
+        lit(-1L).as("user_id"))
+      .write.mode("append").parquet(in)
+    run()
+    s.read.parquet(s"$work/out")
+      .select(col("win_start"), col("event_type"), col("t"),
+        col("zeros"), col("hll_est"))
   }
 
   /** The generic envelope path end-to-end (SURVEY §1.2): string-encoded
@@ -1278,6 +1358,52 @@ object SparkEntry {
         col("h.zeros").as("zeros"), est.as("hll_est"), col("exact_nd"))
   }
 
+  /** KMV sketch ALGEBRA (Beyer et al. 2007): per-type user sketches
+    * built in one pass compose — for every event-type pair the union
+    * estimate comes from the merged k-set and the intersection from
+    * the Jaccard fraction observed inside it, WITHOUT rescanning rows
+    * (`count(DISTINCT)` sets don't compose; synopses do). The pair
+    * math is scan-local array expressions over a groups-sized frame;
+    * exact union/intersection ride along from the types×users-bounded
+    * distinct frame. */
+  private def sketchAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+    val sk = ev.groupBy("event_type").agg(
+      call_function("kmv_set", col("user_id").cast("string"), lit(k))
+        .as("s"),
+      countDistinct(col("user_id")).as("nd"))
+    val du = ev.distinct()
+    val inter = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val merged = array_sort(array_union(col("a.s"), col("b.s")))
+    val mk = slice(merged, 1, k)
+    val unionEstRaw = when(size(col("a.s")) < k && size(col("b.s")) < k,
+        size(merged).cast("double"))
+      .otherwise(lit((k - 1).toDouble) *
+        lit(graft.functions.expr.KmvSketch.Two60) /
+        element_at(mk, k).cast("double"))
+    val common =
+      size(array_intersect(array_intersect(mk, col("a.s")), col("b.s")))
+    sk.as("a")
+      .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.nd").as("nd_a"), col("b.nd").as("nd_b"),
+        round(unionEstRaw, 4).as("union_est"),
+        round(common / size(mk) * unionEstRaw, 4).as("inter_est"))
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("union_est"),
+        col("inter_est"),
+        (col("nd_a") + col("nd_b") -
+          coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+  }
+
   /** Per-domain RELATIVE quality filtering (CCNet posture: filter
     * within each source, so a verbose domain cannot crowd out a terse
     * one): keep docs at or above their own domain's median quality,
@@ -1567,6 +1693,7 @@ object SparkEntry {
     "cdc_upsert" -> (cdcUpsert _),
     "cdc_ignore_delete" -> (cdcIgnoreDelete _),
     "cdc_lww" -> (cdcLww _),
+    "cdc_bootstrap_handoff" -> (cdcBootstrapHandoff _),
     "cdc_changed_cols" -> (cdcChangedCols _),
     "cdc_counters" -> (cdcCounters _),
     "cdc_stream_replay" -> (cdcStreamReplay _),
@@ -1594,6 +1721,7 @@ object SparkEntry {
     "event_sessions" -> (eventSessions _),
     "event_late_drop" -> (eventLateDrop _),
     "stream_sessions" -> (streamSessions _),
+    "stream_hll" -> (streamHll _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_quality" -> (textQuality _),
@@ -1642,6 +1770,7 @@ object SparkEntry {
     "sketch_kmv" -> (sketchKmv _),
     "sketch_cms" -> (sketchCms _),
     "sketch_hll" -> (sketchHll _),
+    "sketch_algebra" -> (sketchAlgebra _),
     "quality_domain_filter" -> (qualityDomainFilter _),
     "dedup_containment" -> (dedupContainment _),
     "bpe_train" -> (bpeTrain _),
@@ -1758,6 +1887,9 @@ object SparkEntry {
          | o_orderdate, o_orderpriority
          |FROM orders""".stripMargin,
     "cdc_lww" -> lwwOracleSql,
+    // handoff correctness claim: merged snapshot+overlapping-tail ==
+    // the full replay — the SAME final-state oracle
+    "cdc_bootstrap_handoff" -> lwwOracleSql,
     "cdc_stream_replay" -> lwwOracleSql,
     "cdc_maintained_replay" -> lwwOracleSql,
     "envelope_lww" -> lwwOracleSql,
@@ -2402,6 +2534,100 @@ object SparkEntry {
         |        / CAST(a.t AS DOUBLE), 4) AS hll_est,
         |  ex.exact_nd
         |FROM agg a JOIN ex ON a.event_type = ex.event_type""".stripMargin,
+    // KMV algebra replay: per-type k-smallest hash lists, pair union =
+    // sorted distinct concat truncated to k, intersection via the
+    // in-synopsis Jaccard fraction; exacts from the distinct frame
+    "sketch_algebra" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL)
+        |, h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS hv
+        |  FROM du)
+        |, r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+        |  FROM h)
+        |, sk AS (
+        |  SELECT event_type, list(hv ORDER BY hv) AS s
+        |  FROM r WHERE rk <= 64 GROUP BY 1)
+        |, nd AS (SELECT event_type, count(*) AS nd FROM du GROUP BY 1)
+        |, xi AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*) AS exact_inter
+        |  FROM du x JOIN du y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |, pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.s AS sa, b.s AS sb,
+        |    list_sort(list_distinct(a.s || b.s)) AS merged
+        |  FROM sk a JOIN sk b ON a.event_type < b.event_type)
+        |, est AS (
+        |  SELECT type_a, type_b, sa, sb,
+        |    merged[1:64] AS mk,
+        |    CASE WHEN len(sa) < 64 AND len(sb) < 64
+        |         THEN CAST(len(merged) AS DOUBLE)
+        |         ELSE (63.0::DOUBLE * 1152921504606846976.0::DOUBLE)
+        |              / CAST(merged[64] AS DOUBLE) END AS ue
+        |  FROM pr)
+        |, fin AS (
+        |  SELECT type_a, type_b, ue,
+        |    len(list_filter(mk, v -> list_contains(sa, v)
+        |      AND list_contains(sb, v))) AS common,
+        |    len(mk) AS kk
+        |  FROM est)
+        |SELECT f.type_a, f.type_b,
+        |  round(f.ue, 4) AS union_est,
+        |  round(f.common / f.kk * f.ue, 4) AS inter_est,
+        |  na.nd + nb.nd - coalesce(x.exact_inter, 0) AS exact_union,
+        |  coalesce(x.exact_inter, 0) AS exact_inter
+        |FROM fin f
+        |JOIN nd na ON f.type_a = na.event_type
+        |JOIN nd nb ON f.type_b = nb.event_type
+        |LEFT JOIN xi x ON f.type_a = x.type_a AND f.type_b = x.type_b"""
+        .stripMargin,
+    // streaming HLL: the emitted windows' registers must equal the
+    // batch register computation per (hour, type) — sketch_hll's
+    // replay with the window in the group key
+    "stream_hll" ->
+      """WITH h AS (
+        |  SELECT DISTINCT date_trunc('hour', ts) AS win_start,
+        |    event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS hv
+        |  FROM events WHERE user_id IS NOT NULL)
+        |, b AS (SELECT win_start, event_type, hv % 64 AS j, hv // 64 AS w
+        |  FROM h)
+        |, rho AS (
+        |  SELECT win_start, event_type, j,
+        |    CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS r
+        |  FROM b)
+        |, regs AS (
+        |  SELECT win_start, event_type, j, max(r) AS mj
+        |  FROM rho GROUP BY 1, 2, 3)
+        |, grid AS (
+        |  SELECT g.win_start, g.event_type, s.j
+        |  FROM (SELECT DISTINCT date_trunc('hour', ts) AS win_start,
+        |          event_type FROM events) g,
+        |       (SELECT unnest(generate_series(0, 63)) AS j) s)
+        |, allregs AS (
+        |  SELECT g.win_start, g.event_type, g.j, coalesce(r.mj, 0) AS mj
+        |  FROM grid g LEFT JOIN regs r
+        |    ON g.win_start = r.win_start AND g.event_type = r.event_type
+        |   AND g.j = r.j)
+        |, agg AS (
+        |  SELECT win_start, event_type,
+        |    CAST(sum(1::BIGINT << (55 - mj)) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS INT) AS zeros
+        |  FROM allregs GROUP BY 1, 2)
+        |SELECT win_start, event_type, t, zeros,
+        |  round((0.709::DOUBLE * 4096.0::DOUBLE
+        |         * 36028797018963968.0::DOUBLE)
+        |        / CAST(t AS DOUBLE), 4) AS hll_est
+        |FROM agg""".stripMargin,
     "bpe_train" -> bpeTrainOracle(8),
     "bpe_segment" -> bpeSegmentOracle(8),
     "sample_shard" ->

@@ -74,4 +74,42 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("string") ||
       ex.getMessage.contains("kmv_distinct"))
   }
+
+  private def kset(values: Seq[String], k: Int, parts: Int = 4): Seq[Long] =
+    values.toDF("v").repartition(parts)
+      .agg(call_function("kmv_set", col("v"), lit(k)))
+      .as[Seq[Long]].head()
+
+  test("kmv_set returns the k smallest hashes, sorted ascending") {
+    val vals = (1 to 2000).map(i => s"u$i")
+    val all = vals.map(v =>
+      HashExprUtils.hash60(UTF8String.fromString(v))).distinct.sorted
+    assert(kset(vals, 64) == all.take(64))
+    // below k: the complete (exact) hash set
+    assert(kset(vals.take(10), 64) == all.intersect(
+      vals.take(10).map(v =>
+        HashExprUtils.hash60(UTF8String.fromString(v)))).sorted)
+  }
+
+  test("kmv_set is closed under union: merging two group sketches " +
+      "equals sketching the union") {
+    val a = (1 to 1500).map(i => s"a$i")
+    val b = (1 to 1500).map(i => s"b$i")
+    val merged = (kset(a, 64) ++ kset(b, 64)).distinct.sorted.take(64)
+    assert(merged == kset(a ++ b, 64))
+  }
+
+  test("sketch-algebra union and intersection estimates track the truth") {
+    // |A|=1200, |B|=1000, |A∩B|=400 -> |A∪B|=1800
+    val a = (1 to 1200).map(i => s"k$i")
+    val b = (801 to 1800).map(i => s"k$i")
+    val (sa, sb) = (kset(a, 256), kset(b, 256))
+    val merged = (sa ++ sb).distinct.sorted
+    val mk = merged.take(256)
+    val ue = 255.0 * KmvSketch.Two60 / mk.last.toDouble
+    val common = mk.count(h => sa.contains(h) && sb.contains(h))
+    val ie = common.toDouble / mk.size * ue
+    assert(math.abs(ue - 1800.0) / 1800.0 < 0.2, s"union est $ue")
+    assert(math.abs(ie - 400.0) / 400.0 < 0.35, s"inter est $ie")
+  }
 }

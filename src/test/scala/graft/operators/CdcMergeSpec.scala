@@ -202,4 +202,29 @@ class CdcMergeSpec extends AnyFunSuite {
     val got = CdcMerge.opCounts(changes).as[(String, Long)].collect().toMap
     assert(got == Map("I" -> 2L, "U" -> 1L, "D" -> 1L))
   }
+
+  test("bootstrap handoff: an overlapping suffix tail replayed over the " +
+      "snapshot reproduces the full replay for every cut") {
+    // feed per key k: I@k0 v1, U@k1 v2, (k=2: D@k2) — try every
+    // (snapshot W, tail start B ≤ W) split and demand the merged state
+    // equal the full replay; this pins the suffix-tail idempotence
+    // argument (a replayed stale event can never clobber newer
+    // snapshot state because its successors ride the same suffix)
+    val feed = Seq(
+      (1, "v1", "I", 10L), (1, "v2", "U", 11L),
+      (2, "w1", "I", 20L), (2, "w2", "U", 21L), (2, null, "D", 22L),
+      (3, "x1", "I", 30L)
+    ).toDF("k", "v", "_op", "_seq")
+    val full = CdcMerge.lastWriteWins(feed, Seq("k"))
+      .as[(Int, String)].collect().toSet
+    for (w <- Seq(10L, 11L, 21L, 30L); b <- Seq(0L, 10L, 11L, 20L)
+         if b <= w) {
+      val snapshot = CdcMerge.lastWriteWins(
+        feed.filter($"_seq" <= w), Seq("k"))
+      val tail = feed.filter($"_seq" > b)
+      val got = CdcMerge.applyChanges(snapshot, tail, Seq("k"))
+        .as[(Int, String)].collect().toSet
+      assert(got == full, s"W=$w B=$b")
+    }
+  }
 }
