@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import graft.operators.{AsofJoin, Clustering, Cms, CorpusStats, Decontam,
-  Dedup, IncrementalDedup, LangModel, Packing, RangeJoin, Sampling,
-  Similarity}
+import graft.operators.{AsofJoin, Clustering, Cms, Cooccurrence,
+  CorpusStats, Decontam, Dedup, Dsir, IncrementalDedup, LangModel,
+  Packing, RangeJoin, Sampling, Similarity}
 import graft.functions.TextFunctions
 
 /** Scale-claim validation — every operator in this engine carries a
@@ -840,6 +840,55 @@ object BenchScale {
       "model_types" -> types, "distinct_scores" -> distinct))
   }
 
+  /** DSIR scoring at ×N: the 256-bucket model is corpus-size-INVARIANT
+    * state (the bounded-model claim — two B-row aggregates plus one
+    * scan-local fold, the corpus never shuffles), every doc gets
+    * exactly one score row, and token mass is rotation-invariant
+    * (translate only maps letters, never whitespace), so out_rows and
+    * token_sum must replicate exactly ×N while the model width stays
+    * flat. Weights themselves differ per copy (rotation redistributes
+    * vocabulary across buckets) — deliberately not gated. */
+  private def runDsir(s: SparkSession, dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+      .repartition(s.sparkContext.defaultParallelism)
+    var tokSum = 0L
+    val r = timed {
+      val scored = Dsir.score(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 256)
+      val row = scored
+        .agg(count(lit(1)), coalesce(sum(col("n_tokens")), lit(0L)))
+        .head()
+      tokSum = row.getLong(1)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map(
+      "model_buckets" -> 256L, "token_sum" -> tokSum))
+  }
+
+  /** PMI co-occurrence at ×N events: each copied user replays an
+    * identical basket over the UNCHANGED event-type vocabulary, so the
+    * pair KEY SET is scale-invariant (out_rows flat — the
+    * vocab²-bounded-output claim in gate form) while pair mass and
+    * group count scale exactly ×N. */
+  private def runCooccur(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type")
+      .repartition(s.sparkContext.defaultParallelism)
+    var pairMass = 0L
+    var nGroups = 0L
+    val r = timed {
+      val p = Cooccurrence.pmi(ev, "user_id", "event_type")
+      val row = p.agg(count(lit(1)),
+        coalesce(sum(col("n_pair")), lit(0L))).head()
+      pairMass = row.getLong(1)
+      row.getLong(0)
+    }(Map.empty)
+    nGroups = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    r.copy(evidence = r.evidence ++ Map(
+      "pair_mass" -> pairMass, "n_groups" -> nGroups))
+  }
+
   /** Incremental dedup: the SAME fixed probe batch (copy 13 — id range
     * and rotation disjoint from every blow-up copy) ingests into a
     * store seeded with the ×1 corpus vs the ×N corpus. Per-batch cost
@@ -1078,7 +1127,9 @@ object BenchScale {
       "sketch_hll" -> (d => runSketchHll(spark, d)),
       "quality_domain_filter" -> (d => runQualityDomainFilter(spark, d)),
       "dedup_containment" -> (d => runContainment(spark, d)),
-      "stream_sessions" -> (d => runStreamSessions(spark, d)))
+      "stream_sessions" -> (d => runStreamSessions(spark, d)),
+      "dsir_score" -> (d => runDsir(spark, d)),
+      "event_cooccur" -> (d => runCooccur(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -1294,6 +1345,19 @@ object BenchScale {
           // session structure exactly: sessions and event mass ×N
           atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
             atN.evidence("sum_n") == at1.evidence("sum_n") * n
+        case "dsir_score" =>
+          // one score row per doc, token mass rotation-invariant,
+          // model width flat at any corpus size
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("token_sum") == at1.evidence("token_sum") * n &&
+            atN.evidence("model_buckets") == at1.evidence("model_buckets")
+        case "event_cooccur" =>
+          // pair key set scale-INVARIANT (vocab²-bounded output);
+          // pair mass and groups exactly ×N (copied users replay
+          // identical baskets)
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("pair_mass") == at1.evidence("pair_mass") * n &&
+            atN.evidence("n_groups") == at1.evidence("n_groups") * n
         case "dedup_incremental" =>
           // the probe batch pairs only within itself (its rotation
           // collides with no store copy), so the emitted pairs must be

@@ -383,6 +383,13 @@ object SparkEntry {
     streaming.BucketedState.currentView(s, s"$work/target", schema, 8)
   }
 
+  /** PMI co-occurrence mining over per-user event-type baskets: one
+    * distinct + one group-by-user shuffle, pair space bounded by the
+    * event-type vocabulary squared — never by row count. */
+  private def eventCooccur(s: SparkSession, dir: String): DataFrame =
+    Cooccurrence.pmi(events(s, dir).select("user_id", "event_type"),
+      "user_id", "event_type")
+
   private def eventSliding(s: SparkSession, dir: String): DataFrame =
     streaming.EventTimeWindows.sliding(events(s, dir), "ts",
       "2 hours", "1 hour", Seq("event_type"),
@@ -1004,6 +1011,17 @@ object SparkEntry {
       nlist = 16, nprobe = 4, native = true)
   }
 
+  /** Hard-negative mining: per query vector, the 5 most-similar
+    * corpus vectors with a DIFFERENT class label — the contrastive-
+    * training counterpart of ann_topk (same broadcast + scan-local +
+    * WindowGroupLimit shape, the label predicate rides the candidate
+    * row). */
+  private def annHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5,
+      native = true)
+  }
+
   private def annQuantized(s: SparkSession, dir: String): DataFrame = {
     // int8-quantized coarse scan + exact rescore; deterministic (scale
     // from a max fold, HALF_UP rounding, sequential cosine folds), so
@@ -1494,6 +1512,29 @@ object SparkEntry {
       t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
       alpha = 0.5, targetMult = 1.0)
 
+  /** DSIR importance scores (Xie et al. 2023): every document scored by
+    * the hashed-unigram log-likelihood ratio of a target slice (English
+    * docs) vs the whole corpus — 256-bucket model, integer micro-nat
+    * weights, scan-local fold against the literal score array. The
+    * corpus never shuffles; the weights are exact integers, so the
+    * oracle replay is bit-identical in any summation order. */
+  private def dsirScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+    Dsir.score(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 256)
+      .select("doc_id", "lang", "n_tokens", "dsir_weight")
+  }
+
+  /** The DSIR selection step: keep documents whose mean per-token
+    * score is non-negative (more target-like than raw-like) —
+    * length-normalized in exact integer space. */
+  private def sampleDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+    Dsir.select(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 256)
+      .select("doc_id", "lang", "n_tokens", "dsir_weight")
+  }
+
   /** Corpus-trained bigram LM score per document (CCNet's perplexity
     * filter): add-k smoothed mean bigram log-probability, model and
     * scores both computed distributed (LangModel.score). */
@@ -1717,6 +1758,7 @@ object SparkEntry {
     "sink_default_filter" -> (sinkDefaultFilter _),
     "topk_per_group" -> (topkPerGroup _),
     "event_windows" -> (eventWindows _),
+    "event_cooccur" -> (eventCooccur _),
     "event_sliding" -> (eventSliding _),
     "event_sessions" -> (eventSessions _),
     "event_late_drop" -> (eventLateDrop _),
@@ -1754,6 +1796,7 @@ object SparkEntry {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_quantized" -> (annQuantized _),
+    "ann_hard_negatives" -> (annHardNegatives _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_resize" -> (multimodalResize _),
@@ -1779,6 +1822,8 @@ object SparkEntry {
     "sample_weighted" -> (sampleWeighted _),
     "sample_temperature" -> (sampleTemperature _),
     "sample_upsample" -> (sampleUpsample _),
+    "dsir_score" -> (dsirScore _),
+    "sample_dsir" -> (sampleDsir _),
     "text_lm_score" -> (textLmScore _),
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_shuffle_salted" -> (corpusShuffleSalted _),
@@ -1818,6 +1863,41 @@ object SparkEntry {
 
   private val ordersPayload =
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+  /** DuckDB twin of the [[Dsir]] pipeline: hashed-unigram buckets,
+    * add-one-smoothed integer micro-nat scores (floor — no
+    * rounding-mode divergence), exact integer per-doc weights. Ends at
+    * `scored (doc_id, lang, n_tokens, dsir_weight)`. Every token
+    * bucket appears in `rcnt` (raw = all documents), so the score join
+    * loses no tokens. */
+  private lazy val dsirCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |                ELSE string_split_regex(trim(text), '\s+') END) AS t
+      |  FROM documents),
+      |tb AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b
+      |  FROM tok),
+      |tcnt AS (SELECT b, count(*) AS c FROM tb WHERE lang = 'en' GROUP BY b),
+      |rcnt AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+      |tot AS (SELECT (SELECT sum(c) FROM tcnt) AS tt,
+      |               (SELECT sum(c) FROM rcnt) AS tr),
+      |sc AS (
+      |  SELECT rcnt.b, CAST(floor(1000000 * (
+      |      ln((COALESCE(tcnt.c, 0) + 1.0) / (tot.tt + 256.0))
+      |    - ln((rcnt.c + 1.0) / (tot.tr + 256.0)))) AS BIGINT) AS s
+      |  FROM rcnt LEFT JOIN tcnt USING (b) CROSS JOIN tot),
+      |w AS (
+      |  SELECT tb.doc_id, count(*) AS n_tok, CAST(sum(sc.s) AS BIGINT) AS w
+      |  FROM tb JOIN sc USING (b) GROUP BY tb.doc_id),
+      |scored AS (
+      |  SELECT d.doc_id, d.lang,
+      |    CAST(COALESCE(w.n_tok, 0) AS INTEGER) AS n_tokens,
+      |    CAST(COALESCE(w.w, 0) AS BIGINT) AS dsir_weight
+      |  FROM documents d LEFT JOIN w USING (doc_id))"""
+      .stripMargin
 
   /** DuckDB twin of [[synthPageCol]]: ends at `page (doc_id, ls, txt)`
     * — the synthesized multi-line page shared by text_c4_clean and
@@ -2010,6 +2090,23 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "event_cooccur" ->
+      """WITH ui AS (SELECT DISTINCT user_id, event_type FROM events),
+        |ng AS (SELECT count(DISTINCT user_id) AS n FROM ui),
+        |ic AS (SELECT event_type, count(*) AS c FROM ui GROUP BY 1),
+        |pc AS (
+        |  SELECT x.event_type AS a, y.event_type AS b,
+        |    count(*) AS n_pair
+        |  FROM ui x JOIN ui y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_pair, ia.c AS n_a, ib.c AS n_b,
+        |  round(ln(CAST(n_pair AS DOUBLE) * ng.n / (ia.c * ib.c)), 6)
+        |    AS pmi
+        |FROM pc
+        |JOIN ic ia ON pc.a = ia.event_type
+        |JOIN ic ib ON pc.b = ib.event_type
+        |CROSS JOIN ng""".stripMargin,
     "event_sliding" ->
       """SELECT win_start, event_type, count(*) AS n
         |FROM (SELECT event_type,
@@ -2321,6 +2418,19 @@ object SparkEntry {
          |  CAST(p.dup_of IS NOT NULL AS INT) AS is_dup
          |FROM cbuck c LEFT JOIN pr p USING (vec_id)""".stripMargin,
     "ann_quantized" -> annQuantizedOracle,
+    "ann_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+         |, scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    c.label AS neighbor_label,
+         |    round(${cosineSql("q.v", "c.v")}, 4) AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.label <> q.label)
+         |SELECT query_id, neighbor_id, neighbor_label, rank, sim FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
     "ann_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -2648,6 +2758,13 @@ object SparkEntry {
         |  least(1000000, CAST(floor(
         |    least(1.0, n_chars / 4000.0) * 0.5 * 1000000) AS BIGINT))"""
         .stripMargin,
+    "dsir_score" -> s"$dsirCtes\nSELECT doc_id, lang, n_tokens, dsir_weight FROM scored",
+    "sample_dsir" ->
+      s"""$dsirCtes
+         |SELECT doc_id, lang, n_tokens, dsir_weight FROM scored
+         |WHERE n_tokens > 0
+         |  AND CAST(floor(CAST(dsir_weight AS DOUBLE) / n_tokens) AS BIGINT)
+         |      >= 0""".stripMargin,
     "sample_temperature" ->
       """WITH c AS (
         |  SELECT lang, CAST(count(*) AS DOUBLE) AS n

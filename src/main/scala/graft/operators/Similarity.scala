@@ -80,6 +80,39 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the k most-cosine-similar corpus vectors with a DIFFERENT label —
+    * similar-but-wrong examples, the ones a contrastive loss learns
+    * most from (the DPR in-batch-negatives recipe, Karpukhin et al.
+    * 2020, arXiv:2004.04906). Same shape as [[bruteForceTopK]]
+    * (broadcast queries, scan-local scoring, per-query
+    * WindowGroupLimit top-k); at corpus scale swap the scorer for the
+    * LSH/IVF candidate generators exactly as ann_lsh/ann_ivf do — the
+    * label predicate composes with any of them since it rides the
+    * candidate row. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", roundTo: Int = 4,
+      native: Boolean = false): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"),
+      col(vecCol).cast("array<double>").as("cv")).repartition(par)
+    val scored = c.join(q, col("neighbor_label") =!= col("query_label"))
+      .withColumn("sim",
+        round(cosineBy(native)(col("qv"), col("cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("neighbor_label"), col("rank"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
     * rounded cosine ≥ threshold. Exact QUADRATIC form — the small-input
     * oracle twin of [[lshCosinePairs]], which is the primary (scale)

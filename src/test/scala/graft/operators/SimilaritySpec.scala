@@ -226,4 +226,29 @@ class SimilaritySpec extends AnyFunSuite {
     got.foreach { case (id, dupOf) =>
       assert(dupOf == wantDupOf.get(id), s"vec $id") }
   }
+
+  test("hardNegatives = bruteForceTopK over the cross-label corpus") {
+    val queries = embeddings.filter($"vec_id" < 5)
+    val got = Similarity.hardNegatives(embeddings, queries, k = 4,
+        native = true)
+      .select("query_id", "neighbor_id", "neighbor_label", "rank")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(got.nonEmpty)
+    // every neighbor's label differs from its query's label
+    val labelOf = embeddings.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    got.foreach { case (q, n, nl, _) =>
+      assert(labelOf(n) == nl && nl != labelOf(q), s"query $q neighbor $n")
+    }
+    // and per query it's exactly brute-force top-k over the corpus
+    // restricted to the other labels
+    for (q <- 0L until 5L) {
+      val want = Similarity.bruteForceTopK(
+        embeddings.filter($"label" =!= lit(labelOf(q).toInt)),
+        queries.filter($"vec_id" === q), k = 4, native = true)
+        .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+      val mine = got.collect { case (`q`, n, _, r) => (n, r) }.toSet
+      assert(mine == want, s"query $q")
+    }
+  }
 }
