@@ -7,8 +7,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import graft.operators.{AsofJoin, Clustering, Cms, Cooccurrence,
-  CorpusStats, Decontam, Dedup, Dsir, IncrementalDedup, LangModel,
-  Packing, RangeJoin, Sampling, Similarity}
+  CorpusStats, Decontam, Dedup, Dsir, Graph, IncrementalDedup,
+  LangModel, Packing, RangeJoin, Sampling, Similarity}
 import graft.functions.TextFunctions
 
 /** Scale-claim validation — every operator in this engine carries a
@@ -889,6 +889,34 @@ object BenchScale {
       "pair_mass" -> pairMass, "n_groups" -> nGroups))
   }
 
+  /** PageRank at ×N: rotated copies replicate the minhash pair graph
+    * on disjoint node ranges (zero cross-copy collisions — the
+    * established blow-up invariant), and PageRank is id-oblivious, so
+    * the per-copy rank vectors are IDENTICAL: edge count and total
+    * rank mass must scale exactly ×N with the round count fixed. */
+  private def runPagerank(s: SparkSession, dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+    var rankMass = 0L
+    var nEdges = 0L
+    val r = timed {
+      val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.8)
+      val edges = Graph.symmetrize(pairs, "a", "b").persist()
+      try {
+        nEdges = edges.count()
+        val pr = Graph.pageRank(docs.select(col("doc_id").as("id")),
+          edges, iterations = 5)
+        val row = pr
+          .agg(count(lit(1)), coalesce(sum(col("rank")), lit(0L))).head()
+        rankMass = row.getLong(1)
+        row.getLong(0)
+      } finally edges.unpersist(false)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map(
+      "rank_mass" -> rankMass, "edges" -> nEdges))
+  }
+
   /** Incremental dedup: the SAME fixed probe batch (copy 13 — id range
     * and rotation disjoint from every blow-up copy) ingests into a
     * store seeded with the ×1 corpus vs the ×N corpus. Per-batch cost
@@ -1129,7 +1157,8 @@ object BenchScale {
       "dedup_containment" -> (d => runContainment(spark, d)),
       "stream_sessions" -> (d => runStreamSessions(spark, d)),
       "dsir_score" -> (d => runDsir(spark, d)),
-      "event_cooccur" -> (d => runCooccur(spark, d)))
+      "event_cooccur" -> (d => runCooccur(spark, d)),
+      "graph_pagerank" -> (d => runPagerank(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -1358,6 +1387,12 @@ object BenchScale {
           atN.evidence("out_rows") == at1.evidence("out_rows") &&
             atN.evidence("pair_mass") == at1.evidence("pair_mass") * n &&
             atN.evidence("n_groups") == at1.evidence("n_groups") * n
+        case "graph_pagerank" =>
+          // disjoint isomorphic subgraphs + id-oblivious ranks:
+          // everything replicates exactly ×N, rounds fixed
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("edges") == at1.evidence("edges") * n &&
+            atN.evidence("rank_mass") == at1.evidence("rank_mass") * n
         case "dedup_incremental" =>
           // the probe batch pairs only within itself (its rotation
           // collides with no store copy), so the emitted pairs must be

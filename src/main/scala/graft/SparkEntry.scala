@@ -217,6 +217,17 @@ object SparkEntry {
           .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
+  /** One-pass exact table profile (row/null/distinct counts + min/max
+    * per column) over six lineitem columns spanning ints, doubles,
+    * strings, and timestamps — the trust-a-new-source pass. The exact
+    * variant is the oracle-gated one; Profiler.profileApprox is the
+    * expand-free 100 TB path (spec-gated). */
+  private def profileTable(s: SparkSession, dir: String): DataFrame =
+    Profiler.profile(t(s, dir, "lineitem"), profiledCols)
+
+  private val profiledCols = Seq("l_orderkey", "l_linenumber",
+    "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate")
+
   private def q3Join(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
@@ -831,6 +842,20 @@ object SparkEntry {
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
       n = 3, k = 16, bands = 4, threshold = 0.8)
+
+  /** PageRank centrality over the minhash near-dup graph: 5 integer-
+    * exact rounds of rank propagation over the symmetrized verified
+    * pair list, every document a node (isolated docs settle at the
+    * teleport mass). The pipeline use: rank duplicate-cluster members
+    * by connectivity instead of keeping an arbitrary min-id survivor. */
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.8)
+    Graph.pageRank(docs.select(col("doc_id").as("id")),
+        Graph.symmetrize(pairs, "a", "b"), iterations = 5)
+      .select(col("id").as("doc_id"), col("rank"))
+  }
 
   /** Continuous-ingest dedup (the corpus-growth shape batch LSH can't
     * serve): documents split into two disjoint batches, replayed through
@@ -1749,6 +1774,7 @@ object SparkEntry {
     "type_unixdate" -> (typeUnixDate _),
     "type_json" -> (typeJson _),
     "q1_agg" -> (q1Agg _),
+    "profile_table" -> (profileTable _),
     "q3_join" -> (q3Join _),
     "q_anti_join" -> (qAntiJoin _),
     "q_rollup" -> (qRollup _),
@@ -1779,6 +1805,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
+    "graph_pagerank" -> (graphPagerank _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
@@ -2033,6 +2060,13 @@ object SparkEntry {
         |   AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "profile_table" -> profiledCols.map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val,
+         |  CAST(max($c) AS VARCHAR) AS max_val
+         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n"),
     "q3_join" ->
       """SELECT o_orderkey,
         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
@@ -2354,6 +2388,7 @@ object SparkEntry {
          |WHERE len(list_intersect(ha.hs, hb.hs)) / ha.n >= 0.8"""
       .stripMargin,
     "dedup_minhash" -> minhashPairsOracle,
+    "graph_pagerank" -> graphPagerankOracle,
     // the incremental 2-batch replay must land on the SAME pair set as
     // batch minhash over the whole corpus — that equality IS the gate
     "dedup_incremental" -> minhashPairsOracle,
@@ -3806,7 +3841,10 @@ object SparkEntry {
     * (2-batch replay through the signature store): the incremental
     * path's correctness claim is exactly that its emitted union equals
     * the batch pair set. */
-  private def minhashPairsOracle: String =
+  /** Everything up to the banded candidate set — shared by the minhash
+    * pair oracles and the pagerank oracle (which re-ranks over the
+    * same pair graph). */
+  private def minhashCandsCtes: String =
     s"""$shingleCte
        |$hsetsCte
        |, base AS (SELECT doc_id, unnest(hs) AS h FROM hsets)
@@ -3823,8 +3861,40 @@ object SparkEntry {
        |, cands AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
+
+  private def minhashPairsOracle: String =
+    s"""$minhashCandsCtes
        |$verifySql""".stripMargin
+
+  /** DuckDB replay of [[Graph.pageRank]] over the minhash near-dup
+    * graph: the shared pair CTEs, symmetrized edges with out-degree,
+    * then the K rounds unrolled as chained CTEs — all-integer
+    * arithmetic (`//` = Spark's `div` on positives), so the replay is
+    * exact. */
+  private def graphPagerankOracle: String = {
+    val rounds = (1 to 5).map { k =>
+      s""", r$k AS (
+         |  SELECT n.id,
+         |    CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)
+         |      AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.rank // e.d) AS s
+         |    FROM edges e JOIN r${k - 1} r ON e.src = r.id
+         |    GROUP BY 1) s ON n.id = s.id)""".stripMargin
+    }.mkString("\n")
+    s"""$minhashCandsCtes
+       |, pairs AS (
+       |$verifySql)
+       |, sym AS (SELECT a AS src, b AS dst FROM pairs
+       |          UNION ALL SELECT b AS src, a AS dst FROM pairs)
+       |, dg AS (SELECT src, count(*) AS d FROM sym GROUP BY 1)
+       |, edges AS (SELECT s.src, s.dst, dg.d FROM sym s JOIN dg USING (src))
+       |, nodes AS (SELECT doc_id AS id FROM documents)
+       |, r0 AS (SELECT id, 1000000::BIGINT AS rank FROM nodes)
+       |$rounds
+       |SELECT id AS doc_id, rank FROM r5""".stripMargin
+  }
 
   /** Shared verification tail: exact Jaccard on the hash sets over a
     * `cands(a, b)` CTE (mirrors Dedup.jaccardVerify). */
