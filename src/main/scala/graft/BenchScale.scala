@@ -917,6 +917,18 @@ object BenchScale {
       "rank_mass" -> rankMass, "edges" -> nEdges))
   }
 
+  /** k-center coreset at ×N: the output is k rows at ANY corpus size
+    * and every greedy round is one scan-local pass over broadcast
+    * centers, so time must track the corpus ~linearly while out_rows
+    * stays flat. The picks themselves redistribute under the
+    * sign-flip copies (deliberately ungated). */
+  private def runCoreset(s: SparkSession, dir: String): OpResult =
+    timed {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+      Similarity.kCenterCoreset(emb, k = 6, native = true).count()
+    }(Map.empty)
+
   /** Incremental dedup: the SAME fixed probe batch (copy 13 — id range
     * and rotation disjoint from every blow-up copy) ingests into a
     * store seeded with the ×1 corpus vs the ×N corpus. Per-batch cost
@@ -1158,7 +1170,8 @@ object BenchScale {
       "stream_sessions" -> (d => runStreamSessions(spark, d)),
       "dsir_score" -> (d => runDsir(spark, d)),
       "event_cooccur" -> (d => runCooccur(spark, d)),
-      "graph_pagerank" -> (d => runPagerank(spark, d)))
+      "graph_pagerank" -> (d => runPagerank(spark, d)),
+      "coreset_kcenter" -> (d => runCoreset(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -1393,6 +1406,10 @@ object BenchScale {
           atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
             atN.evidence("edges") == at1.evidence("edges") * n &&
             atN.evidence("rank_mass") == at1.evidence("rank_mass") * n
+        case "coreset_kcenter" =>
+          // constant-size output at any corpus size; time is gated by
+          // the exponent above
+          atN.evidence("out_rows") == at1.evidence("out_rows")
         case "dedup_incremental" =>
           // the probe batch pairs only within itself (its rotation
           // collides with no store copy), so the emitted pairs must be

@@ -1047,6 +1047,43 @@ object SparkEntry {
       native = true)
   }
 
+  /** Diversity coreset: greedy k-center over the embedding table —
+    * the seed plus 5 farthest-point picks, cover measured as max
+    * rounded cosine to the selected set. */
+  private def coresetKcenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterCoreset(t(s, dir, "embeddings"), k = 6,
+      native = true)
+
+  /** DuckDB replay of the greedy traversal: one CTE per pick, each
+    * recomputing cover from scratch over the centers so far (exactly
+    * the operator's stateless per-round recompute). */
+  private def coresetKcenterOracle: String = {
+    val k = 6
+    val iters = (2 to k).map { i =>
+      val prevIds = (1 until i).map(j => s"SELECT vec_id FROM c$j")
+        .mkString(" UNION ALL ")
+      val covers = (1 until i).map(j =>
+        s"round(${cosineSql("e.v", s"c$j.v")}, 4)")
+      val coverExpr =
+        if (covers.size == 1) covers.head
+        else s"greatest(${covers.mkString(", ")})"
+      val froms = (1 until i).map(j => s"c$j").mkString(", ")
+      s""", c$i AS (
+         |  SELECT e.vec_id, e.v, $coverExpr AS cover
+         |  FROM e, $froms
+         |  WHERE e.vec_id NOT IN ($prevIds)
+         |  ORDER BY cover ASC, e.vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString("\n")
+    val out = (1 to k).map { i =>
+      if (i == 1) "SELECT 1 AS rank, vec_id, 1.0 AS cover_sim FROM c1"
+      else s"SELECT $i AS rank, vec_id, cover AS cover_sim FROM c$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |, c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)
+       |$iters
+       |$out""".stripMargin
+  }
+
   private def annQuantized(s: SparkSession, dir: String): DataFrame = {
     // int8-quantized coarse scan + exact rescore; deterministic (scale
     // from a max fold, HALF_UP rounding, sequential cosine folds), so
@@ -1824,6 +1861,7 @@ object SparkEntry {
     "ann_ivf" -> (annIvf _),
     "ann_quantized" -> (annQuantized _),
     "ann_hard_negatives" -> (annHardNegatives _),
+    "coreset_kcenter" -> (coresetKcenter _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_resize" -> (multimodalResize _),
@@ -2453,6 +2491,7 @@ object SparkEntry {
          |  CAST(p.dup_of IS NOT NULL AS INT) AS is_dup
          |FROM cbuck c LEFT JOIN pr p USING (vec_id)""".stripMargin,
     "ann_quantized" -> annQuantizedOracle,
+    "coreset_kcenter" -> coresetKcenterOracle,
     "ann_hard_negatives" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -113,6 +113,57 @@ object Similarity {
         col("neighbor_label"), col("rank"), col("sim"))
   }
 
+  /** Greedy k-center coreset selection (farthest-point traversal,
+    * Gonzalez 1985; the k-Center-Greedy of Sener & Savarese 2018,
+    * arXiv:1708.00489): pick the seed (lowest id), then k−1 times pick
+    * the point LEAST covered by the chosen set — cover = max rounded
+    * cosine to any selected center, ties to the smallest id. The
+    * data-selection use: a diversity-maximizing subset whose cover
+    * radius is 2-optimal, e.g. a representative eval slice or a
+    * dedup-aware sampling skeleton.
+    *
+    * Determinism: cover is a `greatest` of per-center cosines each
+    * rounded to `roundTo` BEFORE comparison (the ann_* convention), so
+    * argmin + id tie-break replays exactly; every iteration recomputes
+    * cover from scratch over the selected set (stateless — no growing
+    * lineage), which is what the chained-CTE oracle replays.
+    *
+    * Scale shape: k scans, each scan-local over the broadcast center
+    * list (centers are k literal vectors — driver state is k·dim
+    * doubles, the bounded-collect convention); argmin is a
+    * TakeOrdered(1). O(k·n) distance evaluations total, never a
+    * shuffle of the corpus. For k in the hundreds, switch to the
+    * incremental min-cover column with a localCheckpoint every few
+    * rounds (one distance eval per point per round) — same selection,
+    * different lineage management. */
+  def kCenterCoreset(emb: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 4,
+      native: Boolean = false): DataFrame = {
+    require(k >= 1, "kCenterCoreset: k must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")).persist()
+    try {
+      val seed = base.orderBy(col("id")).limit(1).head()
+      val picked = scala.collection.mutable.Buffer(
+        (1, seed.getLong(0), 1.0, seed.getSeq[Double](1).toArray))
+      for (i <- 2 to k) {
+        val cover = picked.map(c =>
+          round(cosineBy(native)(col("v"), lit(c._4)), roundTo))
+          .reduceLeft(greatest(_, _))
+        val ids = picked.map(_._2).toSeq
+        val next = base.filter(!col("id").isInCollection(ids))
+          .withColumn("cover", cover)
+          .orderBy(col("cover").asc, col("id").asc).limit(1).head()
+        picked += ((i, next.getLong(0), next.getDouble(2),
+          next.getSeq[Double](1).toArray))
+      }
+      picked.map(c => (c._1, c._2, c._3)).toSeq
+        .toDF("rank", "vec_id", "cover_sim")
+    } finally base.unpersist(false)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
     * rounded cosine ≥ threshold. Exact QUADRATIC form — the small-input
     * oracle twin of [[lshCosinePairs]], which is the primary (scale)

@@ -251,4 +251,40 @@ class SimilaritySpec extends AnyFunSuite {
       assert(mine == want, s"query $q")
     }
   }
+
+  test("kCenterCoreset: matches a driver-side greedy reference") {
+    val got = Similarity.kCenterCoreset(embeddings, k = 6, native = true)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    // reference: same greedy on collected vectors with the same
+    // rounding and tie-breaks
+    val vecs = embeddings
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i) }
+      math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4
+    }
+    var picked = Vector((1, vecs.head._1, 1.0))
+    var centers = Vector(vecs.head)
+    for (i <- 2 to 6) {
+      val cand = vecs.filter(v => !centers.exists(_._1 == v._1))
+        .map(v => (v, centers.map(c => cos(v._2, c._2)).max))
+      val best = cand.minBy { case (v, cover) => (cover, v._1) }
+      picked :+= ((i, best._1._1, best._2))
+      centers :+= best._1
+    }
+    assert(got.map(r => (r._1, r._2)).toSeq ==
+      picked.map(p => (p._1, p._2)))
+    // farthest-point property: cover sims of picks 2..k never
+    // decrease (each added center only raises every point's cover,
+    // and the previous argmin left the pool)
+    got.drop(1).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 >= a._3, s"ranks ${a._1}->${b._1}")
+      case _ => ()
+    }
+    assert(got.drop(1).forall(_._3 < 1.0))
+  }
 }
