@@ -929,6 +929,36 @@ object BenchScale {
       Similarity.kCenterCoreset(emb, k = 6, native = true).count()
     }(Map.empty)
 
+  /** Snapshot diff at ×N: drift predicates keyed on the WITHIN-COPY id
+    * (`doc_id mod 1e8`), so every copy drifts identically and the
+    * I/U/D class counts must replicate exactly ×N. One full outer
+    * join + scan-local classification — the time exponent is the
+    * one-shuffle claim. */
+  private def runSnapshotDiff(s: SparkSession, dir: String): OpResult = {
+    val base = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val wid = pmod(col("doc_id"), lit(100000000L))
+    val tgt = base.filter(pmod(wid, lit(11)) =!= 0)
+      .withColumn("text", when(pmod(wid, lit(7)) === 0,
+        concat(col("text"), lit(" drift"))).otherwise(col("text")))
+      .unionByName(base.filter(pmod(wid, lit(13)) === 0)
+        .select((col("doc_id") + lit(5000000000L)).as("doc_id"),
+          col("lang"), col("text")))
+    var nI = 0L; var nU = 0L; var nD = 0L
+    val r = timed {
+      val d = graft.operators.SnapshotDiff.diff(base, tgt, Seq("doc_id"))
+      val row = d.agg(count(lit(1)),
+        sum(when(col("_op") === "I", 1L).otherwise(0L)),
+        sum(when(col("_op") === "U", 1L).otherwise(0L)),
+        sum(when(col("_op") === "D", 1L).otherwise(0L))).head()
+      nI = row.getLong(1); nU = row.getLong(2); nD = row.getLong(3)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map(
+      "n_i" -> nI, "n_u" -> nU, "n_d" -> nD))
+  }
+
   /** Incremental dedup: the SAME fixed probe batch (copy 13 — id range
     * and rotation disjoint from every blow-up copy) ingests into a
     * store seeded with the ×1 corpus vs the ×N corpus. Per-batch cost
@@ -1171,7 +1201,8 @@ object BenchScale {
       "dsir_score" -> (d => runDsir(spark, d)),
       "event_cooccur" -> (d => runCooccur(spark, d)),
       "graph_pagerank" -> (d => runPagerank(spark, d)),
-      "coreset_kcenter" -> (d => runCoreset(spark, d)))
+      "coreset_kcenter" -> (d => runCoreset(spark, d)),
+      "snapshot_diff" -> (d => runSnapshotDiff(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -1410,6 +1441,12 @@ object BenchScale {
           // constant-size output at any corpus size; time is gated by
           // the exponent above
           atN.evidence("out_rows") == at1.evidence("out_rows")
+        case "snapshot_diff" =>
+          // identical within-copy drift: every change class ×N exactly
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("n_i") == at1.evidence("n_i") * n &&
+            atN.evidence("n_u") == at1.evidence("n_u") * n &&
+            atN.evidence("n_d") == at1.evidence("n_d") * n
         case "dedup_incremental" =>
           // the probe batch pairs only within itself (its rotation
           // collides with no store copy), so the emitted pairs must be

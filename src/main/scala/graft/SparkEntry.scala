@@ -217,6 +217,24 @@ object SparkEntry {
           .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
+  /** Snapshot reconciliation: PK-diff a master snapshot against a
+    * drifted replica (deletes, price updates, new rows) and emit the
+    * minimal I/U/D change set — the repair path that replaces a full
+    * re-replace. The same drift is replayed predicate-for-predicate in
+    * the oracle, so the diff must recover EXACTLY the applied changes. */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val cur = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val tgt = cur.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(cur.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+    SnapshotDiff.diff(cur, tgt, Seq("o_orderkey"))
+  }
+
   /** One-pass exact table profile (row/null/distinct counts + min/max
     * per column) over six lineitem columns spanning ints, doubles,
     * strings, and timestamps — the trust-a-new-source pass. The exact
@@ -1811,6 +1829,7 @@ object SparkEntry {
     "type_unixdate" -> (typeUnixDate _),
     "type_json" -> (typeJson _),
     "q1_agg" -> (q1Agg _),
+    "snapshot_diff" -> (snapshotDiff _),
     "profile_table" -> (profileTable _),
     "q3_join" -> (q3Join _),
     "q_anti_join" -> (qAntiJoin _),
@@ -2098,6 +2117,16 @@ object SparkEntry {
         |   AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "snapshot_diff" ->
+      """SELECT 'U' AS _op, o_orderkey, o_custkey,
+        |  o_totalprice + 1000.0 AS o_totalprice
+        |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        |UNION ALL
+        |SELECT 'D', o_orderkey, NULL, NULL
+        |FROM orders WHERE o_orderkey % 11 = 0
+        |UNION ALL
+        |SELECT 'I', o_orderkey + 10000000, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin,
     "profile_table" -> profiledCols.map(c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,
          |  count(*) - count($c) AS n_nulls,
