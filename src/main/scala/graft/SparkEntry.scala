@@ -689,6 +689,36 @@ object SparkEntry {
     * ([[operators.CorpusStats.exactCorr]]) — one aggregate job, the
     * driver sees the moment sums; sqrt is IEEE-correctly-rounded, so
     * the full double chain replays bit-for-bit in DuckDB. */
+  /** Distribution drift: per-bucket KL contributions of the English
+    * slice vs the whole corpus over 256 hashed-unigram buckets — the
+    * mixture-shape monitor. Bounded output, corpus never shuffles. */
+  private def statsKl(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.CorpusStats.bucketKlDivergence(
+      docs.filter(col("lang") === "en").select("text"),
+      docs.select("text"), "text", buckets = 256)
+  }
+
+  /** Z-order (Morton) values over two modular key dimensions — the
+    * scan-local projection behind multi-dimension data-skipping
+    * layout; the measured pruning claim lives in LayoutSpec. */
+  private def layoutZorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      Layout.zValue(pmod(col("l_partkey"), lit(1024L)),
+        pmod(col("l_orderkey"), lit(1024L)), 10).as("zval"))
+
+  private def zorderOracleSql: String = {
+    // partkey × orderkey: INDEPENDENT dimensions (TPC-H derives
+    // suppkey from partkey, which would make 1-D sort look multi-D)
+    val x = "(l_partkey % 1024)"
+    val y = "(l_orderkey % 1024)"
+    val terms = (0 until 10).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})"))
+    s"SELECT l_orderkey, l_linenumber, ${terms.mkString(" + ")} AS zval " +
+      "FROM lineitem"
+  }
+
   private def statsCorr(s: SparkSession, dir: String): DataFrame =
     operators.CorpusStats.exactCorr(t(s, dir, "documents"), Seq(
       "alpha" -> TextFunctions.alphaRatio(col("text")),
@@ -1852,6 +1882,8 @@ object SparkEntry {
     "curriculum_order" -> (curriculumOrder _),
     "quality_classifier" -> (qualityClassifier _),
     "stats_corr" -> (statsCorr _),
+    "stats_kl" -> (statsKl _),
+    "layout_zorder" -> (layoutZorder _),
     "text_bm25" -> (textBm25 _),
     "text_langid" -> (textLangId _),
     "text_langid_ngram" -> (textLangIdNgram _),
@@ -2610,6 +2642,33 @@ object SparkEntry {
     "split_leakage_free" -> splitLeakageFreeOracle,
     "quality_classifier" -> qualityClassifierOracle,
     "stats_corr" -> statsCorrOracle,
+    "stats_kl" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                ELSE string_split_regex(trim(text), '\s+') END)
+        |      AS t
+        |  FROM documents),
+        |tb AS (
+        |  SELECT lang,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b
+        |  FROM tok),
+        |pcnt AS (SELECT b, count(*) AS c FROM tb WHERE lang = 'en'
+        |         GROUP BY b),
+        |qcnt AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+        |j AS (
+        |  SELECT g.b AS bucket,
+        |    COALESCE(p.c, 0) AS p_cnt, COALESCE(q.c, 0) AS q_cnt
+        |  FROM generate_series(0, 255) g(b)
+        |  LEFT JOIN pcnt p ON g.b = p.b
+        |  LEFT JOIN qcnt q ON g.b = q.b),
+        |tot AS (SELECT sum(p_cnt) AS pt, sum(q_cnt) AS qt FROM j)
+        |SELECT bucket, p_cnt, q_cnt,
+        |  round(((p_cnt + 1.0) / (pt + 256.0)) *
+        |    ln(((p_cnt + 1.0) / (pt + 256.0)) /
+        |       ((q_cnt + 1.0) / (qt + 256.0))), 9) AS kl_contrib
+        |FROM j CROSS JOIN tot""".stripMargin,
+    "layout_zorder" -> zorderOracleSql,
     "text_bm25" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -214,4 +214,42 @@ object CorpusStats {
     }
     out.toDF("feat_a", "feat_b", "corr")
   }
+
+  /** Distribution-drift monitor: per-bucket KL-divergence contributions
+    * between two corpus slices' hashed-unigram distributions — the
+    * "did today's crawl change shape vs yesterday's" check, and the
+    * mixture-monitoring twin of [[Dsir]]'s selection model. Output is
+    * the `buckets`-bounded table `(bucket, p_cnt, q_cnt, kl_contrib)`
+    * with `kl_contrib = p_b · ln(p_b/q_b)` (add-one smoothed, rounded
+    * to 9 decimals); `Σ kl_contrib ≥ 0` is KL(p‖q). Per-bucket rows
+    * rather than the scalar sum so the result is hash-exact in any
+    * engine (each row is a deterministic per-row double chain over
+    * exact integer counts; a distributed scalar sum would be
+    * FP-order-sensitive). The table is DENSE — all `buckets` rows,
+    * absent buckets included: their smoothed contributions are
+    * nonzero, and only the dense sum is a true KL (Gibbs ≥ 0; a
+    * sparse subset can sum negative). Cost: two map-side-combined
+    * B-row aggregates — the corpus never shuffles. */
+  def bucketKlDivergence(p: DataFrame, q: DataFrame, textCol: String,
+      buckets: Int = 256): DataFrame = {
+    val pc = Dsir.bucketCounts(p, textCol, buckets)
+      .select(col("bucket"), col("c").as("p_cnt"))
+    val qc = Dsir.bucketCounts(q, textCol, buckets)
+      .select(col("bucket"), col("c").as("q_cnt"))
+    val joined = p.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+      .join(pc, Seq("bucket"), "left").join(qc, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("p_cnt"), lit(0L)).as("p_cnt"),
+        coalesce(col("q_cnt"), lit(0L)).as("q_cnt"))
+    val totals = joined.agg(sum(col("p_cnt")).as("pt"),
+      sum(col("q_cnt")).as("qt"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("p_cnt"), col("q_cnt"),
+        round(
+          ((col("p_cnt") + lit(1)) / (col("pt") + lit(buckets))) *
+            log(((col("p_cnt") + lit(1)) / (col("pt") + lit(buckets))) /
+              ((col("q_cnt") + lit(1)) / (col("qt") + lit(buckets)))),
+          9).as("kl_contrib"))
+  }
 }

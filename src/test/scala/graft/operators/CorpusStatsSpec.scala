@@ -143,4 +143,29 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(twoLevel == oneLevel)
     assert(twoLevel.forall(_._3 == 32L))
   }
+
+  test("bucketKlDivergence: zero on identical slices, positive on drift") {
+    val a = Seq("apple banana", "apple cherry", "banana cherry")
+      .toDF("text")
+    val b = Seq("rock stone", "rock granite", "stone granite").toDF("text")
+    // identical slices: every ratio is exactly 1 -> contrib exactly 0
+    val same = CorpusStats.bucketKlDivergence(a, a, "text", buckets = 32)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(same.nonEmpty && same.forall(_._4 == 0.0))
+    // drifted slices: total KL strictly positive, every bucket present
+    // in either slice appears, counts are the exact token counts
+    val drift = CorpusStats
+      .bucketKlDivergence(a, a.unionByName(b), "text", buckets = 32)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(drift.length == 32) // DENSE — absent buckets carry smoothing
+    assert(drift.map(_._4).sum > 0.0) // Gibbs holds only on the dense sum
+    assert(drift.map(_._2).sum == 6L)  // p tokens
+    assert(drift.map(_._3).sum == 12L) // q tokens
+    // partitioning invariance (exact integer counts + per-row chain)
+    val again = CorpusStats
+      .bucketKlDivergence(a.repartition(5), a.unionByName(b).repartition(3),
+        "text", buckets = 32)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(drift.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
