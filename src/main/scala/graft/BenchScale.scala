@@ -959,6 +959,27 @@ object BenchScale {
       "n_i" -> nI, "n_u" -> nU, "n_d" -> nD))
   }
 
+  /** Funnel at ×N: copied users replay identical event sequences, so
+    * every stage's group count replicates exactly ×N; the per-stage
+    * scan + group-keyed join shape is the linear-time claim. */
+  private def runFunnel(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type", "ts")
+      .repartition(s.sparkContext.defaultParallelism)
+    var s1 = 0L; var s2 = 0L; var s3 = 0L
+    val r = timed {
+      val rows = graft.operators.Funnel.ordered(ev, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")
+        .collect()
+      s1 = rows(0).getLong(2); s2 = rows(1).getLong(2)
+      s3 = rows(2).getLong(2)
+      rows.length.toLong
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map(
+      "stage1" -> s1, "stage2" -> s2, "stage3" -> s3))
+  }
+
   /** Incremental dedup: the SAME fixed probe batch (copy 13 — id range
     * and rotation disjoint from every blow-up copy) ingests into a
     * store seeded with the ×1 corpus vs the ×N corpus. Per-batch cost
@@ -1202,7 +1223,8 @@ object BenchScale {
       "event_cooccur" -> (d => runCooccur(spark, d)),
       "graph_pagerank" -> (d => runPagerank(spark, d)),
       "coreset_kcenter" -> (d => runCoreset(spark, d)),
-      "snapshot_diff" -> (d => runSnapshotDiff(spark, d)))
+      "snapshot_diff" -> (d => runSnapshotDiff(spark, d)),
+      "event_funnel" -> (d => runFunnel(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -1447,6 +1469,13 @@ object BenchScale {
             atN.evidence("n_i") == at1.evidence("n_i") * n &&
             atN.evidence("n_u") == at1.evidence("n_u") * n &&
             atN.evidence("n_d") == at1.evidence("n_d") * n
+        case "event_funnel" =>
+          // copied users replay identical sequences: every stage ×N,
+          // output always |stages| rows
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("stage1") == at1.evidence("stage1") * n &&
+            atN.evidence("stage2") == at1.evidence("stage2") * n &&
+            atN.evidence("stage3") == at1.evidence("stage3") * n
         case "dedup_incremental" =>
           // the probe batch pairs only within itself (its rotation
           // collides with no store copy), so the emitted pairs must be

@@ -217,6 +217,40 @@ object SparkEntry {
           .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
+  /** SCD Type 2 over the synthetic CDC feed: the history-preserving
+    * twin of cdc_lww — every I/U version kept with its (valid_from,
+    * valid_to] sequence interval, deletes closing the final one. */
+  private def cdcScd2(s: SparkSession, dir: String): DataFrame =
+    Scd.scd2(ChangeFeed.full(s, dir), Seq("o_orderkey"))
+
+  /** Data-quality audit: PK uniqueness, required columns, referential
+    * integrity, and row-level contracts, one (rule, n_violations) row
+    * each — the promote gate for a new snapshot. */
+  private def dqAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    DataQuality.audit(Seq(
+      DataQuality.uniqueKey(li, "lineitem_pk_unique",
+        Seq("l_orderkey", "l_linenumber")),
+      DataQuality.notNull(o, "orders_custkey_not_null", "o_custkey"),
+      DataQuality.foreignKey(li, o, "lineitem_orders_fk",
+        "l_orderkey", "o_orderkey"),
+      DataQuality.foreignKey(o, c, "orders_customer_fk",
+        "o_custkey", "c_custkey"),
+      DataQuality.check(li, "quantity_range",
+        col("l_quantity") >= 1 && col("l_quantity") <= 50),
+      DataQuality.check(o, "totalprice_cap",
+        col("o_totalprice") <= lit(400000.0))))
+  }
+
+  /** Ordered funnel over the event stream: users reaching
+    * view → click → purchase strictly in order, counted at each
+    * stage by chained earliest-completion minima. */
+  private def eventFunnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.ordered(events(s, dir), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+
   /** Snapshot reconciliation: PK-diff a master snapshot against a
     * drifted replica (deletes, price updates, new rows) and emit the
     * minimal I/U/D change set — the repair path that replaces a full
@@ -1860,6 +1894,9 @@ object SparkEntry {
     "type_json" -> (typeJson _),
     "q1_agg" -> (q1Agg _),
     "snapshot_diff" -> (snapshotDiff _),
+    "cdc_scd2" -> (cdcScd2 _),
+    "dq_audit" -> (dqAudit _),
+    "event_funnel" -> (eventFunnel _),
     "profile_table" -> (profileTable _),
     "q3_join" -> (q3Join _),
     "q_anti_join" -> (qAntiJoin _),
@@ -1954,9 +1991,9 @@ object SparkEntry {
     "text_repetition" -> (textRepetition _),
     "text_c4_clean" -> (textC4Clean _))
 
-  /** Last-write-wins replay of the synthetic I/U/D feed — the oracle for
-    * both the batch (cdc_lww) and streaming (cdc_stream_replay) paths. */
-  private lazy val lwwOracleSql: String =
+  /** The synthetic I/U/D orders feed as a `changes` CTE — shared by the
+    * LWW and SCD2 oracles (mirrors ChangeFeed.full). */
+  private lazy val ordersChangesCte: String =
     s"""WITH changes AS (
        |  SELECT o_orderkey*10 AS _seq, 'I' AS _op, $ordersPayload
        |  FROM orders
@@ -1969,13 +2006,29 @@ object SparkEntry {
        |  SELECT o_orderkey*10+2, 'D', o_orderkey, NULL, NULL, NULL, NULL,
        |    NULL
        |  FROM orders WHERE o_orderkey % 11 = 0
-       |), ranked AS (
+       |)""".stripMargin
+
+  /** Last-write-wins replay of the synthetic I/U/D feed — the oracle for
+    * both the batch (cdc_lww) and streaming (cdc_stream_replay) paths. */
+  private lazy val lwwOracleSql: String =
+    s"""$ordersChangesCte, ranked AS (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY o_orderkey ORDER BY _seq DESC) AS rn
        |  FROM changes
        |)
        |SELECT $ordersPayload FROM ranked WHERE rn = 1 AND _op <> 'D'"""
       .stripMargin
+
+  /** SCD Type 2 replay: every I/U version with its validity interval;
+    * a delete closes its predecessor without opening a row. */
+  private lazy val scd2OracleSql: String =
+    s"""$ordersChangesCte, led AS (
+       |  SELECT *, lead(_seq) OVER (
+       |    PARTITION BY o_orderkey ORDER BY _seq) AS valid_to
+       |  FROM changes)
+       |SELECT $ordersPayload, _seq AS valid_from, valid_to,
+       |  CAST(valid_to IS NULL AS INT) AS is_current
+       |FROM led WHERE _op <> 'D'""".stripMargin
 
   private val ordersPayload =
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
@@ -2149,6 +2202,48 @@ object SparkEntry {
         |   AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "cdc_scd2" -> scd2OracleSql,
+    "dq_audit" ->
+      """SELECT 'lineitem_pk_unique' AS rule,
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |    AS BIGINT) AS n_violations FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_custkey_not_null', CAST(sum(
+        |  CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_orders_fk', CAST(count(*) AS BIGINT)
+        |FROM lineitem l WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_customer_fk', CAST(count(*) AS BIGINT)
+        |FROM orders o WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'quantity_range', CAST(sum(CASE WHEN NOT
+        |  (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END)
+        |  AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'totalprice_cap', CAST(sum(CASE WHEN NOT
+        |  (o_totalprice <= 400000.0) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders""".stripMargin,
+    "event_funnel" ->
+      """WITH u1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |u2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN u1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t GROUP BY 1),
+        |u3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN u2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t GROUP BY 1)
+        |SELECT 'view' AS stage, 1 AS stage_idx,
+        |  (SELECT count(*) FROM u1) AS n_groups
+        |UNION ALL SELECT 'click', 2, (SELECT count(*) FROM u2)
+        |UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM u3)"""
+        .stripMargin,
     "snapshot_diff" ->
       """SELECT 'U' AS _op, o_orderkey, o_custkey,
         |  o_totalprice + 1000.0 AS o_totalprice
