@@ -244,6 +244,11 @@ object SparkEntry {
         col("o_totalprice") <= lit(400000.0))))
   }
 
+  /** Cohort retention over the event stream: first-activity-day
+    * cohorts × day offsets, exact distinct-active counts per cell. */
+  private def eventRetention(s: SparkSession, dir: String): DataFrame =
+    Cohort.retention(events(s, dir), "user_id", "ts")
+
   /** Ordered funnel over the event stream: users reaching
     * view → click → purchase strictly in order, counted at each
     * stage by chained earliest-completion minima. */
@@ -1897,6 +1902,7 @@ object SparkEntry {
     "cdc_scd2" -> (cdcScd2 _),
     "dq_audit" -> (dqAudit _),
     "event_funnel" -> (eventFunnel _),
+    "event_retention" -> (eventRetention _),
     "profile_table" -> (profileTable _),
     "q3_join" -> (q3Join _),
     "q_anti_join" -> (qAntiJoin _),
@@ -2244,6 +2250,21 @@ object SparkEntry {
         |UNION ALL SELECT 'click', 2, (SELECT count(*) FROM u2)
         |UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM u3)"""
         .stripMargin,
+    "event_retention" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |ret AS (
+        |  SELECT fd.cohort, date_diff('day', fd.cohort, act.day)
+        |      AS day_offset,
+        |    count(*) AS n_active
+        |  FROM act JOIN fd USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort, count(*) AS cohort_size FROM fd GROUP BY 1)
+        |SELECT CAST(ret.cohort AS VARCHAR) AS cohort_day, day_offset,
+        |  n_active, sz.cohort_size
+        |FROM ret JOIN sz USING (cohort)""".stripMargin,
     "snapshot_diff" ->
       """SELECT 'U' AS _op, o_orderkey, o_custkey,
         |  o_totalprice + 1000.0 AS o_totalprice
