@@ -20,19 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Cooccurrence {
 
-  /** Distinct (group, item) presence pairs. */
-  private def presence(df: DataFrame, groupCol: String,
+  /** Per-group sorted distinct item sets — the ONE reduction of the
+    * observation table everything else derives from. */
+  private def itemSets(df: DataFrame, groupCol: String,
       itemCol: String): DataFrame =
     df.select(col(groupCol).as("_g"), col(itemCol).as("_i")).distinct()
-
-  /** Ordered within-group item pairs `(a < b, n_pair)`: groups with
-    * both items, counted once per group regardless of repetition. */
-  def pairCounts(df: DataFrame, groupCol: String,
-      itemCol: String): DataFrame = {
-    val sets = presence(df, groupCol, itemCol)
       .groupBy("_g").agg(sort_array(collect_set(col("_i"))).as("_is"))
-    // all (i, j) with i < j from the sorted per-group item set —
-    // a nested transform + flatten, scan-local after the group agg
+
+  /** All (i, j) with i < j from the sorted per-group item set — a
+    * nested transform + flatten, scan-local after the group agg. */
+  private def pairCountsFromSets(sets: DataFrame): DataFrame = {
     val pairs = flatten(transform(col("_is"), (x, i) =>
       transform(slice(col("_is"), i + lit(2), size(col("_is"))),
         y => struct(x.as("a"), y.as("b")))))
@@ -41,25 +38,42 @@ object Cooccurrence {
       .groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
   }
 
+  /** Ordered within-group item pairs `(a < b, n_pair)`: groups with
+    * both items, counted once per group regardless of repetition. */
+  def pairCounts(df: DataFrame, groupCol: String,
+      itemCol: String): DataFrame =
+    pairCountsFromSets(itemSets(df, groupCol, itemCol))
+
   /** Pointwise mutual information per co-occurring item pair:
     * `(a, b, n_pair, n_a, n_b, pmi)` with
     * `pmi = ln(n_pair · N / (n_a · n_b))` rounded to 6 decimals —
     * positive when the pair co-occurs more than independent presence
-    * would predict. `N` = number of groups; all inputs exact integers. */
+    * would predict. `N` = number of groups; all inputs exact integers.
+    *
+    * The observation table is scanned ONCE: pair counts, item counts,
+    * and the group count all derive from the persisted groups-sized
+    * set frame (plan-audited — the naive form re-ran the distinct
+    * chain four times). Result is localCheckpoint'd before the cache
+    * is released (repo cache-lifecycle convention). */
   def pmi(df: DataFrame, groupCol: String, itemCol: String,
       minPair: Long = 1L): DataFrame = {
-    val pres = presence(df, groupCol, itemCol)
-    val itemCounts = pres.groupBy(col("_i")).agg(count(lit(1)).as("c"))
-    val nGroups = pres.select(countDistinct(col("_g")).as("n"))
-    pairCounts(df, groupCol, itemCol)
-      .filter(col("n_pair") >= minPair)
-      .join(broadcast(itemCounts.select(col("_i").as("a"),
-        col("c").as("n_a"))), "a")
-      .join(broadcast(itemCounts.select(col("_i").as("b"),
-        col("c").as("n_b"))), "b")
-      .crossJoin(broadcast(nGroups))
-      .select(col("a"), col("b"), col("n_pair"), col("n_a"), col("n_b"),
-        round(log(col("n_pair").cast("double") * col("n") /
-          (col("n_a") * col("n_b"))), 6).as("pmi"))
+    val sets = itemSets(df, groupCol, itemCol).persist()
+    try {
+      val itemCounts = sets.select(explode(col("_is")).as("_i"))
+        .groupBy(col("_i")).agg(count(lit(1)).as("c"))
+      val nGroups = sets.select(count(lit(1)).as("n"))
+      pairCountsFromSets(sets)
+        .filter(col("n_pair") >= minPair)
+        .join(broadcast(itemCounts.select(col("_i").as("a"),
+          col("c").as("n_a"))), "a")
+        .join(broadcast(itemCounts.select(col("_i").as("b"),
+          col("c").as("n_b"))), "b")
+        .crossJoin(broadcast(nGroups))
+        .select(col("a"), col("b"), col("n_pair"), col("n_a"),
+          col("n_b"),
+          round(log(col("n_pair").cast("double") * col("n") /
+            (col("n_a") * col("n_b"))), 6).as("pmi"))
+        .localCheckpoint()
+    } finally sets.unpersist(false)
   }
 }
