@@ -889,22 +889,32 @@ object BenchScale {
       "pair_mass" -> pairMass, "n_groups" -> nGroups))
   }
 
-  /** PageRank at ×N: rotated copies replicate the minhash pair graph
-    * on disjoint node ranges (zero cross-copy collisions — the
-    * established blow-up invariant), and PageRank is id-oblivious, so
-    * the per-copy rank vectors are IDENTICAL: edge count and total
-    * rank mass must scale exactly ×N with the round count fixed. */
+  /** PageRank at ×N: rotated copies keep the pair graph on disjoint
+    * node ranges (cross-copy edges must be ZERO — exact invariant),
+    * but the minhash BANDING recall is a fresh hash draw per rotated
+    * copy, so borderline verified pairs (J ≥ 0.8 yet band-caught only
+    * probabilistically) do NOT replicate exactly — measured 5108 vs
+    * the naive 5120 at sf0.1 ×10. Gates pin what is invariant: node
+    * rows exactly ×N, zero cross-copy edges, edge volume ~×N (recall
+    * redraw slack), total rank mass within 2% of ×N (each missed
+    * borderline edge perturbs ranks micro-locally). */
   private def runPagerank(s: SparkSession, dir: String): OpResult = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .repartition(s.sparkContext.defaultParallelism)
     var rankMass = 0L
     var nEdges = 0L
+    var crossEdges = 0L
     val r = timed {
       val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
         n = 3, k = 16, bands = 4, threshold = 0.8)
       val edges = Graph.symmetrize(pairs, "a", "b").persist()
       try {
-        nEdges = edges.count()
+        val ec = edges.agg(count(lit(1)),
+          coalesce(sum(when(call_function("div", col("src"),
+              lit(100000000L)) =!= call_function("div", col("dst"),
+              lit(100000000L)), 1L).otherwise(0L)), lit(0L))).head()
+        nEdges = ec.getLong(0)
+        crossEdges = ec.getLong(1)
         val pr = Graph.pageRank(docs.select(col("doc_id").as("id")),
           edges, iterations = 5)
         val row = pr
@@ -914,7 +924,49 @@ object BenchScale {
       } finally edges.unpersist(false)
     }(Map.empty)
     r.copy(evidence = r.evidence ++ Map(
-      "rank_mass" -> rankMass, "edges" -> nEdges))
+      "rank_mass" -> rankMass, "edges" -> nEdges,
+      "cross_edges" -> crossEdges))
+  }
+
+  /** Cohort retention at ×N: copied users replay identical calendars,
+    * so the (cohort, offset) cell KEY SET is invariant while every
+    * cell's counts scale exactly ×N. */
+  private def runRetention(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "ts")
+      .repartition(s.sparkContext.defaultParallelism)
+    var activeSum = 0L
+    val r = timed {
+      val ret = graft.operators.Cohort.retention(ev, "user_id", "ts")
+      val row = ret.agg(count(lit(1)),
+        coalesce(sum(col("n_active")), lit(0L))).head()
+      activeSum = row.getLong(1)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map("active_sum" -> activeSum))
+  }
+
+  /** Table profiling at ×N: constant-width output at any corpus size,
+    * row mass exactly ×N, and a bounded-cardinality column's exact
+    * distinct count stays FLAT (lang) while the key column's scales
+    * exactly ×N (doc_id) — the per-column-correctness claim at scale. */
+  private def runProfile(s: SparkSession, dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+    var rowsTotal = 0L
+    var langNd = 0L
+    var idNd = 0L
+    val r = timed {
+      val prof = graft.operators.Profiler
+        .profile(docs, Seq("doc_id", "lang", "source"))
+        .collect()
+      rowsTotal = prof.head.getLong(1)
+      langNd = prof.find(_.getString(0) == "lang").get.getLong(3)
+      idNd = prof.find(_.getString(0) == "doc_id").get.getLong(3)
+      prof.length.toLong
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map("rows_total" -> rowsTotal,
+      "lang_nd" -> langNd, "id_nd" -> idNd))
   }
 
   /** k-center coreset at ×N: the output is k rows at ANY corpus size
@@ -1224,7 +1276,9 @@ object BenchScale {
       "graph_pagerank" -> (d => runPagerank(spark, d)),
       "coreset_kcenter" -> (d => runCoreset(spark, d)),
       "snapshot_diff" -> (d => runSnapshotDiff(spark, d)),
-      "event_funnel" -> (d => runFunnel(spark, d)))
+      "event_funnel" -> (d => runFunnel(spark, d)),
+      "event_retention" -> (d => runRetention(spark, d)),
+      "profile_table" -> (d => runProfile(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -1454,11 +1508,30 @@ object BenchScale {
             atN.evidence("pair_mass") == at1.evidence("pair_mass") * n &&
             atN.evidence("n_groups") == at1.evidence("n_groups") * n
         case "graph_pagerank" =>
-          // disjoint isomorphic subgraphs + id-oblivious ranks:
-          // everything replicates exactly ×N, rounds fixed
+          // nodes exactly ×N; ZERO cross-copy edges; edge volume ~×N
+          // (banding recall is a fresh draw per rotated copy); rank
+          // mass within 2% of ×N
           atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
-            atN.evidence("edges") == at1.evidence("edges") * n &&
-            atN.evidence("rank_mass") == at1.evidence("rank_mass") * n
+            atN.evidence("cross_edges") == 0L &&
+            at1.evidence("cross_edges") == 0L &&
+            atN.evidence("edges") >=
+              (at1.evidence("edges") * n * 0.9).toLong &&
+            atN.evidence("edges") <=
+              (at1.evidence("edges") * n * 1.1).toLong &&
+            math.abs(atN.evidence("rank_mass") -
+              at1.evidence("rank_mass") * n) <=
+              (at1.evidence("rank_mass") * n * 0.02).toLong
+        case "event_retention" =>
+          // invariant cell keys, counts exactly ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("active_sum") == at1.evidence("active_sum") * n
+        case "profile_table" =>
+          // constant output width; row mass ×N; bounded column's
+          // exact distincts flat, key column's exactly ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("rows_total") == at1.evidence("rows_total") * n &&
+            atN.evidence("lang_nd") == at1.evidence("lang_nd") &&
+            atN.evidence("id_nd") == at1.evidence("id_nd") * n
         case "coreset_kcenter" =>
           // constant-size output at any corpus size; time is gated by
           // the exponent above
