@@ -1068,6 +1068,41 @@ object SparkEntry {
     try body finally s.conf.set(key, old)
   }
 
+  /** Streaming incremental co-occurrence: the event feed split into
+    * halves by event parity (pairs must complete ACROSS batches) plus
+    * a full duplicate re-delivery of the first half (which must emit
+    * nothing — monotone set state makes re-delivery a no-op). The
+    * aggregated deltas must equal batch pair counts exactly. */
+  private def streamCooccur(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_streamcooc_")
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val in = s"$work/in"
+    val feedSchema = ev.drop("event_id").schema
+    def feed(df: DataFrame): Unit =
+      df.drop("event_id").coalesce(1).write.mode("append").parquet(in)
+    def run(): Unit = {
+      val stream = s.readStream.schema(feedSchema).parquet(in)
+      val q = streaming.StreamCooccur
+        .pairDeltas(stream, "user_id", "event_type")
+        .toDF().writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$work/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    feed(ev.filter(col("event_id") % 2 === 0)); run()
+    feed(ev.filter(col("event_id") % 2 === 1)); run()
+    feed(ev.filter(col("event_id") % 2 === 0)); run() // re-delivery
+    s.read.parquet(s"$work/out")
+      .groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+  }
+
   private def streamingDedup(s: SparkSession, dir: String): DataFrame =
       withShufflePartitions(s, 8) {
     val work = scratchDir("graft_sdedup_")
@@ -1914,6 +1949,7 @@ object SparkEntry {
     "topk_per_group" -> (topkPerGroup _),
     "event_windows" -> (eventWindows _),
     "event_cooccur" -> (eventCooccur _),
+    "stream_cooccur" -> (streamCooccur _),
     "event_sliding" -> (eventSliding _),
     "event_sessions" -> (eventSessions _),
     "event_late_drop" -> (eventLateDrop _),
@@ -2356,6 +2392,12 @@ object SparkEntry {
         |JOIN ic ia ON pc.a = ia.event_type
         |JOIN ic ib ON pc.b = ib.event_type
         |CROSS JOIN ng""".stripMargin,
+    "stream_cooccur" ->
+      """WITH ui AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_pair
+        |FROM ui x JOIN ui y
+        |  ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |GROUP BY 1, 2""".stripMargin,
     "event_sliding" ->
       """SELECT win_start, event_type, count(*) AS n
         |FROM (SELECT event_type,
