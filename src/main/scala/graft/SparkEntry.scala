@@ -231,17 +231,20 @@ object SparkEntry {
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
     DataQuality.audit(Seq(
-      DataQuality.uniqueKey(li, "lineitem_pk_unique",
-        Seq("l_orderkey", "l_linenumber")),
-      DataQuality.notNull(o, "orders_custkey_not_null", "o_custkey"),
+      // one scan per table for all its aggregate rules
+      DataQuality.auditTable(li, Seq(
+        DataQuality.uniqueKeyRule("lineitem_pk_unique",
+          Seq("l_orderkey", "l_linenumber")),
+        DataQuality.checkRule("quantity_range",
+          col("l_quantity") >= 1 && col("l_quantity") <= 50))),
+      DataQuality.auditTable(o, Seq(
+        DataQuality.notNullRule("orders_custkey_not_null", "o_custkey"),
+        DataQuality.checkRule("totalprice_cap",
+          col("o_totalprice") <= lit(400000.0)))),
       DataQuality.foreignKey(li, o, "lineitem_orders_fk",
         "l_orderkey", "o_orderkey"),
       DataQuality.foreignKey(o, c, "orders_customer_fk",
-        "o_custkey", "c_custkey"),
-      DataQuality.check(li, "quantity_range",
-        col("l_quantity") >= 1 && col("l_quantity") <= 50),
-      DataQuality.check(o, "totalprice_cap",
-        col("o_totalprice") <= lit(400000.0))))
+        "o_custkey", "c_custkey")))
   }
 
   /** Cohort retention over the event stream: first-activity-day

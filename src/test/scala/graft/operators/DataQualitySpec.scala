@@ -40,6 +40,18 @@ class DataQualitySpec extends AnyFunSuite {
     assert(report.forall(_._2 == 0L))
   }
 
+  test("auditTable fuses same-table rules into one scan") {
+    val fused = DataQuality.auditTable(child, Seq(
+      DataQuality.uniqueKeyRule("u", Seq("fk", "line")),
+      DataQuality.notNullRule("n", "amt"),
+      DataQuality.checkRule("c", col("amt").isNull || col("amt") > 0)))
+    val got = fused.as[(String, Long)].collect().toMap
+    assert(got == Map("u" -> 1L, "n" -> 1L, "c" -> 0L))
+    // the whole rule set reads the source exactly once
+    val plan = fused.queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("empty table: zero violations, not null counts") {
     val empty = spark.emptyDataset[(Long, Long, Option[Double])]
       .toDF("fk", "line", "amt")
