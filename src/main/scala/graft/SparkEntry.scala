@@ -1526,6 +1526,58 @@ object SparkEntry {
     } finally kept.unpersist(false)
   }
 
+  /** The v3 pipeline with DSIR target-likeness selection spliced
+    * between the LM filter and the mixture: dedup → per-domain
+    * quality → LM filter → DSIR select (target = the English slice of
+    * the surviving set) → temperature mixture → packing → split.
+    * The post-LM survivor set is persisted while the DSIR model's two
+    * bounded collects read it (three chain re-evaluations otherwise),
+    * and released once the final frame is checkpointed. */
+  private def corpusCleanV4(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = dedupKeptIds(s, dir, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var goodDocs: DataFrame = null
+    try {
+      val clean = docs.join(kept, Seq("doc_id"))
+      val domKept = CorpusStats.filterByDomainQuantile(
+        clean.select("doc_id", "source", "text"), "doc_id", "source",
+        TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
+        .select("doc_id")
+      val base = clean.join(domKept, Seq("doc_id"))
+      val good = operators.LangModel.score(
+        base.select("doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")
+        .filter(col("lm_score") >= -3.40).select("doc_id")
+      goodDocs = base.join(good, Seq("doc_id"))
+        .select("doc_id", "lang", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // −25000 µnats/token ≈ the survivor-set median: keep the
+      // more-target-like half (mean ≥ 0 is degenerate HERE — the LM
+      // filter already homogenized the set, leaving ~2% positives)
+      val sel = Dsir.select(goodDocs,
+        goodDocs.filter(col("lang") === "en"), "doc_id", "text",
+        buckets = 256, minMeanMicroNats = -25000L).select("doc_id")
+      val mixed = Sampling.temperatureSampleByHash(
+        goodDocs.join(sel, Seq("doc_id")).select("doc_id", "lang"),
+        "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
+      val toks = base.join(mixed.select("doc_id"), Seq("doc_id"))
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long")
+            .as("n_tok"))
+      val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
+        budget = 2048L)
+      Sampling.hashSplit(packed, "doc_id",
+          Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+        .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+        .localCheckpoint(true)
+    } finally {
+      kept.unpersist(false)
+      if (goodDocs != null) goodDocs.unpersist(false)
+    }
+  }
+
   /** Token-budget packing of the corpus into contiguous training bins
     * via the two-pass distributed prefix sum (no global-window reducer). */
   private def packBudget(s: SparkSession, dir: String): DataFrame =
@@ -2008,6 +2060,7 @@ object SparkEntry {
     "corpus_clean" -> (corpusClean _),
     "corpus_clean_v2" -> (corpusCleanV2 _),
     "corpus_clean_v3" -> (corpusCleanV3 _),
+    "corpus_clean_v4" -> (corpusCleanV4 _),
     "sketch_kmv" -> (sketchKmv _),
     "sketch_cms" -> (sketchCms _),
     "sketch_hll" -> (sketchHll _),
@@ -2869,6 +2922,7 @@ object SparkEntry {
     "corpus_clean" -> corpusCleanOracle,
     "corpus_clean_v2" -> corpusCleanV2Oracle,
     "corpus_clean_v3" -> corpusCleanV3Oracle,
+    "corpus_clean_v4" -> corpusCleanV4Oracle,
     "pack_budget" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -3855,7 +3909,9 @@ object SparkEntry {
   /** The v2 pipeline tail (LM filter retrained on `fromCte`'s doc set,
     * temperature mixture, packing, split/shard) — shared by the v2 and
     * v3 replays, which differ only in the set the LM trains on. */
-  private def lmMixPackTailSql(fromCte: String): String =
+  /** LM-filter stage: trains the bigram model over `fromCte`'s docs
+    * and ends at `good` (docs with mean bigram log-prob ≥ −3.40). */
+  private def lmGoodSql(fromCte: String): String =
     s""", tk AS (
        |  SELECT d.doc_id, unnest(toks) AS tok,
        |    generate_subscripts(toks, 1) AS i
@@ -3872,9 +3928,52 @@ object SparkEntry {
        |  FROM lbc JOIN llc USING (w1), lv)
        |, good AS (
        |  SELECT lbg.doc_id FROM lbg JOIN lm USING (w1, w2)
-       |  GROUP BY 1 HAVING round(avg(lm.lp), 6) >= -3.40)
-       |, mbase AS (
-       |  SELECT doc_id, lang FROM documents JOIN good USING (doc_id))
+       |  GROUP BY 1 HAVING round(avg(lm.lp), 6) >= -3.40)""".stripMargin
+
+  /** DSIR-selection stage over `fromCte`'s docs (target = the English
+    * slice of that same set): ends at `dsel` (ids whose mean per-token
+    * micro-nat score is non-negative). Mirrors [[dsirCtes]] with the
+    * corpus re-targeted. */
+  private def dsirStageSql(fromCte: String): String =
+    // MATERIALIZED on dtb is load-bearing: it is referenced by dtc,
+    // drc, AND dw, and each inlined copy would re-evaluate the ENTIRE
+    // upstream pipeline chain (measured: the un-hinted v4 oracle ran
+    // 40+ CPU-minutes in DuckDB; materialized it is seconds)
+    s""", dtok AS (
+       |  SELECT d3.doc_id, d3.lang,
+       |    unnest(CASE WHEN length(trim(d3.text)) = 0 THEN []::VARCHAR[]
+       |                ELSE string_split_regex(trim(d3.text), '\\s+') END)
+       |      AS t
+       |  FROM documents d3 JOIN $fromCte USING (doc_id))
+       |, dtb AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b
+       |  FROM dtok)
+       |, dtc AS MATERIALIZED (
+       |  SELECT b, count(*) AS c FROM dtb WHERE lang = 'en' GROUP BY b)
+       |, drc AS MATERIALIZED (
+       |  SELECT b, count(*) AS c FROM dtb GROUP BY b)
+       |, dtot AS (SELECT (SELECT sum(c) FROM dtc) AS tt,
+       |                  (SELECT sum(c) FROM drc) AS tr)
+       |, dsc AS (
+       |  SELECT drc.b, CAST(floor(1000000 * (
+       |      ln((COALESCE(dtc.c, 0) + 1.0) / (dtot.tt + 256.0))
+       |    - ln((drc.c + 1.0) / (dtot.tr + 256.0)))) AS BIGINT) AS s
+       |  FROM drc LEFT JOIN dtc USING (b) CROSS JOIN dtot)
+       |, dw AS (
+       |  SELECT dtb.doc_id, count(*) AS n_tok,
+       |    CAST(sum(dsc.s) AS BIGINT) AS w
+       |  FROM dtb JOIN dsc USING (b) GROUP BY 1)
+       |, dsel AS (
+       |  SELECT doc_id FROM dw
+       |  WHERE n_tok > 0
+       |    AND CAST(floor(CAST(w AS DOUBLE) / n_tok) AS BIGINT)
+       |        >= -25000)""".stripMargin
+
+  /** Mixture + packing + split tail over `fromCte`'s doc ids. */
+  private def mixPackTailSql(fromCte: String): String =
+    s""", mbase AS (
+       |  SELECT doc_id, lang FROM documents JOIN $fromCte USING (doc_id))
        |, mc AS (
        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM mbase GROUP BY 1)
        |, mz AS (SELECT sum(pow(n, 0.5) ORDER BY lang NULLS FIRST) AS z,
@@ -3910,49 +4009,66 @@ object SparkEntry {
        |  h % 16 AS shard
        |FROM hv2""".stripMargin
 
+  private def lmMixPackTailSql(fromCte: String): String =
+    lmGoodSql(fromCte) + "\n" + mixPackTailSql("good")
+
   /** DuckDB replay of corpus_clean_v3: the v2 chain with the
     * quality_domain_filter replay (p = 0.3, against the KEPT set)
     * spliced between the dedup CTEs and the LM/mixture/packing tail —
     * the tail then trains and filters over `qkept`. */
+  /** The per-domain quality-filter stage against `kept` — ends at
+    * `qkept`. Shared by the v3 and v4 pipeline oracles. */
+  private lazy val qualityStageCtes: String =
+    """, qd AS (
+      |  SELECT dd.doc_id, dd.source, dd.text,
+      |    CASE WHEN length(trim(dd.text)) = 0 THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(dd.text), '\s+') END
+      |      AS qtoks
+      |  FROM documents dd JOIN kept USING (doc_id))
+      |, qscored AS (
+      |  SELECT doc_id, source,
+      |   (least(
+      |      (CASE WHEN length(trim(text)) = 0 THEN 0
+      |            ELSE len(string_split_regex(trim(text), '\s+')) END)
+      |        / 200.0, 1.0)
+      |    + CASE WHEN len(qtoks) = 0 THEN 0.0
+      |           ELSE len(list_distinct(qtoks)) / len(qtoks) END
+      |    + CASE WHEN length(text) = 0 THEN 0.0
+      |           ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      |                / length(text) END) / 3.0 AS q
+      |  FROM qd)
+      |, qsamp AS (
+      |  SELECT source, doc_id, q,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      |  FROM qscored)
+      |, qranked AS (
+      |  SELECT source, doc_id, q,
+      |    row_number() OVER (PARTITION BY source ORDER BY q, doc_id)
+      |      AS qr,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM qsamp WHERE r <= 128)
+      |, qthr AS (
+      |  SELECT source, q AS threshold
+      |  FROM qranked WHERE qr = CAST(ceil(0.3 * n) AS BIGINT))
+      |, qkept AS (
+      |  SELECT s.doc_id FROM qscored s
+      |  JOIN qthr t ON s.source = t.source
+      |  WHERE s.q >= t.threshold)""".stripMargin
+
   private def corpusCleanV3Oracle: String =
     s"""$keptPairCtes
-       |, qd AS (
-       |  SELECT dd.doc_id, dd.source, dd.text,
-       |    CASE WHEN length(trim(dd.text)) = 0 THEN []::VARCHAR[]
-       |         ELSE string_split_regex(trim(dd.text), '\\s+') END
-       |      AS qtoks
-       |  FROM documents dd JOIN kept USING (doc_id))
-       |, qscored AS (
-       |  SELECT doc_id, source,
-       |   (least(
-       |      (CASE WHEN length(trim(text)) = 0 THEN 0
-       |            ELSE len(string_split_regex(trim(text), '\\s+')) END)
-       |        / 200.0, 1.0)
-       |    + CASE WHEN len(qtoks) = 0 THEN 0.0
-       |           ELSE len(list_distinct(qtoks)) / len(qtoks) END
-       |    + CASE WHEN length(text) = 0 THEN 0.0
-       |           ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-       |                / length(text) END) / 3.0 AS q
-       |  FROM qd)
-       |, qsamp AS (
-       |  SELECT source, doc_id, q,
-       |    row_number() OVER (PARTITION BY source
-       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
-       |  FROM qscored)
-       |, qranked AS (
-       |  SELECT source, doc_id, q,
-       |    row_number() OVER (PARTITION BY source ORDER BY q, doc_id)
-       |      AS qr,
-       |    count(*) OVER (PARTITION BY source) AS n
-       |  FROM qsamp WHERE r <= 128)
-       |, qthr AS (
-       |  SELECT source, q AS threshold
-       |  FROM qranked WHERE qr = CAST(ceil(0.3 * n) AS BIGINT))
-       |, qkept AS (
-       |  SELECT s.doc_id FROM qscored s
-       |  JOIN qthr t ON s.source = t.source
-       |  WHERE s.q >= t.threshold)
+       |$qualityStageCtes
        |${lmMixPackTailSql("qkept")}""".stripMargin
+
+  /** v4: the v3 chain with the DSIR selection stage spliced between
+    * the LM filter (`good`) and the mixture tail. */
+  private def corpusCleanV4Oracle: String =
+    s"""$keptPairCtes
+       |$qualityStageCtes
+       |${lmGoodSql("qkept")}
+       |${dsirStageSql("good")}
+       |${mixPackTailSql("dsel")}""".stripMargin
 
   /** DuckDB list of the language-ID stopwords, quoted. */
   private def stopwordsSqlList: String =
