@@ -19,22 +19,32 @@ import org.apache.spark.sql.functions._
 object Cohort {
 
   /** `(cohort_day, day_offset, n_active, cohort_size)` — cohort_day
-    * rendered as a date string so the frame is engine-portable. */
+    * rendered as a date string so the frame is engine-portable.
+    * Cohort sizes come from the offset-0 cells (every user is active
+    * on their own first day by definition), so the event table is
+    * scanned exactly twice (cohort assignment + distinct activity) —
+    * a separate sizes aggregate re-ran the whole first-day chain
+    * (plan-audited 3 scans → 2). The days²-bounded cell frame is
+    * persisted while both branches read it. */
   def retention(events: DataFrame, groupCol: String,
       tsCol: String): DataFrame = {
     val firstDay = events.groupBy(col(groupCol))
       .agg(min(to_date(col(tsCol))).as("_cohort"))
     val active = events
       .select(col(groupCol), to_date(col(tsCol)).as("_day")).distinct()
-    val sizes = firstDay.groupBy(col("_cohort"))
-      .agg(count(lit(1)).as("cohort_size"))
-    active.join(firstDay, groupCol)
+    val cells = active.join(firstDay, groupCol)
       .select(col("_cohort"),
         datediff(col("_day"), col("_cohort")).as("day_offset"))
       .groupBy("_cohort", "day_offset")
       .agg(count(lit(1)).as("n_active"))
-      .join(broadcast(sizes), "_cohort")
-      .select(col("_cohort").cast("string").as("cohort_day"),
-        col("day_offset"), col("n_active"), col("cohort_size"))
+      .persist()
+    try {
+      val sizes = cells.filter(col("day_offset") === 0)
+        .select(col("_cohort"), col("n_active").as("cohort_size"))
+      cells.join(broadcast(sizes), "_cohort")
+        .select(col("_cohort").cast("string").as("cohort_day"),
+          col("day_offset"), col("n_active"), col("cohort_size"))
+        .localCheckpoint()
+    } finally cells.unpersist(false)
   }
 }
