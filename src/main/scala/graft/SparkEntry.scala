@@ -252,6 +252,14 @@ object SparkEntry {
   private def eventRetention(s: SparkSession, dir: String): DataFrame =
     Cohort.retention(events(s, dir), "user_id", "ts")
 
+  /** Per-user daily resample with gap fill: one row per (user, day)
+    * from first to last activity, explicit zeros on inactive days —
+    * the regularized series every trend/rate/anomaly pass assumes.
+    * Dates render as strings so the comparator sees identical text. */
+  private def tsResample(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.gapFillDaily(events(s, dir), "user_id", "ts", "value")
+      .withColumn("day", col("day").cast("string"))
+
   /** Ordered funnel over the event stream: users reaching
     * view → click → purchase strictly in order, counted at each
     * stage by chained earliest-completion minima. */
@@ -1993,6 +2001,7 @@ object SparkEntry {
     "dq_audit" -> (dqAudit _),
     "event_funnel" -> (eventFunnel _),
     "event_retention" -> (eventRetention _),
+    "ts_resample" -> (tsResample _),
     "profile_table" -> (profileTable _),
     "q3_join" -> (q3Join _),
     "q_anti_join" -> (qAntiJoin _),
@@ -2357,6 +2366,25 @@ object SparkEntry {
         |SELECT CAST(ret.cohort AS VARCHAR) AS cohort_day, day_offset,
         |  n_active, sz.cohort_size
         |FROM ret JOIN sz USING (cohort)""".stripMargin,
+    "ts_resample" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(
+        |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds)
+        |SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+        |  COALESCE(d.n, 0) AS n_events,
+        |  CAST(COALESCE(d.sv, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM spine s LEFT JOIN daily d USING (user_id, day)"""
+        .stripMargin,
     "snapshot_diff" ->
       """SELECT 'U' AS _op, o_orderkey, o_custkey,
         |  o_totalprice + 1000.0 AS o_totalprice

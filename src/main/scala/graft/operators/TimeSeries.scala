@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-key time-series regularization: aggregate an event stream to a
+  * fixed grain and FILL THE GAPS, so every key carries one row per
+  * period between its first and last activity — the shape every
+  * downstream rate/trend/anomaly computation assumes (a missing day
+  * must read as an explicit zero, not an absent row).
+  *
+  * The reference ships raw change rows into ClickHouse and leaves
+  * densification to `WITH FILL` at query time (ABSENT in the syncer
+  * itself — SURVEY §2 maps no such operator), so this is engine
+  * surface: the batch-side materialization of that query-time fill.
+  *
+  * Shape (the 100 TB argument): ONE data-sized shuffle — the
+  * `(key, period)` aggregate — then a key-partitioned `lead` window
+  * over the ALREADY-AGGREGATED frame (rows = active key-periods, not
+  * events) and a scan-local `sequence` explode that manufactures each
+  * gap's zero rows between consecutive active periods. No
+  * spine-generation join, no per-key driver loop; output volume is
+  * Σ per-key span lengths, and the explode is bounded per row by the
+  * longest single gap, never by the corpus. A calendar-spine
+  * `crossJoin` (keys × all days) would pay keys·days rows whether or
+  * not a key was alive — this pays only each key's own span. */
+object TimeSeries {
+
+  /** Daily resample of `df` per `keyCol`: one row per (key, day) from
+    * the key's first active day through its last, `n_events` = rows
+    * that day, `sum_value` = exact decimal sum of `valueCol` (0, not
+    * null, on gap days). */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("sum_dec"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    daily
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      // [day, next_day) densified; the key's last active day emits
+      // itself alone (no trailing fill past the final observation)
+      .select(col(keyCol), col("n_events"), col("sum_dec"), col("day"),
+        explode(sequence(col("day"),
+          coalesce(date_sub(col("next_day"), 1), col("day")),
+          expr("interval 1 day"))).as("fill_day"))
+      .select(col(keyCol), col("fill_day").as("day"),
+        when(col("fill_day") === col("day"), col("n_events"))
+          .otherwise(lit(0L)).as("n_events"),
+        when(col("fill_day") === col("day"), col("sum_dec"))
+          .otherwise(lit(0).cast("decimal(18,2)"))
+          .cast("double").as("sum_value"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  // u1: active Jan 1 (twice) and Jan 4 — gap days 2,3 must appear as
+  // zeros; u2: single-day key — exactly one row, no fill; u3: active
+  // on two consecutive days — no gap rows.
+  private lazy val ev = Seq(
+    (1L, "2024-01-01 10:00:00", 2.5), (1L, "2024-01-01 11:00:00", 1.5),
+    (1L, "2024-01-04 09:00:00", 3.0),
+    (2L, "2024-02-10 12:00:00", 7.25),
+    (3L, "2024-03-01 08:00:00", 1.0), (3L, "2024-03-02 08:00:00", 2.0)
+  ).toDF("u", "ts_s", "v")
+    .selectExpr("u", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+
+  private lazy val got = TimeSeries.gapFillDaily(ev, "u", "ts", "v")
+    .select(col("u"), col("day").cast("string"), col("n_events"),
+      col("sum_value"))
+    .as[(Long, String, Long, Double)].collect().toSet
+
+  test("gaps filled with explicit zeros, active days aggregated") {
+    assert(got == Set(
+      (1L, "2024-01-01", 2L, 4.0),
+      (1L, "2024-01-02", 0L, 0.0),
+      (1L, "2024-01-03", 0L, 0.0),
+      (1L, "2024-01-04", 1L, 3.0),
+      (2L, "2024-02-10", 1L, 7.25),
+      (3L, "2024-03-01", 1L, 1.0),
+      (3L, "2024-03-02", 1L, 2.0)))
+  }
+
+  test("every key is contiguous from first to last active day") {
+    val byKey = got.groupBy(_._1)
+    byKey.foreach { case (_, rows) =>
+      val days = rows.map(_._2).toSeq.sorted
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(days.head),
+        java.time.LocalDate.parse(days.last))
+      assert(days.size.toLong == span + 1, s"holes in $days")
+    }
+  }
+
+  test("equals the spine-join formulation on the real events table") {
+    val real = spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+    val typed = real.withColumn("ts",
+      graft.sources.EventTs.asTimestamp(real))
+    val fast = TimeSeries.gapFillDaily(typed, "user_id", "ts", "value")
+    val daily = typed
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val ref = spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sv"), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("sum_value"))
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+  }
+}
