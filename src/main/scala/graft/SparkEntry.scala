@@ -260,6 +260,30 @@ object SparkEntry {
     TimeSeries.gapFillDaily(events(s, dir), "user_id", "ts", "value")
       .withColumn("day", col("day").cast("string"))
 
+  /** Edit-distance entity resolution: every part name with one
+    * deterministically deleted character (position = key mod length)
+    * fuzzy-joined back to the clean catalog at distance <= 1 via the
+    * prefix-filtered q-gram index. The oracle is the INDEPENDENT
+    * quadratic join (length filter + levenshtein), so recall 1 of the
+    * filter chain is what's being gated, not a replay of it. */
+  private def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    // the raw p_name pool holds only 64 distinct values, so the entity
+    // key is name#partkey — unique per part, typo'd copies resolve to
+    // ~one catalog row each (the realistic ER shape), and output stays
+    // linear in the table instead of quadratic in duplicate groups
+    val part = t(s, dir, "part")
+      .select(col("p_partkey"),
+        concat(col("p_name"), lit("#"), col("p_partkey")).as("p_ent"))
+    val cut = (col("p_partkey") % length(col("p_ent"))).cast("int")
+    val dirty = part.select(col("p_partkey").as("d_id"),
+      concat(col("p_ent").substr(lit(1), cut),
+        col("p_ent").substr(cut + 2, length(col("p_ent"))))
+        .as("d_name"))
+    FuzzyJoin.join(dirty, "d_id", "d_name",
+      part.select(col("p_partkey").as("c_id"), col("p_ent").as("c_name")),
+      "c_id", "c_name", maxDist = 1)
+  }
+
   /** Ordered funnel over the event stream: users reaching
     * view → click → purchase strictly in order, counted at each
     * stage by chained earliest-completion minima. */
@@ -2002,6 +2026,7 @@ object SparkEntry {
     "event_funnel" -> (eventFunnel _),
     "event_retention" -> (eventRetention _),
     "ts_resample" -> (tsResample _),
+    "fuzzy_join" -> (fuzzyJoin _),
     "profile_table" -> (profileTable _),
     "q3_join" -> (q3Join _),
     "q_anti_join" -> (qAntiJoin _),
@@ -2366,6 +2391,21 @@ object SparkEntry {
         |SELECT CAST(ret.cohort AS VARCHAR) AS cohort_day, day_offset,
         |  n_active, sz.cohort_size
         |FROM ret JOIN sz USING (cohort)""".stripMargin,
+    "fuzzy_join" ->
+      """WITH ent AS (
+        |  SELECT p_partkey, p_name || '#' || p_partkey AS p_ent
+        |  FROM part),
+        |dirty AS (
+        |  SELECT p_partkey AS d_id,
+        |    substr(p_ent, 1, CAST(p_partkey % length(p_ent) AS INT)) ||
+        |    substr(p_ent, CAST(p_partkey % length(p_ent) AS INT) + 2)
+        |      AS d_name
+        |  FROM ent)
+        |SELECT d.d_id, p.p_partkey AS c_id,
+        |  levenshtein(d.d_name, p.p_ent) AS dist
+        |FROM dirty d, ent p
+        |WHERE abs(length(d.d_name) - length(p.p_ent)) <= 1
+        |  AND levenshtein(d.d_name, p.p_ent) <= 1""".stripMargin,
     "ts_resample" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
