@@ -486,6 +486,34 @@ object SparkEntry {
     streaming.BucketedState.currentView(s, s"$work/target", schema, 8)
   }
 
+  /** Incrementally-maintained aggregate materialized view over the CDC
+    * stream ([[graft.streaming.AggView]]) — the SummingMergeTree-style
+    * view the reference's users hang off the synced table: per-month
+    * live-order count + exact cents total, maintained by ±delta folding
+    * of only each micro-batch's keys and touched groups (O(batch) +
+    * O(touched groups), never O(state)). Measures ride as integer cents
+    * so the incremental arithmetic is exact under any batch boundary —
+    * the oracle is a direct aggregate of the LWW final state. */
+  private def cdcAggView(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_aggview_")
+    val spec = streaming.AggView.Spec(keyCols = ChangeFeed.keyCols,
+      groupCols = Seq("ord_month"), measureCols = Seq("cents"))
+    val prepared = ChangeFeed.full(s, dir).select(
+      col("o_orderkey"),
+      trunc(col("o_orderdate"), "month").as("ord_month"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("_op"), col("_seq"))
+    prepared.repartition(4).write.mode("overwrite")
+      .parquet(s"$work/changes")
+    streaming.AggView.replayToCompletion(s, s"$work/changes",
+      prepared.schema, s"$work/state", s"$work/view", s"$work/ckpt",
+      spec, stateBuckets = 16, viewBuckets = 8,
+      maxFilesPerTrigger = Some(1),
+      maintenance = streaming.CdcStream.Maintenance(gcEvery = 1))
+      .withColumn("ord_month", col("ord_month").cast("string"))
+  }
+
   /** PMI co-occurrence mining over per-user event-type baskets: one
     * distinct + one group-by-user shuffle, pair space bounded by the
     * event-type vocabulary squared — never by row count. */
@@ -2010,6 +2038,7 @@ object SparkEntry {
     "cdc_counters" -> (cdcCounters _),
     "cdc_stream_replay" -> (cdcStreamReplay _),
     "cdc_maintained_replay" -> (cdcMaintainedReplay _),
+    "cdc_agg_view" -> (cdcAggView _),
     "envelope_lww" -> (envelopeLww _),
     "route_filter" -> (routeFilter _),
     "type_enum" -> (typeEnum _),
@@ -2273,6 +2302,18 @@ object SparkEntry {
     "cdc_bootstrap_handoff" -> lwwOracleSql,
     "cdc_stream_replay" -> lwwOracleSql,
     "cdc_maintained_replay" -> lwwOracleSql,
+    "cdc_agg_view" ->
+      s"""$ordersChangesCte, ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY o_orderkey ORDER BY _seq DESC) AS rn
+         |  FROM changes),
+         |live AS (SELECT * FROM ranked WHERE rn = 1 AND _op <> 'D')
+         |SELECT CAST(date_trunc('month', o_orderdate) AS VARCHAR)
+         |    AS ord_month,
+         |  count(*) AS cnt,
+         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_cents
+         |FROM live GROUP BY 1""".stripMargin,
     "envelope_lww" -> lwwOracleSql,
     "cdc_changed_cols" ->
       """SELECT o_orderkey, concat_ws(',',

@@ -234,21 +234,32 @@ object BucketedState {
       .filter(col(OpCol) =!= OpDelete)
       .drop(OpCol, SeqCol)
 
-  /** Live rows for exactly the given keys, reading ONLY the buckets
-    * those keys hash to — the O(batch) state lookup behind the JDBC
-    * delta push ([[CdcStream.startToJdbc]]): the batch's touched
-    * buckets are listed from the tiny key frame (bounded driver
-    * collect, ≤ nBuckets ints), their latest versions scanned once,
-    * and the scan semi-joined down to the keys via broadcast. */
-  def viewForKeys(spark: SparkSession, targetDir: String,
+  /** Raw state rows (tombstones and `_op`/`_seq` included) for exactly
+    * the given keys, reading ONLY the buckets those keys hash to: the
+    * touched buckets are listed from the tiny key frame (bounded driver
+    * collect, ≤ nBuckets ints), their latest versions scanned once, and
+    * the scan semi-joined down to the keys via broadcast. `beforeBatch`
+    * bounds the version per bucket so a crash-replay of batch N reads
+    * the identical pre-batch state — the lookup [[AggView]]'s delta
+    * maintenance replays idempotently on top of. */
+  def stateForKeys(spark: SparkSession, targetDir: String,
       stateSchema: StructType, nBuckets: Int, keyCols: Seq[String],
-      keys: DataFrame): DataFrame = {
+      keys: DataFrame, beforeBatch: Option[Long] = None): DataFrame = {
     val touched = keys
       .select(bucketExpr(keyCols, nBuckets).as(BucketTag))
       .distinct().collect().map(_.getInt(0)).toSeq
-    readBuckets(spark, targetDir, stateSchema, touched)
-      .filter(col(OpCol) =!= OpDelete)
-      .drop(OpCol, SeqCol)
+    readBuckets(spark, targetDir, stateSchema, touched, beforeBatch)
       .join(broadcast(keys), keyCols, "left_semi")
   }
+
+  /** Live rows for exactly the given keys — [[stateForKeys]] minus
+    * tombstones and meta; the O(batch) state lookup behind the JDBC
+    * delta push ([[CdcStream.startToJdbc]]). */
+  def viewForKeys(spark: SparkSession, targetDir: String,
+      stateSchema: StructType, nBuckets: Int, keyCols: Seq[String],
+      keys: DataFrame, beforeBatch: Option[Long] = None): DataFrame =
+    stateForKeys(spark, targetDir, stateSchema, nBuckets, keyCols, keys,
+      beforeBatch)
+      .filter(col(OpCol) =!= OpDelete)
+      .drop(OpCol, SeqCol)
 }
