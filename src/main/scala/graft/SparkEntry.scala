@@ -223,6 +223,22 @@ object SparkEntry {
   private def cdcScd2(s: SparkSession, dir: String): DataFrame =
     Scd.scd2(ChangeFeed.full(s, dir), Seq("o_orderkey"))
 
+  /** [[cdcScd2]]'s streaming twin: the same version history maintained
+    * INCREMENTALLY across micro-batches by [[graft.streaming.StreamScd]]
+    * — per batch only the batch keys' histories are read (bucket-pruned),
+    * re-linked, and rewritten. Same oracle as the batch operator: the
+    * maintained history must be independent of batch boundaries. */
+  private def streamScd2(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_sscd_")
+    val feed = ChangeFeed.full(s, dir)
+    feed.repartition(4).write.mode("overwrite").parquet(s"$work/changes")
+    streaming.StreamScd.replayToCompletion(s, s"$work/changes",
+      feed.schema, s"$work/hist", s"$work/ckpt", ChangeFeed.keyCols,
+      maxFilesPerTrigger = Some(1),
+      maintenance = streaming.CdcStream.Maintenance(gcEvery = 1))
+  }
+
   /** Data-quality audit: PK uniqueness, required columns, referential
     * integrity, and row-level contracts, one (rule, n_violations) row
     * each — the promote gate for a new snapshot. */
@@ -2051,6 +2067,7 @@ object SparkEntry {
     "q1_agg" -> (q1Agg _),
     "snapshot_diff" -> (snapshotDiff _),
     "cdc_scd2" -> (cdcScd2 _),
+    "stream_scd2" -> (streamScd2 _),
     "dq_audit" -> (dqAudit _),
     "event_funnel" -> (eventFunnel _),
     "event_retention" -> (eventRetention _),
@@ -2376,6 +2393,7 @@ object SparkEntry {
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "cdc_scd2" -> scd2OracleSql,
+    "stream_scd2" -> scd2OracleSql,
     "dq_audit" ->
       """SELECT 'lineitem_pk_unique' AS rule,
         |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
