@@ -7,8 +7,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import graft.operators.{AsofJoin, Clustering, Cms, Cooccurrence,
-  CorpusStats, Decontam, Dedup, Dsir, Graph, IncrementalDedup,
-  LangModel, Packing, RangeJoin, Sampling, Similarity}
+  CorpusStats, Decontam, Dedup, Dsir, FuzzyJoin, Graph,
+  IncrementalDedup, LangModel, Packing, RangeJoin, Sampling, Similarity}
 import graft.functions.TextFunctions
 
 /** Scale-claim validation — every operator in this engine carries a
@@ -1190,6 +1190,166 @@ object BenchScale {
       "state_rows" -> stateRows))
   }
 
+  /** Edit-distance fuzzy join at ×N: matches replicate exactly ×N
+    * (alphabet rotation is a char bijection and the dirty-side deletion
+    * position is keyed on the WITHIN-COPY id, so it commutes with the
+    * rotation), cross-copy matches are impossible by construction (the
+    * entity prefix is filtered to hold ≥ 4 rotating letters, so any
+    * cross-copy pair sits at distance ≥ 3 > k), and prefix-filtered
+    * candidate volume stays ~linear (2× slack: the md5 prefix order is
+    * a fresh draw per rotated copy). */
+  private def runFuzzyJoin(s: SparkSession, dir: String): OpResult = {
+    val wid = pmod(col("doc_id"), lit(100000000L))
+    val ents = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 24), lit("#"),
+          wid.cast("string")).as("ent"))
+      .filter(length(regexp_replace(substring(col("ent"), 1, 24),
+        "[^a-z]", "")) >= 4)
+      .repartition(s.sparkContext.defaultParallelism)
+    val pos = (pmod(wid, length(col("ent")) - 2) + 1).cast("int")
+    val dirtyPrep = ents
+      .withColumn("pos", pos)
+      .select(col("doc_id").as("d_id"),
+        concat(col("ent").substr(lit(1), col("pos") - 1),
+          col("ent").substr(col("pos") + 1, length(col("ent"))))
+          .as("d_s"))
+    var crossPairs = 0L
+    val r = timed {
+      val out = FuzzyJoin.join(dirtyPrep, "d_id", "d_s",
+        ents, "doc_id", "ent", maxDist = 1)
+      val row = out.agg(count(lit(1)),
+        coalesce(sum((floor(col("d_id") / 100000000L) =!=
+          floor(col("doc_id") / 100000000L)).cast("long")), lit(0L)))
+        .head()
+      crossPairs = row.getLong(1)
+      row.getLong(0)
+    }(Map.empty)
+    val cands = FuzzyJoin.candidatePairs(dirtyPrep, "d_id", "d_s",
+      ents, "doc_id", "ent", maxDist = 1)
+    val cRow = cands.agg(count(lit(1)),
+      coalesce(sum((floor(col("l_id") / 100000000L) =!=
+        floor(col("r_id") / 100000000L)).cast("long")), lit(0L))).head()
+    r.copy(evidence = r.evidence ++ Map("cross_pairs" -> crossPairs,
+      "candidates" -> cRow.getLong(0),
+      "cross_candidates" -> cRow.getLong(1)))
+  }
+
+  /** Time-series gap fill at ×N: copied users keep their timestamps,
+    * so every copy's daily structure — active days, gap days, event
+    * mass — replicates exactly ×N; one aggregate shuffle + scan-local
+    * explode is the time claim. */
+  private def runTsResample(s: SparkSession, dir: String): OpResult = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = raw
+      .select(col("user_id"),
+        graft.sources.EventTs.asTimestamp(raw).as("ts"), col("value"))
+      .repartition(s.sparkContext.defaultParallelism)
+    var nSum = 0L
+    var gapRows = 0L
+    val r = timed {
+      val out = graft.operators.TimeSeries
+        .gapFillDaily(ev, "user_id", "ts", "value")
+      val row = out.agg(count(lit(1)),
+        coalesce(sum(col("n_events")), lit(0L)),
+        coalesce(sum((col("n_events") === 0L).cast("long")), lit(0L)))
+        .head()
+      nSum = row.getLong(1)
+      gapRows = row.getLong(2)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map("n_sum" -> nSum,
+      "gap_rows" -> gapRows))
+  }
+
+  /** Incremental aggregate-view maintenance against a ×1 vs ×N key
+    * state: a FIXED 64-key probe batch must cost the same against both
+    * — the touched group set is identical (copy-0 keys), the view's
+    * group-row count is corpus-size-invariant, and the maintained
+    * count mass proves the ×N state is actually in the view. Buckets
+    * scale with the data (64·scale), the at-scale layout, so per-
+    * bucket volume — hence probe cost — is flat. */
+  private def runAggView(s: SparkSession, dir: String,
+      scale: Int): OpResult = {
+    val work = newTempDir("graft_scale_aggview_")
+    val nBuckets = 64 * scale
+    val spec = streaming.AggView.Spec(Seq("k"), Seq("g"), Seq("m"))
+    val seed = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id").as("k"), col("event_type").as("g"),
+        round(col("value") * 100).cast("long").as("m"),
+        lit("I").as("_op"), lit(1L).as("_seq"))
+    streaming.AggView.applyBatch(seed, 0L, s"$work/state", s"$work/view",
+      spec, nBuckets, 8)
+    val stateRows = seed.count()
+    val probeKeys = seed.select(col("k")).orderBy(col("k")).limit(64)
+      .collect().map(_.getLong(0)).toSeq
+    val probe = seed
+      .filter(col("k").isin(probeKeys.map(Long.box): _*))
+      .select(col("k"), col("g"), (col("m") + 100000L).as("m"),
+        lit("U").as("_op"), lit(2L).as("_seq"))
+      .coalesce(1).localCheckpoint(eager = true)
+    val r = timed {
+      streaming.AggView.applyBatch(probe, 1L, s"$work/state",
+        s"$work/view", spec, nBuckets, 8)
+      0L
+    }(Map.empty)
+    val view = streaming.AggView.currentView(s, s"$work/view",
+      seed.schema, spec, 8)
+    val vRow = view.agg(count(lit(1)), coalesce(sum(col("cnt")), lit(0L)))
+      .head()
+    // what the probe's delta fold had to touch: group-buckets holding a
+    // v=1 version
+    val touchedView = (0 until 8).count { b =>
+      new java.io.File(s"$work/view/bucket=$b/v=1").exists()
+    }
+    probe.unpersist()
+    OpResult(r.secs, Map("out_rows" -> vRow.getLong(0),
+      "view_cnt_sum" -> vRow.getLong(1), "state_rows" -> stateRows,
+      "batch_keys" -> probeKeys.size.toLong,
+      "touched_view_buckets" -> touchedView.toLong))
+  }
+
+  /** Streaming SCD2 maintenance against a ×1 vs ×N history: a FIXED
+    * 64-key update batch reads, re-links and rewrites only its own
+    * keys' histories (bucket-pruned; buckets ∝ data so bucket volume
+    * is flat) — probe cost must not depend on history size. */
+  private def runStreamScd(s: SparkSession, dir: String,
+      scale: Int): OpResult = {
+    val work = newTempDir("graft_scale_sscd_")
+    val nBuckets = 64 * scale
+    val seed = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id").as("k"), col("value").as("v"),
+        lit("I").as("_op"), lit(1L).as("_seq"))
+    streaming.StreamScd.applyBatch(seed, 0L, s"$work/hist", Seq("k"),
+      nBuckets)
+    val stateRows = seed.count()
+    val probeKeys = seed.select(col("k")).orderBy(col("k")).limit(64)
+      .collect().map(_.getLong(0)).toSeq
+    val probe = seed
+      .filter(col("k").isin(probeKeys.map(Long.box): _*))
+      .select(col("k"), (col("v") + 1000000.0).as("v"),
+        lit("U").as("_op"), lit(2L).as("_seq"))
+      .coalesce(1).localCheckpoint(eager = true)
+    val r = timed {
+      streaming.StreamScd.applyBatch(probe, 1L, s"$work/hist", Seq("k"),
+        nBuckets)
+      0L
+    }(Map.empty)
+    // the probe keys' histories must now hold exactly two versions each,
+    // correctly linked (old row closed at the update's seq)
+    val hist = streaming.StreamScd.currentHistory(s, s"$work/hist",
+      seed.schema, Seq("k"), nBuckets)
+      .filter(col("k").isin(probeKeys.map(Long.box): _*))
+    val hRow = hist.agg(count(lit(1)),
+      coalesce(sum((col("valid_to") === 2L).cast("long")), lit(0L)),
+      coalesce(sum(col("is_current")), lit(0L))).head()
+    probe.unpersist()
+    OpResult(r.secs, Map("out_rows" -> hRow.getLong(0),
+      "closed_rows" -> hRow.getLong(1), "current_rows" -> hRow.getLong(2),
+      "state_rows" -> stateRows,
+      "batch_keys" -> probeKeys.size.toLong))
+  }
+
   /** Data-file count of the sigs+bands store dirs. */
   private def storeFiles(store: String): Long = {
     import scala.jdk.CollectionConverters._
@@ -1278,7 +1438,13 @@ object BenchScale {
       "snapshot_diff" -> (d => runSnapshotDiff(spark, d)),
       "event_funnel" -> (d => runFunnel(spark, d)),
       "event_retention" -> (d => runRetention(spark, d)),
-      "profile_table" -> (d => runProfile(spark, d)))
+      "profile_table" -> (d => runProfile(spark, d)),
+      "fuzzy_join" -> (d => runFuzzyJoin(spark, d)),
+      "ts_resample" -> (d => runTsResample(spark, d)),
+      "agg_view" -> (d => runAggView(spark, d,
+        if (d.endsWith("x1")) 1 else n)),
+      "stream_scd2" -> (d => runStreamScd(spark, d,
+        if (d.endsWith("x1")) 1 else n)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -1557,6 +1723,42 @@ object BenchScale {
           atN.evidence("out_rows") == at1.evidence("out_rows") &&
             atN.evidence("batch_docs") == at1.evidence("batch_docs") &&
             atN.evidence("store_docs") == at1.evidence("store_docs") * n
+        case "fuzzy_join" =>
+          // matches replicate exactly ×N (rotation-commuting dirty
+          // construction), zero cross-copy matches or candidates, and
+          // prefix-filtered candidate volume ~N (2× slack: fresh md5
+          // prefix draw per rotated copy)
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("cross_pairs") == 0L &&
+            atN.evidence("cross_candidates") == 0L &&
+            atN.evidence("candidates") <=
+              (at1.evidence("candidates") * n * 2.0).toLong
+        case "ts_resample" =>
+          // copied users keep their timestamps: active-day mass and
+          // manufactured gap rows replicate exactly ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("n_sum") == at1.evidence("n_sum") * n &&
+            atN.evidence("gap_rows") == at1.evidence("gap_rows") * n
+        case "agg_view" =>
+          // O(batch) view maintenance: fixed probe, group-row count
+          // corpus-invariant, maintained count mass proves the ×N
+          // state is in the view, fold confined to ≤ 8 group-buckets;
+          // probe time itself is gated by the exponent
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("view_cnt_sum") ==
+              at1.evidence("view_cnt_sum") * n &&
+            atN.evidence("state_rows") == at1.evidence("state_rows") * n &&
+            atN.evidence("batch_keys") == at1.evidence("batch_keys") &&
+            atN.evidence("touched_view_buckets") <= 8L
+        case "stream_scd2" =>
+          // O(batch) history maintenance: the fixed probe's keys end
+          // with exactly two correctly-linked versions each at BOTH
+          // scales — one closed at the update's seq, one current
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            at1.evidence("out_rows") == 2 * at1.evidence("batch_keys") &&
+            atN.evidence("closed_rows") == at1.evidence("batch_keys") &&
+            atN.evidence("current_rows") == at1.evidence("batch_keys") &&
+            atN.evidence("state_rows") == at1.evidence("state_rows") * n
         case _ =>
           atN.evidence("out_rows") == at1.evidence("out_rows") * n
       }

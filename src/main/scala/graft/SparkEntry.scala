@@ -232,7 +232,8 @@ object SparkEntry {
       withShufflePartitions(s, 8) {
     val work = scratchDir("graft_sscd_")
     val feed = ChangeFeed.full(s, dir)
-    feed.repartition(4).write.mode("overwrite").parquet(s"$work/changes")
+    // two micro-batches — see cdcAggView's note
+    feed.repartition(2).write.mode("overwrite").parquet(s"$work/changes")
     streaming.StreamScd.replayToCompletion(s, s"$work/changes",
       feed.schema, s"$work/hist", s"$work/ckpt", ChangeFeed.keyCols,
       maxFilesPerTrigger = Some(1),
@@ -286,7 +287,15 @@ object SparkEntry {
     // the raw p_name pool holds only 64 distinct values, so the entity
     // key is name#partkey — unique per part, typo'd copies resolve to
     // ~one catalog row each (the realistic ER shape), and output stays
-    // linear in the table instead of quadratic in duplicate groups
+    // linear in the table instead of quadratic in duplicate groups.
+    // Oracle note: the naive quadratic levenshtein scan is infeasible
+    // in DuckDB at sf0.1, so the SQL replays the same pairs through an
+    // INDEPENDENT recall-1 blocking (symmetric single-deletion
+    // neighborhoods, SymSpell's lemma: ed(s,t) <= 1 implies
+    // ({s} ∪ del1(s)) ∩ ({t} ∪ del1(t)) is non-empty at any length),
+    // then verifies with the exact levenshtein — a different algorithm
+    // than the engine's Ed-Join prefix filter, which is what makes the
+    // cross-check meaningful
     val part = t(s, dir, "part")
       .select(col("p_partkey"),
         concat(col("p_name"), lit("#"), col("p_partkey")).as("p_ent"))
@@ -520,7 +529,10 @@ object SparkEntry {
       trunc(col("o_orderdate"), "month").as("ord_month"),
       round(col("o_totalprice") * 100).cast("long").as("cents"),
       col("_op"), col("_seq"))
-    prepared.repartition(4).write.mode("overwrite")
+    // two micro-batches: one cross-boundary fold exercises the whole
+    // incremental path (specs drive 4+ batch and property variants);
+    // each extra full-corpus batch would only re-pay the machinery
+    prepared.repartition(2).write.mode("overwrite")
       .parquet(s"$work/changes")
     streaming.AggView.replayToCompletion(s, s"$work/changes",
       prepared.schema, s"$work/state", s"$work/view", s"$work/ckpt",
@@ -1535,8 +1547,12 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val kept = dedupKeptIds(s, dir, docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // three consumers (LM score, mixture input, token count) — without
+    // the pin each re-scans documents and re-runs the kept join
+    val clean = docs.join(kept, Seq("doc_id"))
+      .select("doc_id", "lang", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val clean = docs.join(kept, Seq("doc_id"))
       // quality filter: bigram LM trained on the deduped corpus; docs
       // without a single bigram carry no score and drop with the bad
       val good = operators.LangModel.score(
@@ -1556,9 +1572,12 @@ object SparkEntry {
       Sampling.hashSplit(packed, "doc_id",
           Seq("train" -> 8, "eval" -> 1, "test" -> 1))
         .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
-        // force the full chain before kept unpersists under it
+        // force the full chain before the pins release under it
         .localCheckpoint(true)
-    } finally kept.unpersist(false)
+    } finally {
+      kept.unpersist(false)
+      clean.unpersist(false)
+    }
   }
 
   /** [[corpusCleanV2]] with the round-10 per-domain RELATIVE quality
@@ -1574,13 +1593,16 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val kept = dedupKeptIds(s, dir, docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val clean = docs.join(kept, Seq("doc_id"))
-      val domKept = CorpusStats.filterByDomainQuantile(
+    val clean = docs.join(kept, Seq("doc_id"))
+    // three consumers (LM score, mixture input, token count) — without
+    // the pin each re-runs the KMV domain filter AND the kept join
+    val base = clean.join(CorpusStats.filterByDomainQuantile(
         clean.select("doc_id", "source", "text"), "doc_id", "source",
         TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
-        .select("doc_id")
-      val base = clean.join(domKept, Seq("doc_id"))
+        .select("doc_id"), Seq("doc_id"))
+      .select("doc_id", "lang", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
       val good = operators.LangModel.score(
         base.select("doc_id", "text")
           .repartition(s.sparkContext.defaultParallelism),
@@ -1599,7 +1621,10 @@ object SparkEntry {
           Seq("train" -> 8, "eval" -> 1, "test" -> 1))
         .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
         .localCheckpoint(true)
-    } finally kept.unpersist(false)
+    } finally {
+      kept.unpersist(false)
+      base.unpersist(false)
+    }
   }
 
   /** The v3 pipeline with DSIR target-likeness selection spliced
@@ -1613,14 +1638,17 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val kept = dedupKeptIds(s, dir, docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var goodDocs: DataFrame = null
-    try {
-      val clean = docs.join(kept, Seq("doc_id"))
-      val domKept = CorpusStats.filterByDomainQuantile(
+    val clean = docs.join(kept, Seq("doc_id"))
+    // two consumers (LM score, survivor build) — pinned so the KMV
+    // domain filter and the kept join run once
+    val base = clean.join(CorpusStats.filterByDomainQuantile(
         clean.select("doc_id", "source", "text"), "doc_id", "source",
         TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
-        .select("doc_id")
-      val base = clean.join(domKept, Seq("doc_id"))
+        .select("doc_id"), Seq("doc_id"))
+      .select("doc_id", "lang", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var goodDocs: DataFrame = null
+    try {
       val good = operators.LangModel.score(
         base.select("doc_id", "text")
           .repartition(s.sparkContext.defaultParallelism),
@@ -1638,7 +1666,10 @@ object SparkEntry {
       val mixed = Sampling.temperatureSampleByHash(
         goodDocs.join(sel, Seq("doc_id")).select("doc_id", "lang"),
         "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
-      val toks = base.join(mixed.select("doc_id"), Seq("doc_id"))
+      // mixture survivors ⊆ goodDocs, which is already pinned with its
+      // text — joining back to `base` would re-derive the whole
+      // domain-filter chain for rows goodDocs is holding anyway
+      val toks = goodDocs.join(mixed.select("doc_id"), Seq("doc_id"))
         .select(col("doc_id"),
           TextFunctions.bpeTokenCount(col("text")).cast("long")
             .as("n_tok"))
@@ -1650,6 +1681,7 @@ object SparkEntry {
         .localCheckpoint(true)
     } finally {
       kept.unpersist(false)
+      base.unpersist(false)
       if (goodDocs != null) goodDocs.unpersist(false)
     }
   }
@@ -2459,12 +2491,22 @@ object SparkEntry {
         |    substr(p_ent, 1, CAST(p_partkey % length(p_ent) AS INT)) ||
         |    substr(p_ent, CAST(p_partkey % length(p_ent) AS INT) + 2)
         |      AS d_name
-        |  FROM ent)
-        |SELECT d.d_id, p.p_partkey AS c_id,
-        |  levenshtein(d.d_name, p.p_ent) AS dist
-        |FROM dirty d, ent p
-        |WHERE abs(length(d.d_name) - length(p.p_ent)) <= 1
-        |  AND levenshtein(d.d_name, p.p_ent) <= 1""".stripMargin,
+        |  FROM ent),
+        |di AS (SELECT d_id, d_name,
+        |  unnest(generate_series(0, length(d_name))) AS i FROM dirty),
+        |dv AS (SELECT d_id, d_name, CASE WHEN i = 0 THEN d_name
+        |  ELSE substr(d_name, 1, CAST(i AS INT) - 1) ||
+        |    substr(d_name, CAST(i AS INT) + 1) END AS v FROM di),
+        |ei AS (SELECT p_partkey, p_ent,
+        |  unnest(generate_series(0, length(p_ent))) AS i FROM ent),
+        |ev AS (SELECT p_partkey, p_ent, CASE WHEN i = 0 THEN p_ent
+        |  ELSE substr(p_ent, 1, CAST(i AS INT) - 1) ||
+        |    substr(p_ent, CAST(i AS INT) + 1) END AS v FROM ei),
+        |cand AS (SELECT DISTINCT d_id, d_name, p_partkey, p_ent
+        |  FROM dv JOIN ev USING (v))
+        |SELECT d_id, p_partkey AS c_id,
+        |  levenshtein(d_name, p_ent) AS dist
+        |FROM cand WHERE levenshtein(d_name, p_ent) <= 1""".stripMargin,
     "ts_resample" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,

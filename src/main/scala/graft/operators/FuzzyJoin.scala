@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   *   - Prefix-filter lemma: under ANY global total order, two sets each
   *     missing at most `p` of the other must collide within their
   *     `p + 1` smallest elements. So each string indexes only its
-  *     `k*q + 1` smallest (gram, occ) pairs — hash order, so the index
-  *     is deterministic and skew-resistant (no frequent-gram hot
-  *     posting list carries a whole string's candidates) — and the
-  *     candidate join touches prefix postings only, never the full
-  *     gram table.
+  *     `k*q + 1` smallest (gram, occ) pairs under Ed-Join's
+  *     frequency-ascending order (rarest grams first, computed over
+  *     both sides) — which steers every prefix toward discriminative
+  *     grams, so near-duplicate families never flood one posting list
+  *     — and the candidate join touches prefix postings only, never
+  *     the full gram table.
   *   - Strings too short for the lemma to bite (a pair can evade the
   *     prefix collision only when BOTH gram sets have size <= `k*q`)
   *     fall into a brute bucket — which is therefore closed:
@@ -35,9 +36,9 @@ import org.apache.spark.sql.functions._
   * quadratic join. */
 object FuzzyJoin {
 
-  /** All `s` grams as (h, g, occ) structs — `occ` numbers repeated
-    * grams so duplicates survive set semantics, `h` = md5(g:occ) is the
-    * global prefix order. Empty array when `|s| < q`. */
+  /** All `s` grams as (g, occ) structs — `occ` numbers repeated grams
+    * so duplicates survive set semantics. Empty array when `|s| < q`.
+    * `(g, occ)` pairs are distinct within one string by construction. */
   private def gramSet(s: Column, q: Int): Column = {
     val n = length(s) - q + 1
     val grams = when(n >= 1,
@@ -45,35 +46,71 @@ object FuzzyJoin {
       .otherwise(array().cast("array<string>"))
     transform(grams, (g, i) => {
       val occ = size(filter(slice(grams, lit(1), i), x => x === g))
-      struct(md5(concat(g, lit(":"), occ.cast("string"))).as("h"),
-        g.as("g"), occ.as("occ"))
+      struct(g.as("g"), occ.as("occ"))
     })
   }
 
-  /** Prefix posting list: the `k*q + 1` hash-smallest (gram, occ) pairs
-    * per string. */
-  private def posting(df: DataFrame, idCol: String, strCol: String,
-      q: Int, k: Int, side: String): DataFrame =
+  /** One exploded (id, g, occ) row per gram of each string. */
+  private def allGrams(df: DataFrame, idCol: String, strCol: String,
+      q: Int, side: String): DataFrame =
     df.select(col(idCol).as(s"${side}_id"), col(strCol).as(s"${side}_s"))
       .filter(col(s"${side}_s").isNotNull)
       .select(col(s"${side}_id"),
-        explode(slice(array_sort(gramSet(col(s"${side}_s"), q)),
-          1, k * q + 1)).as("e"))
+        explode(gramSet(col(s"${side}_s"), q)).as("e"))
       .select(col(s"${side}_id"), col("e.g"), col("e.occ"))
 
-  /** The fuzzy join. `left`/`right` must expose distinct id column
-    * names; output is `(leftId, rightId, dist)` with
-    * `dist = levenshtein <= maxDist`, exactly the quadratic join's
-    * pairs. `q` trades index size (q·k+1 postings per string) against
-    * gram selectivity. */
-  def join(left: DataFrame, leftId: String, leftStr: String,
+  /** Prefix posting list: each string's `k*q + 1` RAREST (gram, occ)
+    * pairs under the corpus-wide document-frequency order (`dfreq`,
+    * ties by (g, occ)) — Ed-Join's frequency-ascending prefix. The
+    * order matters enormously in practice: a frequency-oblivious
+    * (hashed) order lets every member of a large near-duplicate family
+    * index the family's shared grams, and the candidate join goes
+    * quadratic in the family size; rarest-first pushes each string's
+    * prefix toward its DISCRIMINATIVE grams, so hot posting lists
+    * never form. Any global total order preserves the recall lemma. */
+  private def posting(grams: DataFrame, side: String, k: Int, q: Int,
+      dfreq: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"${side}_id"))
+      .orderBy(col("_df"), col("g"), col("occ"))
+    grams
+      // left join: a gram absent from dfreq (impossible when dfreq is
+      // built over both sides, defensive otherwise) ranks rarest
+      .join(dfreq, Seq("g", "occ"), "left")
+      .na.fill(1L, Seq("_df"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k * q + 1)
+      .select(col(s"${side}_id"), col("g"), col("occ"))
+  }
+
+  /** Candidate pair ids BEFORE exact verification — the prefix-filtered
+    * gram-join candidates plus the closed short bucket. Public so the
+    * scale harness can gate candidate volume (~linear in data) without
+    * re-deriving the index. */
+  def candidatePairs(left: DataFrame, leftId: String, leftStr: String,
       right: DataFrame, rightId: String, rightStr: String,
       maxDist: Int, q: Int = 3): DataFrame = {
-    require(leftId != rightId,
-      "fuzzy join output needs distinct id column names")
     val k = maxDist
-    val lp = posting(left, leftId, leftStr, q, k, "l")
-    val rp = posting(right, rightId, rightStr, q, k, "r")
+    // Each skinny intermediate below is materialized once (eager local
+    // checkpoint; blocks release with the RDD): the gram tables feed
+    // both the frequency aggregate and their posting window, the
+    // frequency table feeds both posting sides, and the postings feed
+    // the candidate join — left lazy, the O(L²)-per-string gram
+    // expression would re-evaluate at every consumer. At corpus scale
+    // you materialize the (id, gram) table once for the same reason.
+    val lg = allGrams(left, leftId, leftStr, q, "l").localCheckpoint(true)
+    val rg = allGrams(right, rightId, rightStr, q, "r")
+      .localCheckpoint(true)
+    // corpus-wide (gram, occ) document frequency over BOTH sides — the
+    // global prefix order. Gram-keyed aggregate, output bounded by the
+    // distinct-gram vocabulary, never by row count.
+    val dfreq = lg.select(col("g"), col("occ"))
+      .unionAll(rg.select(col("g"), col("occ")))
+      .groupBy(col("g"), col("occ"))
+      .agg(count(lit(1)).as("_df"))
+      .localCheckpoint(true)
+    val lp = posting(lg, "l", k, q, dfreq).localCheckpoint(true)
+    val rp = posting(rg, "r", k, q, dfreq).localCheckpoint(true)
     val gramCands = lp.join(rp, Seq("g", "occ"))
       .select(col("l_id"), col("r_id")).distinct()
 
@@ -89,7 +126,22 @@ object FuzzyJoin {
     val shortCands = ls.crossJoin(rs)
       .select(col("l_id"), col("r_id"))
 
-    val cands = gramCands.unionByName(shortCands).distinct()
+    gramCands.unionByName(shortCands).distinct()
+  }
+
+  /** The fuzzy join. `left`/`right` must expose distinct id column
+    * names; output is `(leftId, rightId, dist)` with
+    * `dist = levenshtein <= maxDist`, exactly the quadratic join's
+    * pairs. `q` trades index size (q·k+1 postings per string) against
+    * gram selectivity. */
+  def join(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    require(leftId != rightId,
+      "fuzzy join output needs distinct id column names")
+    val k = maxDist
+    val cands = candidatePairs(left, leftId, leftStr, right, rightId,
+      rightStr, maxDist, q)
     cands
       .join(left.select(col(leftId).as("l_id"),
         col(leftStr).as("l_s")), Seq("l_id"))

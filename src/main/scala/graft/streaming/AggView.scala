@@ -107,71 +107,69 @@ object AggView {
     requireIntegral(batch.schema, spec)
     val keys = batch.select(spec.keyCols.map(col): _*).distinct()
     // pre-batch state of the batch's keys, tombstones included —
-    // version-bounded so a crash-replay recomputes identical deltas
-    val oldState = BucketedState.stateForKeys(spark, keyStateDir,
-      batch.schema, stateBuckets, spec.keyCols, keys,
+    // version-bounded so a crash-replay recomputes identical deltas,
+    // and byte-identical however often the delta evaluates even after
+    // the merge below lands new versions
+    val oldState: DataFrame = BucketedState.stateForKeys(spark,
+      keyStateDir, batch.schema, stateBuckets, spec.keyCols, keys,
       beforeBatch = Some(batchId))
-      // the retract branch, the add branch, and the key-state merge all
-      // hang off it; pin the (batch-sized) frame so the bucket scan and
-      // semi-join run once
-      .localCheckpoint(eager = true)
+    val newState =
+      CdcMerge.latestByKey(oldState.unionByName(batch), spec.keyCols)
+    def contrib(df: DataFrame, sign: Int): DataFrame =
+      df.filter(col(OpCol) =!= OpDelete)
+        .select(spec.groupCols.map(col)
+          :+ lit(sign.toLong).as("_w")
+          :+ struct(spec.measureCols.map(m =>
+            coalesce(col(m).cast(LongType), lit(0L)).as(m)): _*)
+            .as("_m"): _*)
+    // ±1-weighted group deltas: ONE aggregate over at most
+    // 2×|batch-touched rows|
+    val delta = contrib(oldState, -1).unionByName(contrib(newState, 1))
+      .groupBy(spec.groupCols.map(col): _*)
+      .agg(sum(col("_w")).as("_d_cnt"),
+        spec.measureCols.map(m =>
+          sum(col("_w") * col(s"_m.$m")).as(s"_d_$m")): _*)
+      // groups the batch left untouched value-wise are no-ops: don't
+      // rewrite their buckets, don't bump their version
+      .filter(spec.measureCols.map(m => col(s"_d_$m") =!= 0L)
+        .foldLeft(col("_d_cnt") =!= 0L)(_ || _))
+      // three consumers (touched-group listing, the fold join, and the
+      // view merge's own input evaluation) — and each delta evaluation
+      // re-reads the old-state buckets and re-runs the collapse window,
+      // so the pin pays for itself immediately
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val newState =
-        CdcMerge.latestByKey(oldState.unionByName(batch), spec.keyCols)
-      def contrib(df: DataFrame, sign: Int): DataFrame =
-        df.filter(col(OpCol) =!= OpDelete)
-          .select(spec.groupCols.map(col)
-            :+ lit(sign.toLong).as("_w")
-            :+ struct(spec.measureCols.map(m =>
-              coalesce(col(m).cast(LongType), lit(0L)).as(m)): _*)
-              .as("_m"): _*)
-      // ±1-weighted group deltas: ONE aggregate over at most
-      // 2×|batch-touched rows|
-      val delta = contrib(oldState, -1).unionByName(contrib(newState, 1))
-        .groupBy(spec.groupCols.map(col): _*)
-        .agg(sum(col("_w")).as("_d_cnt"),
-          spec.measureCols.map(m =>
-            sum(col("_w") * col(s"_m.$m")).as(s"_d_$m")): _*)
-        // groups the batch left untouched value-wise are no-ops: don't
-        // rewrite their buckets, don't bump their version
-        .filter(spec.measureCols.map(m => col(s"_d_$m") =!= 0L)
-          .foldLeft(col("_d_cnt") =!= 0L)(_ || _))
-        .localCheckpoint(eager = true) // read twice (touched keys + fold)
-      try {
-        // key-state merge AFTER the pre-batch read (beforeBatch makes the
-        // order immaterial for correctness; this order reads v<batchId
-        // listings before new versions land)
-        BucketedState.mergeBatch(batch, batchId, keyStateDir, spec.keyCols,
-          stateBuckets)
-        val aggSchema = viewSchema(batch.schema, spec)
-        val touched = delta.select(spec.groupCols.map(col): _*)
-        // current aggregates of ONLY the touched groups; null-safe join
-        // because a group column may legitimately hold null
-        val aggOld = BucketedState.stateForKeys(spark, viewDir, aggSchema,
-          viewBuckets, spec.groupCols, touched,
-          beforeBatch = Some(batchId))
-          .filter(col(OpCol) =!= OpDelete)
-        val d = delta.alias("d")
-        val o = aggOld.alias("o")
-        val joined = d.join(o,
-          spec.groupCols.map(g => col(s"d.$g") <=> col(s"o.$g"))
-            .reduce(_ && _),
-          "left")
-        val newCnt = coalesce(col(s"o.$CntCol"), lit(0L)) + col("_d_cnt")
-        val events = joined.select(
-          spec.groupCols.map(g => col(s"d.$g").as(g))
-            ++ Seq(newCnt.as(CntCol))
-            ++ spec.measureCols.map(m =>
-              (coalesce(col(s"o.${spec.sumCol(m)}"), lit(0L))
-                + col(s"_d_$m")).as(spec.sumCol(m)))
-            ++ Seq(
-              when(newCnt === 0L, lit(ChangeEvent.OpDelete))
-                .otherwise(lit(OpUpdate)).as(OpCol),
-              lit(batchId).as(SeqCol)): _*)
-        BucketedState.mergeBatch(events, batchId, viewDir, spec.groupCols,
-          viewBuckets)
-      } finally delta.unpersist()
-    } finally oldState.unpersist()
+    // key-state merge AFTER the pre-batch read (beforeBatch makes the
+    // order immaterial for correctness; this order reads v<batchId
+    // listings before new versions land)
+    BucketedState.mergeBatch(batch, batchId, keyStateDir, spec.keyCols,
+      stateBuckets)
+    val aggSchema = viewSchema(batch.schema, spec)
+    val touched = delta.select(spec.groupCols.map(col): _*)
+    // current aggregates of ONLY the touched groups; null-safe join
+    // because a group column may legitimately hold null
+    val aggOld = BucketedState.stateForKeys(spark, viewDir, aggSchema,
+      viewBuckets, spec.groupCols, touched,
+      beforeBatch = Some(batchId))
+      .filter(col(OpCol) =!= OpDelete)
+    val joined = delta.alias("d").join(aggOld.alias("o"),
+      spec.groupCols.map(g => col(s"d.$g") <=> col(s"o.$g"))
+        .reduce(_ && _),
+      "left")
+    val newCnt = coalesce(col(s"o.$CntCol"), lit(0L)) + col("_d_cnt")
+    val events = joined.select(
+      spec.groupCols.map(g => col(s"d.$g").as(g))
+        ++ Seq(newCnt.as(CntCol))
+        ++ spec.measureCols.map(m =>
+          (coalesce(col(s"o.${spec.sumCol(m)}"), lit(0L))
+            + col(s"_d_$m")).as(spec.sumCol(m)))
+        ++ Seq(
+          when(newCnt === 0L, lit(ChangeEvent.OpDelete))
+            .otherwise(lit(OpUpdate)).as(OpCol),
+          lit(batchId).as(SeqCol)): _*)
+    BucketedState.mergeBatch(events, batchId, viewDir, spec.groupCols,
+      viewBuckets)
+    } finally delta.unpersist(false)
   }
 
   /** Start the maintenance stream over a file change log (same source

@@ -78,7 +78,13 @@ object BucketedState {
       ignoreDeletes: Boolean = false,
       tombstoneHorizon: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    // pinned: evaluated twice (touched-bucket listing + merged write).
+    // For a file-backed batch the pin merely saves a re-scan; for a
+    // COMPUTED batch (AggView's delta fold, StreamScd's repacked
+    // histories) it halves the per-batch work
     val effective = CdcMerge.filterOps(batch, ignoreUpdates, ignoreDeletes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val touched = effective
       .select(bucketExpr(keyCols, nBuckets).as(BucketTag))
       .distinct().collect().map(_.getInt(0)).sorted
@@ -108,6 +114,7 @@ object BucketedState {
       f.create(new Path(dst, Marker)).close()
     }
     f.delete(new Path(staging), true)
+    } finally effective.unpersist(false)
   }
 
   /** Drop per-bucket versions older than the newest `keep`
