@@ -223,6 +223,19 @@ object SparkEntry {
   private def cdcScd2(s: SparkSession, dir: String): DataFrame =
     Scd.scd2(ChangeFeed.full(s, dir), Seq("o_orderkey"))
 
+  /** Time travel over the SCD2 history: the orders table as of the
+    * stream's midpoint sequence (max key × 5 — scale-relative, so the
+    * cut bisects the feed at every SF), reconstructed with
+    * [[Scd.stateAt]]'s interval-cover filter. Oracle: LWW over the
+    * truncated feed — history + cover predicate must reproduce it
+    * exactly, including keys already deleted at the cut. */
+  private def scd2TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val maxKey = ChangeFeed.orders(s, dir)
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    Scd.stateAt(Scd.scd2(ChangeFeed.full(s, dir), Seq("o_orderkey")),
+      lit(maxKey * 5))
+  }
+
   /** [[cdcScd2]]'s streaming twin: the same version history maintained
     * INCREMENTALLY across micro-batches by [[graft.streaming.StreamScd]]
     * — per batch only the batch keys' histories are read (bucket-pruned),
@@ -2100,6 +2113,7 @@ object SparkEntry {
     "snapshot_diff" -> (snapshotDiff _),
     "cdc_scd2" -> (cdcScd2 _),
     "stream_scd2" -> (streamScd2 _),
+    "scd2_time_travel" -> (scd2TimeTravel _),
     "dq_audit" -> (dqAudit _),
     "event_funnel" -> (eventFunnel _),
     "event_retention" -> (eventRetention _),
@@ -2426,6 +2440,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "cdc_scd2" -> scd2OracleSql,
     "stream_scd2" -> scd2OracleSql,
+    "scd2_time_travel" ->
+      s"""$ordersChangesCte, ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY o_orderkey ORDER BY _seq DESC) AS rn
+         |  FROM changes
+         |  WHERE _seq <= (SELECT max(o_orderkey) * 5 FROM orders))
+         |SELECT $ordersPayload FROM ranked WHERE rn = 1 AND _op <> 'D'"""
+        .stripMargin,
     "dq_audit" ->
       """SELECT 'lineitem_pk_unique' AS rule,
         |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))

@@ -39,4 +39,18 @@ object Scd {
       .withColumnRenamed(seqCol, "valid_from")
       .drop(opCol)
   }
+
+  /** Time travel: the table's state as of sequence `seq`, reconstructed
+    * from a [[scd2]] history — the interval-cover predicate, nothing
+    * else, so it is a scan-local filter over the history table (at
+    * scale: a parquet range predicate on `valid_from`/`valid_to`,
+    * pushed to the scan). Equals the LWW state of the feed truncated
+    * at `seq` exactly (spec-proven; a delete closes its predecessor's
+    * interval, so a key dead at `seq` has no covering row). */
+  def stateAt(history: DataFrame,
+      seq: org.apache.spark.sql.Column): DataFrame =
+    history
+      .filter(col("valid_from") <= seq &&
+        (col("valid_to").isNull || col("valid_to") > seq))
+      .drop("valid_from", "valid_to", "is_current")
 }

@@ -33,9 +33,7 @@ class ScdSpec extends AnyFunSuite {
 
   test("point-in-time reconstruction equals the LWW state at S") {
     for (s <- Seq(12L, 22L, 32L, 60L)) {
-      val asOf = history
-        .filter(col("valid_from") <= s &&
-          (col("valid_to").isNull || col("valid_to") > s))
+      val asOf = Scd.stateAt(history, lit(s))
         .select("k", "v").as[(Long, String)].collect().toSet
       val lww = CdcMerge.latestByKey(
         feed.filter(col("_seq") <= s), Seq("k"))
