@@ -1262,6 +1262,51 @@ object SparkEntry {
       nlist = 16, nprobe = 4, native = true)
   }
 
+  /** IVF index maintained INCREMENTALLY under a CDC vector stream
+    * ([[graft.streaming.VectorIndex]]): bootstrap trains + freezes the
+    * coarse quantizer on the initial corpus (ids with `vec_id % 3 ≠ 0`)
+    * and seeds the state; the stream then inserts the missing third,
+    * re-embeds every 5th vector (sign-flip — exact in float AND
+    * replayable in SQL), and deletes every 7th — all through the
+    * O(batch) merge path, assignment at ingest under the frozen
+    * centroids. Serving probes the maintained lists. The oracle
+    * retrains the same Lloyd chain on the bootstrap subset, derives
+    * the same final vector set arithmetically, and replays
+    * assignment → probe → score → rank term for term. */
+  private def annIncremental(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_vecidx_")
+    val emb = t(s, dir, "embeddings")
+    val conf = streaming.VectorIndex.Conf()
+    val id = col("vec_id")
+    streaming.VectorIndex.bootstrap(
+      emb.filter(id % 3 =!= 0).select(col("vec_id"), col("embedding")),
+      work, conf)
+    val vecType = emb.schema("embedding").dataType
+    val inserts = emb.filter(id % 3 === 0)
+      .select(id, col("embedding"), lit("I").as("_op"),
+        (id * 10).as("_seq"))
+    val updates = emb.filter(id % 5 === 0)
+      .select(id, transform(col("embedding"), x => -x).cast(vecType)
+        .as("embedding"), lit("U").as("_op"), (id * 10 + 1).as("_seq"))
+    val deletes = emb.filter(id % 7 === 0)
+      .select(id, lit(null).cast(vecType).as("embedding"),
+        lit("D").as("_op"), (id * 10 + 2).as("_seq"))
+    val feed = inserts.unionByName(updates).unionByName(deletes)
+    feed.repartition(2).write.mode("overwrite").parquet(s"$work/changes")
+    val q = streaming.VectorIndex.start(s, s"$work/changes", feed.schema,
+      work, s"$work/ckpt", conf, maxFilesPerTrigger = Some(1),
+      maintenance = streaming.CdcStream.Maintenance(gcEvery = 1))
+    q.awaitTermination()
+    val view = streaming.VectorIndex.indexedView(s, work, feed.schema,
+      conf)
+    val queries = view.filter(col("neighbor_id") < 10)
+      .select(col("neighbor_id").as("vec_id"),
+        col("cv").as("embedding"))
+    streaming.VectorIndex.topK(s, work, feed.schema, queries, k = 5,
+      conf)
+  }
+
   /** Hard-negative mining: per query vector, the 5 most-similar
     * corpus vectors with a DIFFERENT class label — the contrastive-
     * training counterpart of ann_topk (same broadcast + scan-local +
@@ -2170,6 +2215,7 @@ object SparkEntry {
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_incremental" -> (annIncremental _),
     "ann_quantized" -> (annQuantized _),
     "ann_hard_negatives" -> (annHardNegatives _),
     "coreset_kcenter" -> (coresetKcenter _),
@@ -2942,6 +2988,7 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
+    "ann_incremental" -> annIncrementalOracle,
     "dedup_semantic" ->
       s"""$ivfCbuckCtes
          |, av AS (
@@ -4601,7 +4648,11 @@ object SparkEntry {
     * argmax) plus the full-corpus cluster assignment — ends at `cbuck
     * (vec_id, bucket)` with `e (vec_id, v)` still in scope. Serves both
     * ann_ivf and dedup_semantic, which must agree on the clustering. */
-  private def ivfCbuckCtes: String = {
+  /** The deterministic Lloyd chain: `e` := `eSelect`, 2048-row sample,
+    * 3 unrolled iterations → `cents3` — the SQL twin of
+    * [[graft.operators.Similarity.kmeansCentroids]] over the same
+    * training set. */
+  private def ivfCentsCtes(eSelect: String): String = {
     def assignCte(n: Int, cents: String): String =
       s""", assign$n AS (
          |  SELECT vec_id, cidx FROM (
@@ -4624,18 +4675,22 @@ object SparkEntry {
     val lloyd = (1 to 3).map(n => assignCte(n, s"cents${n - 1}") + "\n" +
       centsCte(n)).mkString("\n")
     s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |  $eSelect)
        |, samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048)
        |, cents0 AS (SELECT rn - 1 AS cidx, v AS p FROM (
        |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM samp)
        |  WHERE rn <= 16)
-       |$lloyd
+       |$lloyd""".stripMargin
+  }
+
+  private def ivfCbuckCtes: String =
+    s"""${ivfCentsCtes(
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")}
        |, cbuck AS (
        |  SELECT vec_id, cidx AS bucket FROM (
        |    SELECT e.vec_id, c.cidx, row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosineSql("e.v", "c.p")} DESC, c.cidx DESC) AS rn
        |    FROM e, cents3 c) WHERE rn = 1)""".stripMargin
-  }
 
   private def annIvfOracle: String =
     s"""$ivfCbuckCtes
@@ -4649,6 +4704,46 @@ object SparkEntry {
        |  FROM qprobe q JOIN cbuck c ON c.bucket = q.bucket
        |  WHERE c.vec_id <> q.query_id)
        |$annScoreRankSql""".stripMargin
+
+  /** DuckDB replay of the incrementally-maintained IVF index: Lloyd
+    * retrained on the bootstrap subset only (the frozen quantizer),
+    * the final vector set derived arithmetically from the same I/U/D
+    * rules the Spark feed applies (insert the `% 3` third, sign-flip
+    * the `% 5` fifths, drop the `% 7` sevenths), then the identical
+    * assignment → probe → score → rank chain over that final set. */
+  private def annIncrementalOracle: String =
+    s"""${ivfCentsCtes("SELECT vec_id, embedding::DOUBLE[] AS v " +
+          "FROM embeddings WHERE vec_id % 3 <> 0")}
+       |, fin AS (
+       |  SELECT vec_id, CASE WHEN vec_id % 5 = 0
+       |      THEN list_transform(embedding::DOUBLE[], x -> -x)
+       |      ELSE embedding::DOUBLE[] END AS v
+       |  FROM embeddings WHERE vec_id % 7 <> 0)
+       |, cbuck AS (
+       |  SELECT vec_id, cidx AS bucket FROM (
+       |    SELECT f.vec_id, c.cidx, row_number() OVER (PARTITION BY f.vec_id
+       |      ORDER BY ${cosineSql("f.v", "c.p")} DESC, c.cidx DESC) AS rn
+       |    FROM fin f, cents3 c) WHERE rn = 1)
+       |, qprobe AS (
+       |  SELECT vec_id AS query_id, cidx AS bucket FROM (
+       |    SELECT f.vec_id, c.cidx, row_number() OVER (PARTITION BY f.vec_id
+       |      ORDER BY ${cosineSql("f.v", "c.p")} DESC, c.cidx DESC) AS rn
+       |    FROM fin f, cents3 c WHERE f.vec_id < 10) WHERE rn <= 4)
+       |, cand AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id
+       |  FROM qprobe q JOIN cbuck c ON c.bucket = q.bucket
+       |  WHERE c.vec_id <> q.query_id)
+       |, scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(${cosineSql("qe.v", "ce.v")}, 4) AS sim
+       |  FROM cand
+       |  JOIN fin qe ON qe.vec_id = cand.query_id
+       |  JOIN fin ce ON ce.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
 
   /** DuckDB replay of Similarity.quantizedTopK(rescore=30, k=5):
     * per-vector symmetric int8 quantization (scale = max|x|/127 with the

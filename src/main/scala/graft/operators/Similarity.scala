@@ -381,6 +381,20 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv")).repartition(par)
       .withColumn("bucket", nearestCentroid(col("cv"), cents, native))
+    ivfTopKAssigned(c, queries, cents, k, nprobe, idCol, vecCol,
+      roundTo, native)
+  }
+
+  /** IVF probe against a corpus whose bucket assignment is ALREADY
+    * materialized — the serving path of an incrementally-maintained
+    * index ([[graft.streaming.VectorIndex]]), where assignment happened
+    * at ingest under frozen centroids and re-deriving it per query
+    * would defeat the index. `corpusAssigned` must expose
+    * `(neighbor_id, cv: array<double>, bucket)`. */
+  def ivfTopKAssigned(corpusAssigned: DataFrame, queries: DataFrame,
+      cents: Array[Array[Double]], k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 4, native: Boolean = false): DataFrame = {
     // query side: rank all centroids, keep the nprobe closest
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
@@ -388,7 +402,7 @@ object Similarity {
         centroidScores(col("qv"), cents, native))), 1, nprobe))
       .select(col("query_id"), col("qv"),
         explode(col("probe").getField("i")).as("bucket"))
-    val scored = c.join(q, Seq("bucket"))
+    val scored = corpusAssigned.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
         round(cosineBy(native)(col("qv"), col("cv")), roundTo))
