@@ -1367,6 +1367,51 @@ object BenchScale {
       "batch_keys" -> probeKeys.size.toLong))
   }
 
+  /** Incremental IVF maintenance against a ×1 vs ×N index: a FIXED
+    * 64-vector re-embed batch must cost the same against both (key
+    * buckets ∝ data, so bucket volume is flat; assignment is a
+    * scan-local broadcast argmax). The frozen quantizer trains on the
+    * 2048 id-smallest vectors — copy 0 at every scale, so both indexes
+    * share identical centroids and the probe's post-update list
+    * assignments are scale-invariant evidence. */
+  private def runVecIndex(s: SparkSession, dir: String,
+      scale: Int): OpResult = {
+    val work = newTempDir("graft_scale_vecidx_")
+    // trainSample within copy 0 (the base corpus holds 2000 vectors):
+    // both scales train on identical vectors → identical centroids
+    val conf = streaming.VectorIndex.Conf(stateBuckets = 64 * scale,
+      trainSample = 1024)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    streaming.VectorIndex.bootstrap(emb, work, conf)
+    val stateRows = emb.count()
+    val probeKeys = emb.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(64).collect().map(_.getLong(0)).toSeq
+    val vecType = emb.schema("embedding").dataType
+    val probe = emb
+      .filter(col("vec_id").isin(probeKeys.map(Long.box): _*))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => -x).cast(vecType)
+          .as("embedding"),
+        lit("U").as("_op"), lit(1L).as("_seq"))
+      .coalesce(1).localCheckpoint(eager = true)
+    val r = timed {
+      streaming.VectorIndex.applyBatch(probe, 0L, work, conf)
+      0L
+    }(Map.empty)
+    val schema = probe.schema
+    val view = streaming.VectorIndex.indexedView(s, work, schema, conf)
+      .filter(col("neighbor_id").isin(probeKeys.map(Long.box): _*))
+    // post-update assignment census of the probe keys — identical
+    // centroids + identical probe vectors ⇒ identical at every scale
+    val vRow = view.agg(count(lit(1)),
+      coalesce(sum(col("bucket")), lit(0L))).head()
+    probe.unpersist()
+    OpResult(r.secs, Map("out_rows" -> vRow.getLong(0),
+      "list_sum" -> vRow.getLong(1), "state_rows" -> stateRows,
+      "batch_keys" -> probeKeys.size.toLong))
+  }
+
   /** Data-file count of the sigs+bands store dirs. */
   private def storeFiles(store: String): Long = {
     import scala.jdk.CollectionConverters._
@@ -1461,6 +1506,8 @@ object BenchScale {
       "agg_view" -> (d => runAggView(spark, d,
         if (d.endsWith("x1")) 1 else n)),
       "stream_scd2" -> (d => runStreamScd(spark, d,
+        if (d.endsWith("x1")) 1 else n)),
+      "ann_incremental" -> (d => runVecIndex(spark, d,
         if (d.endsWith("x1")) 1 else n)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
@@ -1781,6 +1828,14 @@ object BenchScale {
             atN.evidence("closed_rows") == at1.evidence("batch_keys") &&
             atN.evidence("current_rows") == at1.evidence("batch_keys") &&
             atN.evidence("state_rows") == at1.evidence("state_rows") * n
+        case "ann_incremental" =>
+          // O(batch) index maintenance: the fixed probe's post-update
+          // rows AND their list assignments (identical frozen
+          // centroids) match at both scales; state ×N behind them
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("list_sum") == at1.evidence("list_sum") &&
+            atN.evidence("state_rows") == at1.evidence("state_rows") * n &&
+            atN.evidence("batch_keys") == at1.evidence("batch_keys")
         case _ =>
           atN.evidence("out_rows") == at1.evidence("out_rows") * n
       }

@@ -169,10 +169,15 @@ object BucketedState {
     * or its last checkpoint is known durable. Single maintenance writer
     * at a time, same rule as the merge path.
     */
+  /** `clusterBy`: sort each compacted bucket file by these DATA columns
+    * (e.g. [[VectorIndex]]'s IVF list id) so a serving scan's filter on
+    * them prunes at parquet row-group level via min/max stats — the
+    * bucketed layout's answer to secondary-predicate locality. */
   def optimize(spark: SparkSession, targetDir: String,
       stateSchema: StructType, nBuckets: Int, keyCols: Seq[String],
       tombstoneHorizon: Option[Long] = None,
-      keepVersions: Int = 2): Unit = {
+      keepVersions: Int = 2,
+      clusterBy: Seq[String] = Nil): Unit = {
     val f = fs(spark, targetDir)
     // recovery from a previous crashed optimize: a trash dir whose new
     // version is not marker-complete means the swap died mid-flight —
@@ -211,6 +216,7 @@ object BucketedState {
       // in exactly one task, so the partitioned write emits ONE file
       // per bucket
       .repartition(col(BucketTag))
+      .sortWithinPartitions((BucketTag +: clusterBy).map(col): _*)
       .write.mode("overwrite").partitionBy(BucketTag).parquet(staging)
     latest.foreach { case (b, v) =>
       val src = new Path(s"$staging/$BucketTag=$b")

@@ -47,7 +47,7 @@ object VectorIndex {
 
   final case class Conf(dim: Int = 64, nlist: Int = 16, nprobe: Int = 4,
       stateBuckets: Int = 16, idCol: String = "vec_id",
-      vecCol: String = "embedding")
+      vecCol: String = "embedding", trainSample: Int = 2048)
 
   private val ListCol = "ivf_list"
 
@@ -71,7 +71,8 @@ object VectorIndex {
       snapshotSeq: Long = 0L): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     val cents = Similarity.kmeansCentroids(corpus, conf.dim, conf.nlist,
-      idCol = conf.idCol, vecCol = conf.vecCol)
+      idCol = conf.idCol, vecCol = conf.vecCol,
+      trainSample = conf.trainSample)
     import spark.implicits._
     cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cidx", "centroid")
@@ -136,6 +137,20 @@ object VectorIndex {
       .trigger(trigger)
       .start()
   }
+
+  /** Maintenance pass: compact each key-bucket's latest version to one
+    * file SORTED BY the IVF list id (plus version GC / tombstone
+    * expiry, [[BucketedState.optimize]]) — after it, a serving scan's
+    * `bucket ∈ probes` predicate skips non-probed lists at parquet
+    * row-group level via min/max stats. */
+  def optimize(spark: SparkSession, indexDir: String,
+      changeSchema: StructType, conf: Conf,
+      tombstoneHorizon: Option[Long] = None,
+      keepVersions: Int = 2): Unit =
+    BucketedState.optimize(spark, s"$indexDir/state",
+      stateSchema(changeSchema, conf), conf.stateBuckets,
+      Seq(conf.idCol), tombstoneHorizon, keepVersions,
+      clusterBy = Seq(ListCol))
 
   /** The live indexed corpus: `(neighbor_id, cv, bucket)` — the shape
     * [[Similarity.ivfTopKAssigned]] serves from. */

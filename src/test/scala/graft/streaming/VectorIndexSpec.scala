@@ -93,6 +93,31 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(after(2L) == before(2L))
   }
 
+  test("optimize clusters each bucket file by list id, view unchanged") {
+    val work = tmp()
+    val conf = VectorIndex.Conf(stateBuckets = 4)
+    val boot = emb
+    VectorIndex.bootstrap(boot, work, conf)
+    val schema = boot
+      .withColumn("_op", lit("I")).withColumn("_seq", lit(0L)).schema
+    val before = rows(VectorIndex.indexedView(spark, work, schema, conf))
+    VectorIndex.optimize(spark, work, schema, conf, keepVersions = 1)
+    val after = rows(VectorIndex.indexedView(spark, work, schema, conf))
+    assert(after == before)
+    // every bucket: one compacted file whose ivf_list column is sorted
+    (0 until conf.stateBuckets).foreach { b =>
+      val vdirs = new java.io.File(s"$work/state/bucket=$b").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      assert(vdirs.length == 1, s"bucket $b not GCed to one version")
+      val files = vdirs.head.listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"bucket $b not compacted to one file")
+      val lists = spark.read.parquet(files.head.getPath)
+        .select("ivf_list").collect().map(_.getInt(0)).toSeq
+      assert(lists == lists.sorted, s"bucket $b file not list-clustered")
+    }
+  }
+
   test("crash-replay of a batch is idempotent") {
     val work = tmp()
     val conf = VectorIndex.Conf(stateBuckets = 8)
