@@ -99,10 +99,17 @@ object AggView {
 
   /** One micro-batch of delta maintenance: merge the batch into the
     * key-level state AND fold its group deltas into the view state.
-    * Public so batch backfills replay the exact streaming semantics. */
+    * Public so batch backfills replay the exact streaming semantics.
+    *
+    * `serve` (optional) receives the batch's emitted group events —
+    * the new `(groupCols, cnt, sum_*, _op, _seq)` rows of exactly the
+    * touched groups, `_op = D` where a group's live count reached
+    * zero — while they are still pinned, so a downstream push (the
+    * JDBC delta in [[startToJdbc]]) costs O(touched groups) with no
+    * extra state read. */
   def applyBatch(batch: DataFrame, batchId: Long, keyStateDir: String,
       viewDir: String, spec: Spec, stateBuckets: Int,
-      viewBuckets: Int): Unit = {
+      viewBuckets: Int, serve: DataFrame => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
     requireIntegral(batch.schema, spec)
     val keys = batch.select(spec.keyCols.map(col): _*).distinct()
@@ -169,6 +176,7 @@ object AggView {
           lit(batchId).as(SeqCol)): _*)
     BucketedState.mergeBatch(events, batchId, viewDir, spec.groupCols,
       viewBuckets)
+    serve(events)
     } finally delta.unpersist(false)
   }
 
@@ -191,6 +199,62 @@ object AggView {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, keyStateDir, viewDir, spec,
           stateBuckets, viewBuckets)
+        maintenance.run(spark, keyStateDir, batchId, batch.schema,
+          spec.keyCols, Some(stateBuckets))
+        maintenance.run(spark, viewDir, batchId,
+          viewSchema(batch.schema, spec), spec.groupCols,
+          Some(viewBuckets))
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** [[start]], plus a real-database serving endpoint for the VIEW —
+    * the reference's continuous-replication posture applied to the
+    * aggregate table a dashboard actually reads: after each
+    * micro-batch's fold, the JDBC table is brought to agreement on the
+    * batch's TOUCHED GROUPS only (delete-then-insert per group via
+    * [[graft.sources.JdbcSink.upsertKeys]]; a group whose live count
+    * hit zero is deleted) — database work per trigger is O(touched
+    * groups), never O(groups), and the push input is the already-pinned
+    * event frame, so no state is re-read. The first batch against a
+    * missing table bootstraps with a full
+    * [[graft.sources.JdbcSink.replace]] of the current view. A crash
+    * before checkpoint commit replays the batch into the same
+    * idempotent push — exactly-once observable serving state. */
+  def startToJdbc(spark: SparkSession, changesDir: String,
+      changeSchema: StructType, keyStateDir: String, viewDir: String,
+      checkpointDir: String, spec: Spec, jdbcUrl: String,
+      jdbcTable: String, stateBuckets: Int = 16, viewBuckets: Int = 8,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      jdbcOptions: Map[String, String] = Map.empty,
+      maintenance: CdcStream.Maintenance = CdcStream.Maintenance())
+      : StreamingQuery = {
+    import graft.sources.JdbcSink
+    var reader = spark.readStream.schema(changeSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n))
+    val guarded = CdcMerge.requireKeys(reader.parquet(changesDir),
+      spec.keyCols, jdbcTable)
+    guarded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, keyStateDir, viewDir, spec,
+          stateBuckets, viewBuckets, serve = events => {
+            if (!JdbcSink.tableExists(jdbcUrl, jdbcTable, jdbcOptions)) {
+              JdbcSink.replace(
+                currentView(spark, viewDir, batch.schema, spec,
+                  viewBuckets),
+                jdbcUrl, jdbcTable, options = jdbcOptions)
+            } else {
+              val keys = events.select(spec.groupCols.map(col): _*)
+              val live = events.filter(col(OpCol) =!= OpDelete)
+                .select(spec.outputCols.map(col): _*)
+              JdbcSink.upsertKeys(keys, live, spec.groupCols, jdbcUrl,
+                jdbcTable, options = jdbcOptions)
+            }
+          })
         maintenance.run(spark, keyStateDir, batchId, batch.schema,
           spec.keyCols, Some(stateBuckets))
         maintenance.run(spark, viewDir, batchId,
