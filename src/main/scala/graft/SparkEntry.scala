@@ -290,6 +290,13 @@ object SparkEntry {
     TimeSeries.gapFillDaily(events(s, dir), "user_id", "ts", "value")
       .withColumn("day", col("day").cast("string"))
 
+  /** Per-user daily OHLC rollup — open/close by (ts, event_id) total
+    * order, exact-decimal sums: ONE aggregate shuffle. */
+  private def tsOhlc(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.ohlcDaily(events(s, dir), "user_id", "ts", "value",
+      "event_id")
+      .withColumn("day", col("day").cast("string"))
+
   /** Edit-distance entity resolution: every part name with one
     * deterministically deleted character (position = key mod length)
     * fuzzy-joined back to the clean catalog at distance <= 1 via the
@@ -2163,6 +2170,7 @@ object SparkEntry {
     "event_funnel" -> (eventFunnel _),
     "event_retention" -> (eventRetention _),
     "ts_resample" -> (tsResample _),
+    "ts_ohlc" -> (tsOhlc _),
     "fuzzy_join" -> (fuzzyJoin _),
     "profile_table" -> (profileTable _),
     "q3_join" -> (q3Join _),
@@ -2594,6 +2602,24 @@ object SparkEntry {
         |    AS sum_value
         |FROM spine s LEFT JOIN daily d USING (user_id, day)"""
         .stripMargin,
+    "ts_ohlc" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, CAST(ts AS DATE) AS day, value, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM ev)
+        |SELECT user_id, CAST(day AS VARCHAR) AS day,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  min(value) AS low, max(value) AS high,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "snapshot_diff" ->
       """SELECT 'U' AS _op, o_orderkey, o_custkey,
         |  o_totalprice + 1000.0 AS o_totalprice

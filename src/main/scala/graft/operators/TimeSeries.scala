@@ -27,6 +27,28 @@ import org.apache.spark.sql.functions._
   * not a key was alive — this pays only each key's own span. */
 object TimeSeries {
 
+  /** OHLC downsampling: per (key, day), the first/last/min/max of
+    * `valueCol` with first/last resolved by `(ts, tiebreak)` — the
+    * ClickHouse `argMin/argMax` materialized-rollup every metrics
+    * pipeline builds over the synced table. ONE aggregate shuffle on
+    * (key, day); open/close ride as `max_by`/`min_by` over a
+    * `(ts, tiebreak)` struct so the result is total-ordered and
+    * deterministic even when two events share a timestamp. Sums are
+    * exact decimal (order-independent), emitted as double. */
+  def ohlcDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tiebreakCol: String): DataFrame = {
+    val ord = struct(col(tsCol), col(tiebreakCol))
+    df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max_by(col(valueCol), ord).as("close"),
+        min(col(valueCol)).as("low"),
+        max(col(valueCol)).as("high"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+  }
+
   /** Daily resample of `df` per `keyCol`: one row per (key, day) from
     * the key's first active day through its last, `n_events` = rows
     * that day, `sum_value` = exact decimal sum of `valueCol` (0, not

@@ -66,4 +66,26 @@ class TimeSeriesSpec extends AnyFunSuite {
           .cast("double").as("sum_value"))
     assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
   }
+
+  test("ohlc: open/close by (ts, tiebreak) total order, exact extremes") {
+    // u1 Jan 1: two events at the SAME timestamp — tiebreak decides
+    // open (id 1) and close (id 2); plus an earlier/later pair
+    val e = Seq(
+      (1L, 10L, "2024-01-01 09:00:00", 5.0),
+      (1L, 1L, "2024-01-01 12:00:00", 2.5),
+      (1L, 2L, "2024-01-01 12:00:00", 9.0),
+      (1L, 3L, "2024-01-01 18:00:00", 4.0),
+      (2L, 4L, "2024-01-02 01:00:00", 7.0)
+    ).toDF("u", "eid", "ts_s", "v")
+      .selectExpr("u", "eid", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    val got = TimeSeries.ohlcDaily(e, "u", "ts", "v", "eid")
+      .select(col("u"), col("day").cast("string"), col("open"),
+        col("close"), col("low"), col("high"), col("n_events"),
+        col("sum_value"))
+      .as[(Long, String, Double, Double, Double, Double, Long, Double)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01", 5.0, 4.0, 2.5, 9.0, 4L, 20.5),
+      (2L, "2024-01-02", 7.0, 7.0, 7.0, 7.0, 1L, 7.0)))
+  }
 }
