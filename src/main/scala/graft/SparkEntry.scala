@@ -297,6 +297,38 @@ object SparkEntry {
       "event_id")
       .withColumn("day", col("day").cast("string"))
 
+  /** Trailing 7-day rolling activity per user over the daily grain —
+    * RANGE frame on the epoch-day, so calendar gaps shorten the
+    * window without manufacturing fill rows. */
+  private def tsRolling(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollingDaily(events(s, dir), "user_id", "ts", "value", 7)
+      .withColumn("day", col("day").cast("string"))
+
+  /** Wide pivot with a DECLARED value list (implicit pivot pays a
+    * corpus-sized distinct pre-scan at 100 TB): returnflag rows ×
+    * linestatus columns, exact-decimal sums emitted as double. */
+  private def aggPivot(s: SparkSession, dir: String): DataFrame =
+    Reshape.pivot(t(s, dir, "lineitem"), Seq("l_returnflag"),
+      "l_linestatus", Seq("F", "O"),
+      sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .withColumnRenamed("F", "qty_F")
+      .withColumnRenamed("O", "qty_O")
+
+  /** Long melt of a wide aggregate: per-flag (sum_qty, sum_price)
+    * unpivoted to (metric, val) rows — Spark-native `unpivot`, a
+    * scan-local generator over the 3-row aggregate. */
+  private def aggUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+    Reshape.melt(wide, Seq("l_returnflag"), Seq("sum_qty", "sum_price"),
+      "metric", "val")
+  }
+
   /** Edit-distance entity resolution: every part name with one
     * deterministically deleted character (position = key mod length)
     * fuzzy-joined back to the clean catalog at distance <= 1 via the
@@ -2171,6 +2203,9 @@ object SparkEntry {
     "event_retention" -> (eventRetention _),
     "ts_resample" -> (tsResample _),
     "ts_ohlc" -> (tsOhlc _),
+    "ts_rolling" -> (tsRolling _),
+    "agg_pivot" -> (aggPivot _),
+    "agg_unpivot" -> (aggUnpivot _),
     "fuzzy_join" -> (fuzzyJoin _),
     "profile_table" -> (profileTable _),
     "q3_join" -> (q3Join _),
@@ -2620,6 +2655,40 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "ts_rolling" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(day AS VARCHAR) AS day,
+        |  CAST(sum(sv) OVER w AS DOUBLE) AS roll_sum,
+        |  CAST(sum(n) OVER w AS BIGINT) AS roll_events
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS "qty_F",
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS "qty_O"
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val
+        |FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val
+        |FROM wide""".stripMargin,
     "snapshot_diff" ->
       """SELECT 'U' AS _op, o_orderkey, o_custkey,
         |  o_totalprice + 1000.0 AS o_totalprice

@@ -49,6 +49,33 @@ object TimeSeries {
           .as("sum_value"))
   }
 
+  /** Trailing `windowDays`-day rolling sums per key over the daily
+    * grain — the moving-average/rate frame on top of the rollup.
+    *
+    * Plan: the (key, day) aggregate pays the one data-sized shuffle;
+    * the window then re-exchanges only the ALREADY-AGGREGATED daily
+    * frame on `key` (rows = active key-days, a tiny fraction of the
+    * input) and sorts within partitions. The frame is a RANGE frame
+    * over the epoch-day number, so calendar gaps shorten the window
+    * arithmetically — no gap-fill rows are manufactured just to make
+    * a ROWS frame honest. Sums are exact decimal inside the frame
+    * (order-independent), emitted as double. */
+  def rollingDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowDays: Int): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("sv"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("epoch_day"))
+      .rangeBetween(-(windowDays - 1L), 0L)
+    daily
+      .withColumn("epoch_day",
+        datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .select(col(keyCol), col("day"),
+        sum(col("sv")).over(w).cast("double").as("roll_sum"),
+        sum(col("n")).over(w).as("roll_events"))
+  }
+
   /** Daily resample of `df` per `keyCol`: one row per (key, day) from
     * the key's first active day through its last, `n_events` = rows
     * that day, `sum_value` = exact decimal sum of `valueCol` (0, not

@@ -88,4 +88,28 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1L, "2024-01-01", 5.0, 4.0, 2.5, 9.0, 4L, 20.5),
       (2L, "2024-01-02", 7.0, 7.0, 7.0, 7.0, 1L, 7.0)))
   }
+
+  test("rolling: RANGE frame shortens across calendar gaps") {
+    // u1 active Jan 1, 4, 12 with a 3-day window: Jan 4 still sees
+    // Jan 1? No — window is [day-2, day], so Jan 4 sees only itself;
+    // make Jan 3 active instead to prove inclusion, Jan 12 isolation.
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 2.0),
+      (1L, "2024-01-03 10:00:00", 3.0),
+      (1L, "2024-01-04 10:00:00", 5.0),
+      (1L, "2024-01-12 10:00:00", 1.0),
+      (2L, "2024-01-03 10:00:00", 9.0)
+    ).toDF("u", "ts_s", "v")
+      .selectExpr("u", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    val got = TimeSeries.rollingDaily(e, "u", "ts", "v", 3)
+      .select(col("u"), col("day").cast("string"), col("roll_sum"),
+        col("roll_events"))
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01", 2.0, 1L),          // nothing before
+      (1L, "2024-01-03", 5.0, 2L),          // Jan 1 within [1,3]
+      (1L, "2024-01-04", 8.0, 2L),          // Jan 1 aged out of [2,4]
+      (1L, "2024-01-12", 1.0, 1L),          // isolated — gap > window
+      (2L, "2024-01-03", 9.0, 1L)))         // keys never mix
+  }
 }
