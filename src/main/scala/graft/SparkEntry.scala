@@ -304,6 +304,22 @@ object SparkEntry {
     TimeSeries.rollingDaily(events(s, dir), "user_id", "ts", "value", 7)
       .withColumn("day", col("day").cast("string"))
 
+  /** Trailing-baseline outliers: a user-day whose total deviates from
+    * the preceding 14-day window by > 2σ (self-excluded baseline of
+    * ≥ 4 active days). Exact decimal moments inside the window; one
+    * fixed double tree outside — the oracle replays it term-for-term. */
+  private def tsAnomaly(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.anomalies(events(s, dir), "user_id", "ts", "value",
+      baselineDays = 14, tau = 2.0, minBaseline = 4)
+      .withColumn("day", col("day").cast("string"))
+
+  /** Linear interpolation across inactive days — the "unobserved ≠
+    * zero" twin of ts_resample, lerping each gap day between its
+    * surrounding active days' exact daily sums. */
+  private def tsInterp(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.interpolateDaily(events(s, dir), "user_id", "ts", "value")
+      .withColumn("day", col("day").cast("string"))
+
   /** Wide pivot with a DECLARED value list (implicit pivot pays a
     * corpus-sized distinct pre-scan at 100 TB): returnflag rows ×
     * linestatus columns, exact-decimal sums emitted as double. */
@@ -2204,6 +2220,8 @@ object SparkEntry {
     "ts_resample" -> (tsResample _),
     "ts_ohlc" -> (tsOhlc _),
     "ts_rolling" -> (tsRolling _),
+    "ts_anomaly" -> (tsAnomaly _),
+    "ts_interp" -> (tsInterp _),
     "agg_pivot" -> (aggPivot _),
     "agg_unpivot" -> (aggUnpivot _),
     "fuzzy_join" -> (fuzzyJoin _),
@@ -2667,6 +2685,57 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day
         |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)"""
         .stripMargin,
+    "ts_anomaly" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |wnd AS (
+        |  SELECT user_id, day, x,
+        |    count(x) OVER w AS n_base,
+        |    CAST(sum(x) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,4))) OVER w AS DOUBLE)
+        |      AS sx2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN INTERVAL 14 DAY PRECEDING
+        |      AND INTERVAL 1 DAY PRECEDING))
+        |SELECT user_id, CAST(day AS VARCHAR) AS day,
+        |  CAST(x AS DOUBLE) AS value,
+        |  sx / n_base AS mu,
+        |  sqrt(greatest(0.0,
+        |    (sx2 - sx * sx / n_base) / (n_base - 1))) AS sigma,
+        |  n_base
+        |FROM wnd
+        |WHERE n_base >= 4
+        |  AND abs(CAST(x AS DOUBLE) - sx / n_base) >
+        |    2.0 * sqrt(greatest(0.0,
+        |      (sx2 - sx * sx / n_base) / (n_base - 1)))"""
+        .stripMargin,
+    "ts_interp" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d0,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |led AS (
+        |  SELECT user_id, d0, v,
+        |    lead(d0) OVER (PARTITION BY user_id ORDER BY d0) AS d1,
+        |    lead(v) OVER (PARTITION BY user_id ORDER BY d0) AS v1
+        |  FROM daily),
+        |sp AS (
+        |  SELECT user_id, d0, v, d1, v1,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(coalesce(d1 - 1, d0) AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS fd
+        |  FROM led)
+        |SELECT user_id, CAST(fd AS VARCHAR) AS day,
+        |  CASE WHEN fd = d0 THEN CAST(v AS DOUBLE)
+        |    ELSE CAST(v AS DOUBLE) +
+        |      (CAST(v1 AS DOUBLE) - CAST(v AS DOUBLE)) *
+        |      (CAST(date_diff('day', d0, fd) AS DOUBLE) /
+        |       CAST(date_diff('day', d0, d1) AS DOUBLE)) END AS value,
+        |  fd <> d0 AS interpolated
+        |FROM sp""".stripMargin,
     "agg_pivot" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN l_linestatus = 'F'

@@ -76,6 +76,86 @@ object TimeSeries {
         sum(col("n")).over(w).as("roll_events"))
   }
 
+  /** Trailing-baseline anomaly detection on the daily grain: a day is
+    * anomalous when its total deviates from the PRECEDING
+    * `baselineDays`-day window by more than `tau` sample standard
+    * deviations (the day itself is excluded from its own baseline, so
+    * a spike cannot vouch for itself). Emits only flagged rows.
+    *
+    * Determinism across engines (the oracle twin replays this in
+    * DuckDB): the window carries only EXACT decimal moment sums
+    * (n, Σx, Σx²) — order-independent — and mean/variance are derived
+    * from them in one fixed double expression, so both engines
+    * evaluate the identical IEEE tree. A windowed `stddev` would hang
+    * the gate on two engines' accumulation orders.
+    *
+    * Plan: same two exchanges as [[rollingDaily]] — the data-sized
+    * (key, day) aggregate, then a key-partitioned RANGE window over
+    * active key-days only. Variance ≥ 0 is clamped (FP cancellation
+    * near-constant baselines). */
+  def anomalies(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, baselineDays: Int, tau: Double,
+      minBaseline: Int): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("x"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("epoch_day"))
+      .rangeBetween(-baselineDays.toLong, -1L)
+    daily
+      .withColumn("epoch_day",
+        datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .withColumn("n_base", count(col("x")).over(w))
+      .withColumn("sx", sum(col("x")).over(w).cast("double"))
+      .withColumn("sx2",
+        sum((col("x") * col("x")).cast("decimal(38,4)")).over(w)
+          .cast("double"))
+      .where(col("n_base") >= minBaseline)
+      .withColumn("mu", col("sx") / col("n_base"))
+      .withColumn("sigma", sqrt(greatest(lit(0.0),
+        (col("sx2") - col("sx") * col("sx") / col("n_base")) /
+          (col("n_base") - 1))))
+      .where(abs(col("x").cast("double") - col("mu")) >
+        lit(tau) * col("sigma"))
+      .select(col(keyCol), col("day"), col("x").cast("double").as("value"),
+        col("mu"), col("sigma"), col("n_base"))
+  }
+
+  /** Linear interpolation across inactive days — the gap-fill twin
+    * for continuous metrics, where a missing day means "unobserved",
+    * not zero. Each gap day gets the value lerped between the
+    * surrounding active days' daily sums; active days keep their own.
+    *
+    * Plan: identical to [[gapFillDaily]] — ONE data-sized aggregate,
+    * a lead window over active key-days, a bounded scan-local
+    * `sequence` explode per gap. The lerp is a fixed double
+    * expression of exact decimal endpoints, so the oracle twin
+    * reproduces it bit-for-bit. */
+  def interpolateDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("v"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    daily
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .withColumn("next_v", lead(col("v"), 1).over(w))
+      .select(col(keyCol), col("day"), col("v"), col("next_day"),
+        col("next_v"),
+        explode(sequence(col("day"),
+          coalesce(date_sub(col("next_day"), 1), col("day")),
+          expr("interval 1 day"))).as("fill_day"))
+      .select(col(keyCol), col("fill_day").as("day"),
+        when(col("fill_day") === col("day"), col("v").cast("double"))
+          .otherwise(
+            // frac ∈ (0,1): position of the gap day inside [day, next)
+            col("v").cast("double") +
+              (col("next_v").cast("double") - col("v").cast("double")) *
+                (datediff(col("fill_day"), col("day")).cast("double") /
+                  datediff(col("next_day"), col("day")).cast("double")))
+          .as("value"),
+        (col("fill_day") =!= col("day")).as("interpolated"))
+  }
+
   /** Daily resample of `df` per `keyCol`: one row per (key, day) from
     * the key's first active day through its last, `n_events` = rows
     * that day, `sum_value` = exact decimal sum of `valueCol` (0, not

@@ -112,4 +112,45 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1L, "2024-01-12", 1.0, 1L),          // isolated — gap > window
       (2L, "2024-01-03", 9.0, 1L)))         // keys never mix
   }
+
+  test("anomalies: spike flagged against a SELF-EXCLUDED baseline") {
+    // u1: five flat days (10.0) then a 100.0 spike — only the spike
+    // day trips, and its μ/σ come from the five PRIOR days (μ=10,
+    // σ=0), proving the day can't vouch for itself. u2: mild wobble
+    // stays under 2σ. Short baselines (< 4 days) never flag.
+    val rows = (1 to 5).map(d => (1L, f"2024-01-0$d%d 10:00:00", 10.0)) ++
+      Seq((1L, "2024-01-06 10:00:00", 100.0),
+        (2L, "2024-01-01 10:00:00", 10.0), (2L, "2024-01-02 10:00:00", 12.0),
+        (2L, "2024-01-03 10:00:00", 8.0), (2L, "2024-01-04 10:00:00", 10.0),
+        (2L, "2024-01-05 10:00:00", 11.0))
+    val e = rows.toDF("u", "ts_s", "v")
+      .selectExpr("u", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    val got = TimeSeries.anomalies(e, "u", "ts", "v",
+      baselineDays = 14, tau = 2.0, minBaseline = 4)
+      .select(col("u"), col("day").cast("string"), col("value"),
+        col("mu"), col("sigma"), col("n_base"))
+      .as[(Long, String, Double, Double, Double, Long)].collect().toSet
+    assert(got == Set((1L, "2024-01-06", 100.0, 10.0, 0.0, 5L)))
+  }
+
+  test("interpolate: gap days lerped between exact daily endpoints") {
+    // u1: 10.0 on Jan 1, 16.0 on Jan 4 — Jan 2/3 lerp to 12/14; the
+    // last active day emits itself uninterpolated. u2: singleton.
+    val e = Seq(
+      (1L, "2024-01-01 08:00:00", 4.0), (1L, "2024-01-01 09:00:00", 6.0),
+      (1L, "2024-01-04 10:00:00", 16.0),
+      (2L, "2024-02-01 12:00:00", 5.5)
+    ).toDF("u", "ts_s", "v")
+      .selectExpr("u", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    val got = TimeSeries.interpolateDaily(e, "u", "ts", "v")
+      .select(col("u"), col("day").cast("string"), col("value"),
+        col("interpolated"))
+      .as[(Long, String, Double, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01", 10.0, false),
+      (1L, "2024-01-02", 12.0, true),
+      (1L, "2024-01-03", 14.0, true),
+      (1L, "2024-01-04", 16.0, false),
+      (2L, "2024-02-01", 5.5, false)))
+  }
 }
