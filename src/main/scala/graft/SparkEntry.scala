@@ -320,6 +320,40 @@ object SparkEntry {
     TimeSeries.interpolateDaily(events(s, dir), "user_id", "ts", "value")
       .withColumn("day", col("day").cast("string"))
 
+  /** Grouped decile profile of quantity per returnflag via
+    * [[operators.GlobalRank.groupedNtile]] — the distributed grouped
+    * ntile (ONE global range-partitioned rank + broadcast group
+    * offsets), not the one-task-per-group `ntile()` window. Bucket =
+    * exact `((rank−off)·k) div size`; the oracle replays that floor
+    * cut, not SQL ntile's remainder cut. */
+  private def qNtile(s: SparkSession, dir: String): DataFrame =
+    operators.GlobalRank.groupedNtile(
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber")),
+      Seq("l_returnflag"),
+      Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+      k = 10)
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).cast("double").as("min_qty"),
+        max(col("l_quantity")).cast("double").as("max_qty"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+
+  /** First-order Markov transition matrix of user behavior: per-user
+    * consecutive event-type bigrams under the (ts, event_id) total
+    * order, with per-source outgoing probabilities. */
+  private def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    Sequence.transitions(events(s, dir), "user_id", "event_type",
+      "ts", "event_id")
+
+  /** Per-user least-squares trend of daily spend vs epoch day — exact
+    * decimal moments reduced per key, slope/intercept in one fixed
+    * double tree the oracle replays verbatim. */
+  private def statsTrend(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.trendDaily(events(s, dir), "user_id", "ts", "value")
+
   /** Wide pivot with a DECLARED value list (implicit pivot pays a
     * corpus-sized distinct pre-scan at 100 TB): returnflag rows ×
     * linestatus columns, exact-decimal sums emitted as double. */
@@ -2224,6 +2258,9 @@ object SparkEntry {
     "ts_interp" -> (tsInterp _),
     "agg_pivot" -> (aggPivot _),
     "agg_unpivot" -> (aggUnpivot _),
+    "q_ntile" -> (qNtile _),
+    "event_transitions" -> (eventTransitions _),
+    "stats_trend" -> (statsTrend _),
     "fuzzy_join" -> (fuzzyJoin _),
     "profile_table" -> (profileTable _),
     "q3_join" -> (q3Join _),
@@ -2685,6 +2722,55 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day
         |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)"""
         .stripMargin,
+    "q_ntile" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) - 1 AS lr,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS gn
+        |  FROM lineitem)
+        |SELECT l_returnflag, (lr * 10) // gn AS bucket,
+        |  count(*) AS n_rows,
+        |  CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+        |  CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM pairs""".stripMargin,
+    "stats_trend" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS y
+        |  FROM events GROUP BY 1, 2),
+        |xd AS (
+        |  SELECT user_id, y,
+        |    CAST(date_diff('day', DATE '1970-01-01', day)
+        |      AS DECIMAL(18,0)) AS x
+        |  FROM daily),
+        |m AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+        |  FROM xd GROUP BY 1)
+        |SELECT user_id, n,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+        |    AS intercept
+        |FROM m WHERE n >= 2""".stripMargin,
     "ts_anomaly" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

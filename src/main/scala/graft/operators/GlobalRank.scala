@@ -56,4 +56,34 @@ object GlobalRank {
     spark.createDataFrame(ranked,
       df.schema.add(rankCol, LongType, nullable = false))
   }
+
+  /** Per-group k-quantile bucket (grouped ntile) WITHOUT per-group
+    * window tasks. `ntile() OVER (PARTITION BY g ORDER BY …)` plans
+    * one task per group holding the whole group — with 3 groups over
+    * 100 TB that is 3 reducers owning everything. Instead: ONE global
+    * [[rank]] under (group ++ order) — groups land contiguous in the
+    * global order, full range-partition parallelism — then each
+    * group's exclusive offset and size come from a |groups|-row
+    * aggregate, broadcast back, and the bucket is exact integer
+    * arithmetic `((rank − offset) · k) ÷ size` ∈ [0, k). (Bucket
+    * boundaries are the floor-of-proportion cut, not SQL ntile's
+    * remainder-to-early-buckets cut — document the contract, don't
+    * imitate the accident.) Requires `orderCols` to totally order
+    * rows within a group (include a unique tiebreaker). */
+  def groupedNtile(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column], k: Int,
+      bucketCol: String = "bucket"): DataFrame = {
+    require(k > 0, "GlobalRank.groupedNtile: k must be positive")
+    import org.apache.spark.sql.functions._
+    val ranked =
+      GlobalRank.rank(df, groupCols.map(col) ++ orderCols, "_grank")
+    val sizes = ranked.groupBy(groupCols.map(col): _*)
+      .agg(min(col("_grank")).as("_goff"), count(lit(1)).as("_gn"))
+    ranked.join(broadcast(sizes), groupCols)
+      // exact long arithmetic end-to-end: `div` is integer division
+      // (Column./ would detour through double)
+      .withColumn("_lrk", (col("_grank") - col("_goff")) * lit(k.toLong))
+      .withColumn(bucketCol, expr("_lrk div _gn"))
+      .drop("_grank", "_goff", "_gn", "_lrk")
+  }
 }

@@ -120,6 +120,46 @@ object TimeSeries {
         col("mu"), col("sigma"), col("n_base"))
   }
 
+  /** Per-key linear trend (least-squares slope/intercept) of the
+    * daily total against the epoch day — "is this key growing?",
+    * computed for every key at once.
+    *
+    * Determinism across engines: the per-key reduction carries only
+    * EXACT decimal moments (n, Σx, Σy, Σxy, Σx²; x = epoch day, an
+    * integer, y = the exact decimal daily sum) — all
+    * order-independent — and slope/intercept derive from them in one
+    * fixed IEEE double tree the oracle replays verbatim. A built-in
+    * `regr_slope` would hang the gate on engine-internal accumulation
+    * order. Keys need ≥ 2 distinct active days (the denominator is 0
+    * otherwise — no line through one point).
+    *
+    * Plan: the (key, day) aggregate is the one data-sized shuffle;
+    * the moment reduction then aggregates the daily frame per key —
+    * strictly smaller — and the closed form is scan-local. */
+  def trendDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("y"))
+      .withColumn("x",
+        datediff(col("day"), lit("1970-01-01")).cast("decimal(18,0)"))
+    val m = daily.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,4)")).cast("double")
+        .as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double")
+        .as("sxx"))
+    m.where(col("n") >= 2)
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n"))
+      .select(col(keyCol), col("n"), col("slope"), col("intercept"))
+  }
+
   /** Linear interpolation across inactive days — the gap-fill twin
     * for continuous metrics, where a missing day means "unobserved",
     * not zero. Each gap day gets the value lerped between the

@@ -56,4 +56,22 @@ class GlobalRankSpec extends AnyFunSuite {
     val plan = ranked.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
   }
+
+  test("groupedNtile: floor cut, dense buckets, no per-group window") {
+    // 2 groups × uneven sizes (7 and 3), k=3 — floor cut means group
+    // "a" splits 3/2/2... no: with n=7, bucket = i*3 div 7 →
+    // 0,0,0,1,1,2,2 (sizes 3,2,2); n=3 → 0,1,2 (one each).
+    val rows = (0 until 7).map(i => ("a", i.toLong)) ++
+      (0 until 3).map(i => ("b", i.toLong))
+    val g = rows.toDF("g", "v")
+    val got = GlobalRank.groupedNtile(g, Seq("g"), Seq(col("v")), 3)
+      .select("g", "v", "bucket").as[(String, Long, Long)]
+      .collect().toSet
+    val want = ((0 until 7).map(i => ("a", i.toLong, i * 3L / 7)) ++
+      (0 until 3).map(i => ("b", i.toLong, i.toLong))).toSet
+    assert(got == want)
+    val plan = GlobalRank.groupedNtile(g, Seq("g"), Seq(col("v")), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
 }

@@ -133,6 +133,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == Set((1L, "2024-01-06", 100.0, 10.0, 0.0, 5L)))
   }
 
+  test("trend: exact slope/intercept on a perfect line, singletons dropped") {
+    // u1: y = 3·x − 59000 over epoch days 19723..19725 (Jan 1–3 2024)
+    // — every moment stays double-exact, so slope/intercept are EXACT.
+    // u2: one day only — no line through one point.
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 169.0),
+      (1L, "2024-01-02 10:00:00", 172.0),
+      (1L, "2024-01-03 10:00:00", 175.0),
+      (2L, "2024-01-01 10:00:00", 7.0)
+    ).toDF("u", "ts_s", "v")
+      .selectExpr("u", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    val got = TimeSeries.trendDaily(e, "u", "ts", "v")
+      .select(col("u"), col("n"), col("slope"), col("intercept"))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == Set((1L, 3L, 3.0, -59000.0)))
+  }
+
   test("interpolate: gap days lerped between exact daily endpoints") {
     // u1: 10.0 on Jan 1, 16.0 on Jan 4 — Jan 2/3 lerp to 12/14; the
     // last active day emits itself uninterpolated. u2: singleton.
