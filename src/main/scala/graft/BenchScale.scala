@@ -1279,6 +1279,99 @@ object BenchScale {
       "gap_rows" -> gapRows))
   }
 
+  /** Rolling window over the daily grain: copied users keep their
+    * timestamps, so the active (key, day) frame and the total window
+    * mass replicate exactly ×N. */
+  private def runTsRolling(s: SparkSession, dir: String): OpResult = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = raw
+      .select(col("user_id"),
+        graft.sources.EventTs.asTimestamp(raw).as("ts"), col("value"))
+      .repartition(s.sparkContext.defaultParallelism)
+    var mass = 0L
+    val r = timed {
+      val out = graft.operators.TimeSeries
+        .rollingDaily(ev, "user_id", "ts", "value", 7)
+      val row = out.agg(count(lit(1)),
+        coalesce(sum(col("roll_events")), lit(0L))).head()
+      mass = row.getLong(1)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map("window_mass" -> mass))
+  }
+
+  /** Trailing-baseline anomalies: per-copy timelines are identical,
+    * so the flag set replicates EXACTLY ×N — no flag appears or
+    * disappears from seeing more users (baselines are per-key). */
+  private def runTsAnomaly(s: SparkSession, dir: String): OpResult = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = raw
+      .select(col("user_id"),
+        graft.sources.EventTs.asTimestamp(raw).as("ts"), col("value"))
+      .repartition(s.sparkContext.defaultParallelism)
+    timed {
+      graft.operators.TimeSeries
+        .anomalies(ev, "user_id", "ts", "value", 14, 2.0, 4)
+        .count()
+    }(Map.empty)
+  }
+
+  /** Markov transitions: the output domain is |event types|² —
+    * CONSTANT as data scales — per-pair counts replicate exactly ×N,
+    * and the probabilities are BIT-identical: p(×N) = (N·c)/(N·t)
+    * rounds to the same double as c/t because N·c and N·t are exactly
+    * representable, so both divisions round the same rational. The
+    * p_hash equality across scales is therefore an exact gate. */
+  private def runTransitions(s: SparkSession, dir: String): OpResult = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = raw
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        graft.sources.EventTs.asTimestamp(raw).as("ts"))
+      .repartition(s.sparkContext.defaultParallelism)
+    var nMass = 0L
+    var pHash = 0L
+    val r = timed {
+      val out = graft.operators.Sequence
+        .transitions(ev, "user_id", "event_type", "ts", "event_id")
+      val row = out.agg(count(lit(1)),
+        coalesce(sum(col("n")), lit(0L)),
+        coalesce(sum(hash(col("prev_type"), col("next_type"),
+          col("p")).cast("long")), lit(0L))).head()
+      nMass = row.getLong(1)
+      pHash = row.getLong(2)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map("n_mass" -> nMass,
+      "p_hash" -> pHash))
+  }
+
+  /** Grouped ntile: bucket count stays |groups|·k at every scale, the
+    * executed plan must contain NO WindowExec (the operator's whole
+    * point), and the ranked row count tracks the input. */
+  private def runGroupedNtile(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+    var buckets = 0L
+    var windowNodes = 0L
+    val r = timed {
+      val agg = graft.operators.GlobalRank
+        .groupedNtile(ev, Seq("event_type"),
+          Seq(col("value"), col("event_id")), 10)
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      windowNodes =
+        if (agg.queryExecution.executedPlan.toString.contains("Window"))
+          1L else 0L
+      val row = agg.agg(count(lit(1)),
+        coalesce(sum(col("c")), lit(0L))).head()
+      buckets = row.getLong(0)
+      row.getLong(1) // ranked rows = input rows
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map("buckets" -> buckets,
+      "window_nodes" -> windowNodes))
+  }
+
   /** Incremental aggregate-view maintenance against a ×1 vs ×N key
     * state: a FIXED 64-key probe batch must cost the same against both
     * — the touched group set is identical (copy-0 keys), the view's
@@ -1503,6 +1596,10 @@ object BenchScale {
       "profile_table" -> (d => runProfile(spark, d)),
       "fuzzy_join" -> (d => runFuzzyJoin(spark, d)),
       "ts_resample" -> (d => runTsResample(spark, d)),
+      "ts_rolling" -> (d => runTsRolling(spark, d)),
+      "ts_anomaly" -> (d => runTsAnomaly(spark, d)),
+      "event_transitions" -> (d => runTransitions(spark, d)),
+      "q_ntile" -> (d => runGroupedNtile(spark, d)),
       "agg_view" -> (d => runAggView(spark, d,
         if (d.endsWith("x1")) 1 else n)),
       "stream_scd2" -> (d => runStreamScd(spark, d,
@@ -1808,6 +1905,26 @@ object BenchScale {
           atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
             atN.evidence("n_sum") == at1.evidence("n_sum") * n &&
             atN.evidence("gap_rows") == at1.evidence("gap_rows") * n
+        case "ts_rolling" =>
+          // active key-days and total window mass exactly ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("window_mass") == at1.evidence("window_mass") * n
+        case "ts_anomaly" =>
+          // per-key baselines: the flag set replicates exactly ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n
+        case "event_transitions" =>
+          // |types|²-bounded output: ROWS CONSTANT under ×N data,
+          // count mass ×N, probabilities bit-identical (p_hash)
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("n_mass") == at1.evidence("n_mass") * n &&
+            atN.evidence("p_hash") == at1.evidence("p_hash")
+        case "q_ntile" =>
+          // ranked rows track input; bucket count |groups|·k at both
+          // scales; NO WindowExec in the executed plan at either
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("buckets") == at1.evidence("buckets") &&
+            atN.evidence("window_nodes") == 0L &&
+            at1.evidence("window_nodes") == 0L
         case "agg_view" =>
           // O(batch) view maintenance: fixed probe, group-row count
           // corpus-invariant, maintained count mass proves the ×N
