@@ -348,6 +348,21 @@ object SparkEntry {
     Sequence.transitions(events(s, dir), "user_id", "event_type",
       "ts", "event_id")
 
+  /** Last-touch attribution: each purchase attributed to the user's
+    * most recent PRECEDING click (the as-of self-join, expressed as a
+    * running ignore-nulls `last` over one sort window — no second
+    * shuffle). The gate emits attributed conversions with the
+    * touch→conversion gap in whole seconds: non-null longs throughout,
+    * because a nullable int64 column turns float64 in pandas and
+    * micro-precision would not survive the float round-trip. */
+  private def eventAttribution(s: SparkSession, dir: String): DataFrame =
+    Sequence.lastTouch(events(s, dir), "user_id", "event_type", "ts",
+      "event_id", touchType = "click", conversionType = "purchase")
+      .where(col("touch_id").isNotNull)
+      .select(col("user_id"), col("conversion_id"), col("touch_id"),
+        expr("(unix_micros(conversion_ts) - unix_micros(touch_ts))" +
+          " div 1000000").as("gap_s"))
+
   /** Per-user least-squares trend of daily spend vs epoch day — exact
     * decimal moments reduced per key, slope/intercept in one fixed
     * double tree the oracle replays verbatim. */
@@ -471,6 +486,29 @@ object SparkEntry {
     t(s, dir, "customer").join(t(s, dir, "orders"),
       col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
+
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame =
+    // the semi twin of q_anti_join: customers that DID order, without
+    // duplicating them per order — left_semi keeps the probe side
+    // row-identical (no fanout, no dedup pass), and the key set
+    // broadcasts when small
+    t(s, dir, "customer").join(t(s, dir, "orders"),
+      col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Deterministic per-group mode: the most frequent value, largest
+    * count first, SMALLEST value breaking count ties — a total order,
+    * so both engines agree. max_by over the (count, negated-order)
+    * struct keeps it ONE aggregate over the (group, value) counts —
+    * no row_number window. */
+  private def statsMode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(max_by(col("v"), struct(col("c"), (-col("v")).as("nv")))
+        .cast("double").as("mode_qty"),
+        max(col("c")).as("mode_n"))
 
   private def qRollup(s: SparkSession, dir: String): DataFrame =
     // multi-level aggregation surface: rollup with exact decimal sums
@@ -2259,7 +2297,10 @@ object SparkEntry {
     "agg_pivot" -> (aggPivot _),
     "agg_unpivot" -> (aggUnpivot _),
     "q_ntile" -> (qNtile _),
+    "q_semi_join" -> (qSemiJoin _),
+    "stats_mode" -> (statsMode _),
     "event_transitions" -> (eventTransitions _),
+    "event_attribution" -> (eventAttribution _),
     "stats_trend" -> (statsTrend _),
     "fuzzy_join" -> (fuzzyJoin _),
     "profile_table" -> (profileTable _),
@@ -2722,6 +2763,23 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day
         |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)"""
         .stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+        .stripMargin,
+    "stats_mode" ->
+      """WITH cnt AS (
+        |  SELECT l_returnflag, l_quantity AS v, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, v, c,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY c DESC, v ASC) AS rk
+        |  FROM cnt)
+        |SELECT l_returnflag, CAST(v AS DOUBLE) AS mode_qty,
+        |  c AS mode_n
+        |FROM r WHERE rk = 1""".stripMargin,
     "q_ntile" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_quantity,
@@ -2749,6 +2807,23 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) /
         |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
         |FROM pairs""".stripMargin,
+    "event_attribution" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click'
+        |        THEN event_id END IGNORE NULLS)
+        |      OVER lastw AS touch_id,
+        |    last_value(CASE WHEN event_type = 'click'
+        |        THEN ts END IGNORE NULLS)
+        |      OVER lastw AS touch_ts
+        |  FROM events
+        |  WINDOW lastw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS conversion_id, touch_id,
+        |  (epoch_us(ts) - epoch_us(touch_ts)) // 1000000 AS gap_s
+        |FROM w
+        |WHERE event_type = 'purchase' AND touch_id IS NOT NULL"""
+        .stripMargin,
     "stats_trend" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -38,4 +38,33 @@ object Sequence {
     pairs.withColumn("p",
       col("n").cast("double") / sum(col("n")).over(byPrev).cast("double"))
   }
+
+  /** Last-touch attribution: every `conversionType` event joined to
+    * the MOST RECENT preceding `touchType` event of the same key (or
+    * null if the key never touched before converting).
+    *
+    * Shape: this is an as-of self-join, but expressed as a running
+    * `last(…, ignoreNulls)` over the one key-partitioned sort window
+    * — an UNBOUNDED PRECEDING running frame, which Spark evaluates
+    * incrementally (state = one row), never re-scanning the frame per
+    * row. Same single data-sized exchange as [[transitions]]; the
+    * filter to conversions happens after, so output is conversion-
+    * sized. A join formulation would shuffle the table twice. */
+  def lastTouch(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tiebreakCol: String, touchType: String,
+      conversionType: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("touch",
+        last(when(col(typeCol) === touchType,
+          struct(col(tsCol).as("touch_ts"),
+            col(tiebreakCol).as("touch_id"))), ignoreNulls = true)
+          .over(w))
+      .where(col(typeCol) === conversionType)
+      .select(col(keyCol), col(tiebreakCol).as("conversion_id"),
+        col(tsCol).as("conversion_ts"),
+        col("touch.touch_id").as("touch_id"),
+        col("touch.touch_ts").as("touch_ts"))
+  }
 }
