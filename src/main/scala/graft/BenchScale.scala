@@ -1345,6 +1345,31 @@ object BenchScale {
       "p_hash" -> pHash))
   }
 
+  /** Last-touch attribution: copied users keep their timelines, so
+    * attributed conversions replicate exactly ×N and the total
+    * touch→conversion gap mass does too (same gaps, N times). */
+  private def runAttribution(s: SparkSession, dir: String): OpResult = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = raw
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        graft.sources.EventTs.asTimestamp(raw).as("ts"))
+      .repartition(s.sparkContext.defaultParallelism)
+    var gapMass = 0L
+    val r = timed {
+      val out = graft.operators.Sequence
+        .lastTouch(ev, "user_id", "event_type", "ts", "event_id",
+          "click", "purchase")
+        .where(col("touch_id").isNotNull)
+        .select(expr("(unix_micros(conversion_ts) -" +
+          " unix_micros(touch_ts)) div 1000000").as("gap_s"))
+      val row = out.agg(count(lit(1)),
+        coalesce(sum(col("gap_s")), lit(0L))).head()
+      gapMass = row.getLong(1)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map("gap_mass" -> gapMass))
+  }
+
   /** Grouped ntile: bucket count stays |groups|·k at every scale, the
     * executed plan must contain NO WindowExec (the operator's whole
     * point), and the ranked row count tracks the input. */
@@ -1599,6 +1624,7 @@ object BenchScale {
       "ts_rolling" -> (d => runTsRolling(spark, d)),
       "ts_anomaly" -> (d => runTsAnomaly(spark, d)),
       "event_transitions" -> (d => runTransitions(spark, d)),
+      "event_attribution" -> (d => runAttribution(spark, d)),
       "q_ntile" -> (d => runGroupedNtile(spark, d)),
       "agg_view" -> (d => runAggView(spark, d,
         if (d.endsWith("x1")) 1 else n)),
@@ -1918,6 +1944,11 @@ object BenchScale {
           atN.evidence("out_rows") == at1.evidence("out_rows") &&
             atN.evidence("n_mass") == at1.evidence("n_mass") * n &&
             atN.evidence("p_hash") == at1.evidence("p_hash")
+        case "event_attribution" =>
+          // identical per-copy timelines: attributed conversions and
+          // their gap mass replicate exactly ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("gap_mass") == at1.evidence("gap_mass") * n
         case "q_ntile" =>
           // ranked rows track input; bucket count |groups|·k at both
           // scales; NO WindowExec in the executed plan at either
