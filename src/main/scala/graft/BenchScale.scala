@@ -1370,6 +1370,91 @@ object BenchScale {
     r.copy(evidence = r.evidence ++ Map("gap_mass" -> gapMass))
   }
 
+  /** Linear multi-touch attribution: copied users replay identical
+    * journeys, so the (type, journey size, type count) histogram's KEY
+    * SET is scale-invariant — same rows, journey counts ×N — which
+    * pins both the journey assignment and the histogram cut. */
+  private def runLinearCredit(s: SparkSession, dir: String): OpResult = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = raw
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        graft.sources.EventTs.asTimestamp(raw).as("ts"))
+      .repartition(s.sparkContext.defaultParallelism)
+    var jMass = 0L
+    var keyHash = 0L
+    val r = timed {
+      val out = graft.operators.Sequence
+        .linearCredit(ev, "user_id", "event_type", "ts", "event_id",
+          Seq("view", "click"), "purchase")
+      val row = out.agg(count(lit(1)),
+        coalesce(sum(col("journeys")), lit(0L)),
+        coalesce(sum(hash(col("touch_type"), col("n_touches"),
+          col("c_type")).cast("long")), lit(0L))).head()
+      jMass = row.getLong(1)
+      keyHash = row.getLong(2)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map("journey_mass" -> jMass,
+      "key_hash" -> keyHash))
+  }
+
+  /** First-k paths: copies replay identical prefixes, so the path SET
+    * (and its hash) is scale-invariant while the per-path key counts
+    * carry all of ×N — the |types|^k-bounded output claim, measured. */
+  private def runPaths(s: SparkSession, dir: String): OpResult = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = raw
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        graft.sources.EventTs.asTimestamp(raw).as("ts"))
+      .repartition(s.sparkContext.defaultParallelism)
+    var keyMass = 0L
+    var pathHash = 0L
+    val r = timed {
+      val out = graft.operators.Sequence
+        .topPaths(ev, "user_id", "event_type", "ts", "event_id", 5)
+      val row = out.agg(count(lit(1)),
+        coalesce(sum(col("n_keys")), lit(0L)),
+        coalesce(sum(hash(col("path")).cast("long")), lit(0L))).head()
+      keyMass = row.getLong(1)
+      pathHash = row.getLong(2)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map("key_mass" -> keyMass,
+      "path_hash" -> pathHash))
+  }
+
+  /** Chunked sync checksum at ×N: the snapshot_diff drift replayed per
+    * copy over chunk size 256 — which divides the 1e8 doc-id copy
+    * offset, so every copy's damaged-chunk layout is identical and the
+    * mismatch list replicates exactly ×N. Time is the md5-over-text
+    * scan (linear CPU) plus a chunk-sized digest shuffle — rows never
+    * move, which is the operator's whole point. */
+  private def runSyncChecksum(s: SparkSession, dir: String): OpResult = {
+    val base = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val wid = pmod(col("doc_id"), lit(100000000L))
+    val tgt = base.filter(pmod(wid, lit(11)) =!= 0)
+      .withColumn("text", when(pmod(wid, lit(7)) === 0,
+        concat(col("text"), lit(" drift"))).otherwise(col("text")))
+      .unionByName(base.filter(pmod(wid, lit(13)) === 0)
+        .select((col("doc_id") + lit(5000000000L)).as("doc_id"),
+          col("lang"), col("text")))
+    var nmMass = 0L; var nrMass = 0L
+    val r = timed {
+      val out = graft.operators.SyncCheck.mismatchedChunks(base, tgt,
+        "doc_id", chunkSize = 256L,
+        digestCols = Seq(col("doc_id"), col("lang"), col("text")))
+      val row = out.agg(count(lit(1)),
+        coalesce(sum(col("n_master")), lit(0L)),
+        coalesce(sum(col("n_replica")), lit(0L))).head()
+      nmMass = row.getLong(1); nrMass = row.getLong(2)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map("n_master_mass" -> nmMass,
+      "n_replica_mass" -> nrMass))
+  }
+
   /** Grouped ntile: bucket count stays |groups|·k at every scale, the
     * executed plan must contain NO WindowExec (the operator's whole
     * point), and the ranked row count tracks the input. */
@@ -1625,6 +1710,9 @@ object BenchScale {
       "ts_anomaly" -> (d => runTsAnomaly(spark, d)),
       "event_transitions" -> (d => runTransitions(spark, d)),
       "event_attribution" -> (d => runAttribution(spark, d)),
+      "event_attribution_linear" -> (d => runLinearCredit(spark, d)),
+      "event_paths" -> (d => runPaths(spark, d)),
+      "sync_checksum" -> (d => runSyncChecksum(spark, d)),
       "q_ntile" -> (d => runGroupedNtile(spark, d)),
       "agg_view" -> (d => runAggView(spark, d,
         if (d.endsWith("x1")) 1 else n)),
@@ -1949,6 +2037,27 @@ object BenchScale {
           // their gap mass replicate exactly ×N
           atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
             atN.evidence("gap_mass") == at1.evidence("gap_mass") * n
+        case "event_attribution_linear" =>
+          // histogram KEY SET scale-invariant (same combos, hashed),
+          // journey counts carry all of ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("key_hash") == at1.evidence("key_hash") &&
+            atN.evidence("journey_mass") ==
+              at1.evidence("journey_mass") * n
+        case "event_paths" =>
+          // path SET scale-invariant (bounded by |types|^k), per-path
+          // key counts ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("path_hash") == at1.evidence("path_hash") &&
+            atN.evidence("key_mass") == at1.evidence("key_mass") * n
+        case "sync_checksum" =>
+          // per-copy damage layout identical (256 | copy offset):
+          // mismatched chunks and their row masses exactly ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("n_master_mass") ==
+              at1.evidence("n_master_mass") * n &&
+            atN.evidence("n_replica_mass") ==
+              at1.evidence("n_replica_mass") * n
         case "q_ntile" =>
           // ranked rows track input; bucket count |groups|·k at both
           // scales; NO WindowExec in the executed plan at either

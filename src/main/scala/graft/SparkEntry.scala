@@ -363,6 +363,49 @@ object SparkEntry {
         expr("(unix_micros(conversion_ts) - unix_micros(touch_ts))" +
           " div 1000000").as("gap_s"))
 
+  /** Linear multi-touch attribution: each purchase's credit split
+    * equally across ALL preceding view/click touches in its journey
+    * (journey = reverse-running conversion count, so the one sort
+    * window is incremental, never the O(n²) following-frame). Emitted
+    * as the exact (type, journey size, type count) histogram with
+    * `credit` = (journeys·c)/n — integers through one double division,
+    * because a float credit SUM is order-dependent and ungateable. */
+  private def eventAttributionLinear(s: SparkSession, dir: String): DataFrame =
+    Sequence.linearCredit(events(s, dir), "user_id", "event_type", "ts",
+      "event_id", touchTypes = Seq("view", "click"),
+      conversionType = "purchase")
+
+  /** Top first-5 paths: each user's first five event types joined with
+    * `>`, counted across users. row_number caps per-key state at 5
+    * before the collect; the path groupBy's cardinality is |types|^5,
+    * never users. */
+  private def eventPaths(s: SparkSession, dir: String): DataFrame =
+    Sequence.topPaths(events(s, dir), "user_id", "event_type", "ts",
+      "event_id", k = 5)
+
+  /** Chunked sync verification (pt-table-checksum shape): master vs the
+    * snapshot_diff drift replica reduced to per-1024-key chunk digests
+    * (count + bit_xor of 60-bit md5 row digests, price normalized to
+    * integer cents so the canonical string is float-format-free), then
+    * only damaged chunks emitted. The oracle recomputes both sides'
+    * digests independently in DuckDB — md5 is md5 everywhere, which is
+    * the point: a real replica checks itself without shipping rows. */
+  private def syncChecksum(s: SparkSession, dir: String): DataFrame = {
+    val cur = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val drifted = cur.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(cur.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+    SyncCheck.mismatchedChunks(cur, drifted, "o_orderkey",
+      chunkSize = 1024L,
+      digestCols = Seq(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long")))
+  }
+
   /** Per-user least-squares trend of daily spend vs epoch day — exact
     * decimal moments reduced per key, slope/intercept in one fixed
     * double tree the oracle replays verbatim. */
@@ -1085,6 +1128,50 @@ object SparkEntry {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("c_mktsegment",
         org.apache.spark.sql.types.StringType)))
+    s.read.schema(outSchema).parquet(s"$work/out")
+  }
+
+  /** Stream-stream interval join end-to-end: clicks and purchases read
+    * as two independent micro-batched streams over the same event feed,
+    * inner-joined on user with purchases landing within 24 h of the
+    * click — both sides buffered in watermarked state, which is what
+    * bounds memory at 100 TB (the range condition lets Spark evict a
+    * buffered row once the other side's watermark passes its window).
+    * AvailableNow replay with a generous delay drops nothing, so the
+    * batch interval join IS the oracle: micro-batch boundaries must not
+    * change the result. */
+  private def streamInterval(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_sint_")
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts"))
+    ev.repartition(2).write.parquet(s"$work/in")
+    def side(tpe: String) = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+      .where(col("event_type") === tpe)
+      .drop("event_type")
+    val joined = streaming.StreamJoins.streamStreamInterval(
+      side("click"), side("purchase"),
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      within = "24 hours", delay = "3650 days")
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("click_id"),
+        col("r.event_id").as("purchase_id"))
+    val q = joined.writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$work/out")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("click_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("purchase_id",
+        org.apache.spark.sql.types.LongType)))
     s.read.schema(outSchema).parquet(s"$work/out")
   }
 
@@ -2301,6 +2388,9 @@ object SparkEntry {
     "stats_mode" -> (statsMode _),
     "event_transitions" -> (eventTransitions _),
     "event_attribution" -> (eventAttribution _),
+    "event_attribution_linear" -> (eventAttributionLinear _),
+    "event_paths" -> (eventPaths _),
+    "sync_checksum" -> (syncChecksum _),
     "stats_trend" -> (statsTrend _),
     "fuzzy_join" -> (fuzzyJoin _),
     "profile_table" -> (profileTable _),
@@ -2351,6 +2441,7 @@ object SparkEntry {
     "streaming_dedup" -> (streamingDedup _),
     "skew_join" -> (skewJoin _),
     "stream_join_static" -> (streamJoinStatic _),
+    "stream_interval" -> (streamInterval _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -2824,6 +2915,73 @@ object SparkEntry {
         |FROM w
         |WHERE event_type = 'purchase' AND touch_id IS NOT NULL"""
         .stripMargin,
+    "event_attribution_linear" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS journey
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, journey, event_type AS touch_type,
+        |    count(*) AS c_type
+        |  FROM r
+        |  WHERE journey > 0 AND event_type IN ('view', 'click')
+        |  GROUP BY 1, 2, 3),
+        |tn AS (
+        |  SELECT touch_type, c_type,
+        |    CAST(sum(c_type) OVER (PARTITION BY user_id, journey)
+        |      AS BIGINT) AS n_touches
+        |  FROM t)
+        |SELECT touch_type, n_touches, c_type, count(*) AS journeys,
+        |  CAST(count(*) * c_type AS DOUBLE) / CAST(n_touches AS DOUBLE)
+        |    AS credit
+        |FROM tn GROUP BY 1, 2, 3""".stripMargin,
+    "event_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM o WHERE rn <= 5 GROUP BY 1)
+        |SELECT path, count(*) AS n_keys FROM p GROUP BY 1""".stripMargin,
+    "sync_checksum" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(floor((CASE WHEN o_orderkey % 7 = 0
+        |      THEN o_totalprice + 1000.0 ELSE o_totalprice END) * 100)
+        |      AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |md AS (
+        |  SELECT o_orderkey // 1024 AS chunk_id, count(*) AS n_master,
+        |    bit_xor(('0x' || substr(md5(
+        |      o_orderkey || '|' || o_custkey || '|' || cents),
+        |      1, 15))::BIGINT) AS xor_master
+        |  FROM m GROUP BY 1),
+        |rd AS (
+        |  SELECT o_orderkey // 1024 AS chunk_id, count(*) AS n_replica,
+        |    bit_xor(('0x' || substr(md5(
+        |      o_orderkey || '|' || o_custkey || '|' || cents),
+        |      1, 15))::BIGINT) AS xor_replica
+        |  FROM r GROUP BY 1)
+        |SELECT coalesce(md.chunk_id, rd.chunk_id) AS chunk_id,
+        |  coalesce(n_master, 0) AS n_master,
+        |  coalesce(n_replica, 0) AS n_replica,
+        |  xor_master, xor_replica
+        |FROM md FULL OUTER JOIN rd ON md.chunk_id = rd.chunk_id
+        |WHERE coalesce(n_master, 0) <> coalesce(n_replica, 0)
+        |  OR xor_master IS DISTINCT FROM xor_replica""".stripMargin,
     "stats_trend" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
@@ -3311,6 +3469,13 @@ object SparkEntry {
     "stream_join_static" ->
       """SELECT user_id, event_id, event_type, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
+    "stream_interval" ->
+      """SELECT l.user_id, l.event_id AS click_id,
+        |  r.event_id AS purchase_id
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 24 HOUR"""
+        .stripMargin,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
     "ann_incremental" -> annIncrementalOracle,

@@ -39,6 +39,77 @@ object Sequence {
       col("n").cast("double") / sum(col("n")).over(byPrev).cast("double"))
   }
 
+  /** Linear multi-touch attribution: each conversion's credit is split
+    * equally across ALL of the key's touch events (types in
+    * `touchTypes`) that precede it and follow the previous conversion —
+    * the standard "linear" model, reported as the exact distribution
+    * histogram rather than a float total.
+    *
+    * Journey assignment avoids as-of-join machinery entirely: an event
+    * belongs to journey `j` = number of conversions at-or-after it in
+    * the key's timeline, computed as a RUNNING sum over the REVERSED
+    * sort order (Spark evaluates `UNBOUNDED PRECEDING` frames
+    * incrementally; the equivalent `CURRENT ROW .. UNBOUNDED FOLLOWING`
+    * frame over the forward order re-aggregates per row — O(n²) per
+    * key). Events after the key's last conversion get j = 0 and are
+    * unattributed.
+    *
+    * Output groups journeys by (touch type, journey size n, type count
+    * c): `journeys` is the exact count of such journeys and `credit` =
+    * (journeys·c)/n — exact integers through one double division, the
+    * fixed tree both engines evaluate bit-identically. Summing credits
+    * across rows is deliberately left to the reader: a distributed
+    * float sum is order-dependent and could not be oracle-gated.
+    *
+    * Shape: the same single data-sized exchange as [[transitions]]
+    * (one key-partitioned sort window), then aggregates over journey-
+    * and histogram-sized frames only. */
+  def linearCredit(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tiebreakCol: String, touchTypes: Seq[String],
+      conversionType: String): DataFrame = {
+    val rev = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tiebreakCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perJourney = df
+      .withColumn("journey",
+        sum(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+          .over(rev))
+      .where(col("journey") > 0 && col(typeCol).isInCollection(touchTypes))
+      .groupBy(col(keyCol), col("journey"), col(typeCol).as("touch_type"))
+      .agg(count(lit(1)).as("c_type"))
+    val journeySize = Window.partitionBy(col(keyCol), col("journey"))
+    perJourney
+      .withColumn("n_touches", sum(col("c_type")).over(journeySize))
+      .groupBy(col("touch_type"), col("n_touches"), col("c_type"))
+      .agg(count(lit(1)).as("journeys"))
+      .withColumn("credit",
+        (col("journeys") * col("c_type")).cast("double") /
+          col("n_touches").cast("double"))
+  }
+
+  /** Top user paths: the first `k` event types of each key's timeline
+    * joined with `>` into a path string, counted across keys — the
+    * "what do users do first" view. One key-partitioned sort window
+    * (row_number caps state at `k` rows per key before the collect),
+    * then a groupBy over path strings whose cardinality is bounded by
+    * |types|^k, never by keys. */
+  def topPaths(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tiebreakCol: String, k: Int): DataFrame = {
+    require(k > 0, "topPaths: k must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .groupBy(col(keyCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rn"), col(typeCol).as("t")))),
+          e => e.getField("t")),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   /** Last-touch attribution: every `conversionType` event joined to
     * the MOST RECENT preceding `touchType` event of the same key (or
     * null if the key never touched before converting).

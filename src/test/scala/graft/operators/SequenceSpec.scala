@@ -59,6 +59,54 @@ class SequenceSpec extends AnyFunSuite {
       (3L, 8L, Some("7"))))
   }
 
+  test("linearCredit: journeys split at conversions, exact histogram") {
+    // u1 journey A: view,view,click → purchase(4); journey B: click →
+    // purchase(6). Trailing view(7) after the last purchase is
+    // unattributed. u2: touches but NO conversion → contributes nothing.
+    val e = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (1L, 2L, "2024-01-01 10:10:00", "view"),
+      (1L, 3L, "2024-01-01 10:20:00", "click"),
+      (1L, 4L, "2024-01-01 11:00:00", "purchase"),
+      (1L, 5L, "2024-01-01 12:00:00", "click"),
+      (1L, 6L, "2024-01-01 13:00:00", "purchase"),
+      (1L, 7L, "2024-01-01 14:00:00", "view"),
+      (2L, 8L, "2024-01-01 09:00:00", "click")
+    ).toDF("u", "eid", "ts_s", "et")
+      .selectExpr("u", "eid", "CAST(ts_s AS TIMESTAMP) AS ts", "et")
+    val got = Sequence.linearCredit(e, "u", "et", "ts", "eid",
+      Seq("view", "click"), "purchase")
+      .select(col("touch_type"), col("n_touches"), col("c_type"),
+        col("journeys"), col("credit"))
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    // journey A (n=3): view c=2 credit 2/3, click c=1 credit 1/3;
+    // journey B (n=1): click c=1 credit 1.
+    assert(got == Set(
+      ("view", 3L, 2L, 1L, 2.0 / 3.0),
+      ("click", 3L, 1L, 1L, 1.0 / 3.0),
+      ("click", 1L, 1L, 1L, 1.0)))
+  }
+
+  test("topPaths: first-k order, tiebreak, truncation") {
+    // u1 has 4 events (two at the same ts where id orders them);
+    // u2 matches u1's first-3 prefix exactly; k=3 groups them when
+    // u1's 4th event is cut.
+    val e = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (1L, 2L, "2024-01-01 11:00:00", "click"),
+      (1L, 3L, "2024-01-01 11:00:00", "cart"),
+      (1L, 4L, "2024-01-01 12:00:00", "purchase"),
+      (2L, 5L, "2024-01-01 09:00:00", "view"),
+      (2L, 6L, "2024-01-01 09:30:00", "click"),
+      (2L, 7L, "2024-01-01 09:45:00", "cart"),
+      (3L, 8L, "2024-01-01 08:00:00", "error")
+    ).toDF("u", "eid", "ts_s", "et")
+      .selectExpr("u", "eid", "CAST(ts_s AS TIMESTAMP) AS ts", "et")
+    val got = Sequence.topPaths(e, "u", "et", "ts", "eid", 3)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("view>click>cart", 2L), ("error", 1L)))
+  }
+
   test("single-event keys emit nothing") {
     val e = Seq((1L, 1L, "2024-01-01 10:00:00", "view"))
       .toDF("u", "eid", "ts_s", "et")
