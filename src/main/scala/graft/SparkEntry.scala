@@ -469,6 +469,34 @@ object SparkEntry {
       "c_id", "c_name", maxDist = 1)
   }
 
+  /** Entity resolution end-to-end: the fuzzy_join scenario's typo'd
+    * records (ids offset into a disjoint range — dirty and clean rows
+    * are distinct NODES here, not probe/catalog sides) matched at
+    * edit distance ≤ 1, clustered by connected components, one
+    * deterministic survivor per cluster. Composes the two gated
+    * operators; the oracle replays match (SymSpell blocking), CC
+    * (recursive reach), and survivorship (min_by) independently. */
+  private def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+      .select(col("p_partkey"),
+        concat(col("p_name"), lit("#"), col("p_partkey")).as("p_ent"))
+    val cut = (col("p_partkey") % length(col("p_ent"))).cast("int")
+    val dirty = part.select(
+      (col("p_partkey") + lit(10000000L)).as("d_id"),
+      concat(col("p_ent").substr(lit(1), cut),
+        col("p_ent").substr(cut + 2, length(col("p_ent"))))
+        .as("d_name"))
+    val matches = FuzzyJoin.join(dirty, "d_id", "d_name",
+      part.select(col("p_partkey").as("c_id"), col("p_ent").as("c_name")),
+      "c_id", "c_name", maxDist = 1)
+      .select(col("d_id").as("a"), col("c_id").as("b"))
+    val records = part
+      .select(col("p_partkey").as("rec_id"), col("p_ent").as("name"))
+      .unionByName(dirty
+        .select(col("d_id").as("rec_id"), col("d_name").as("name")))
+    operators.EntityResolution.resolve(records, "rec_id", "name", matches)
+  }
+
   /** Ordered funnel over the event stream: users reaching
     * view → click → purchase strictly in order, counted at each
     * stage by chained earliest-completion minima. */
@@ -2393,6 +2421,7 @@ object SparkEntry {
     "sync_checksum" -> (syncChecksum _),
     "stats_trend" -> (statsTrend _),
     "fuzzy_join" -> (fuzzyJoin _),
+    "entity_resolution" -> (entityResolution _),
     "profile_table" -> (profileTable _),
     "q3_join" -> (q3Join _),
     "q_anti_join" -> (qAntiJoin _),
@@ -2805,6 +2834,51 @@ object SparkEntry {
         |SELECT d_id, p_partkey AS c_id,
         |  levenshtein(d_name, p_ent) AS dist
         |FROM cand WHERE levenshtein(d_name, p_ent) <= 1""".stripMargin,
+    "entity_resolution" ->
+      """WITH RECURSIVE ent AS (
+        |  SELECT p_partkey, p_name || '#' || p_partkey AS p_ent
+        |  FROM part),
+        |dirty AS (
+        |  SELECT p_partkey + 10000000 AS d_id,
+        |    substr(p_ent, 1, CAST(p_partkey % length(p_ent) AS INT)) ||
+        |    substr(p_ent, CAST(p_partkey % length(p_ent) AS INT) + 2)
+        |      AS d_name
+        |  FROM ent),
+        |di AS (SELECT d_id, d_name,
+        |  unnest(generate_series(0, length(d_name))) AS i FROM dirty),
+        |dv AS (SELECT d_id, d_name, CASE WHEN i = 0 THEN d_name
+        |  ELSE substr(d_name, 1, CAST(i AS INT) - 1) ||
+        |    substr(d_name, CAST(i AS INT) + 1) END AS v FROM di),
+        |ei AS (SELECT p_partkey, p_ent,
+        |  unnest(generate_series(0, length(p_ent))) AS i FROM ent),
+        |ev AS (SELECT p_partkey, p_ent, CASE WHEN i = 0 THEN p_ent
+        |  ELSE substr(p_ent, 1, CAST(i AS INT) - 1) ||
+        |    substr(p_ent, CAST(i AS INT) + 1) END AS v FROM ei),
+        |cand AS (SELECT DISTINCT d_id, d_name, p_partkey, p_ent
+        |  FROM dv JOIN ev USING (v)),
+        |pairs AS (
+        |  SELECT DISTINCT d_id AS a, p_partkey AS b FROM cand
+        |  WHERE levenshtein(d_name, p_ent) <= 1),
+        |edges AS (
+        |  SELECT a AS u, b AS v FROM pairs
+        |  UNION SELECT b AS u, a AS v FROM pairs),
+        |reach AS (
+        |  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u AS node, reach.r FROM edges e
+        |  JOIN reach ON e.v = reach.node),
+        |labels AS (
+        |  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+        |nodes AS (
+        |  SELECT p_partkey AS node, p_ent AS name FROM ent
+        |  UNION ALL SELECT d_id, d_name FROM dirty),
+        |lab AS (
+        |  SELECT n.node, n.name,
+        |    coalesce(l.cluster_id, n.node) AS cluster_id
+        |  FROM nodes n LEFT JOIN labels l ON n.node = l.node)
+        |SELECT cluster_id, count(*) AS n_members,
+        |  min_by(name, node) AS canonical_name
+        |FROM lab GROUP BY 1""".stripMargin,
     "ts_resample" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
