@@ -1570,6 +1570,58 @@ object BenchScale {
       "batch_keys" -> probeKeys.size.toLong))
   }
 
+  /** CDC-maintained dedup index at ×N: seed the full corpus (untimed),
+    * then push a FIXED 64-doc probe batch (32 edits + 32 deletes, the
+    * id-smallest docs of copy 0 — identical at both scales). Buckets
+    * scale with the data, so per-bucket volume is flat and the probe's
+    * band/sig/pair lookups read the same number of rows at ×1 and ×N;
+    * probe-doc pairs stay within copy 0 (other copies are ROT'd), so
+    * the post-probe pair counts are scale-invariant evidence. */
+  private def runCdcDedup(s: SparkSession, dir: String,
+      scale: Int): OpResult = {
+    val work = newTempDir("graft_scale_cdcd_")
+    val cfg = streaming.DedupIndex.Config(sigBuckets = 16 * scale,
+      bandBuckets = 32 * scale, pairBuckets = 16 * scale)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+    streaming.DedupIndex.applyBatch(
+      docs.select(lit("I").as("_op"), (col("doc_id") * 10).as("_seq"),
+        col("doc_id"), col("text")),
+      work, 0L, cfg)
+    val stateRows = docs.count()
+    val probeIds = docs.filter(col("doc_id") < 100000000L)
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(64)
+      .collect().map(_.getLong(0)).toSeq
+    val updIds = probeIds.filter(_ % 2 == 0)
+    val delIds = probeIds.filter(_ % 2 == 1)
+    val probe = docs
+      .filter(col("doc_id").isin(updIds.map(Long.box): _*))
+      .select(lit("U").as("_op"), (col("doc_id") * 10 + 1).as("_seq"),
+        col("doc_id"),
+        concat(col("text"), lit(" graft edit marker")).as("text"))
+      .unionByName(docs
+        .filter(col("doc_id").isin(delIds.map(Long.box): _*))
+        .select(lit("D").as("_op"), (col("doc_id") * 10 + 1).as("_seq"),
+          col("doc_id"), lit(null).cast("string").as("text")))
+      .coalesce(1).localCheckpoint(eager = true)
+    val r = timed {
+      streaming.DedupIndex.applyBatch(probe, work, 1L, cfg)
+      0L
+    }(Map.empty)
+    val pairs = streaming.DedupIndex.currentPairs(s, work, cfg)
+    val updPairs = pairs.filter(
+      col("a").isin(updIds.map(Long.box): _*) ||
+        col("b").isin(updIds.map(Long.box): _*)).count()
+    val delPairs = pairs.filter(
+      col("a").isin(delIds.map(Long.box): _*) ||
+        col("b").isin(delIds.map(Long.box): _*)).count()
+    probe.unpersist()
+    OpResult(r.secs, Map("out_rows" -> updPairs,
+      "del_pairs" -> delPairs, "state_rows" -> stateRows,
+      "batch_keys" -> probeIds.size.toLong))
+  }
+
   /** Incremental IVF maintenance against a ×1 vs ×N index: a FIXED
     * 64-vector re-embed batch must cost the same against both (key
     * buckets ∝ data, so bucket volume is flat; assignment is a
@@ -1719,6 +1771,8 @@ object BenchScale {
       "stream_scd2" -> (d => runStreamScd(spark, d,
         if (d.endsWith("x1")) 1 else n)),
       "ann_incremental" -> (d => runVecIndex(spark, d,
+        if (d.endsWith("x1")) 1 else n)),
+      "cdc_dedup" -> (d => runCdcDedup(spark, d,
         if (d.endsWith("x1")) 1 else n)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
@@ -2085,6 +2139,15 @@ object BenchScale {
             atN.evidence("closed_rows") == at1.evidence("batch_keys") &&
             atN.evidence("current_rows") == at1.evidence("batch_keys") &&
             atN.evidence("state_rows") == at1.evidence("state_rows") * n
+        case "cdc_dedup" =>
+          // O(batch) index maintenance under I/U/D: the fixed probe's
+          // post-update pair counts are scale-invariant (pairs confined
+          // to copy 0), deleted docs carry zero pairs, state ×N behind
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("del_pairs") == 0L &&
+            at1.evidence("del_pairs") == 0L &&
+            atN.evidence("state_rows") == at1.evidence("state_rows") * n &&
+            atN.evidence("batch_keys") == at1.evidence("batch_keys")
         case "ann_incremental" =>
           // O(batch) index maintenance: the fixed probe's post-update
           // rows AND their list assignments (identical frozen

@@ -1314,6 +1314,36 @@ object SparkEntry {
     IncrementalDedup.allPairs(s, store)
   }
 
+  /** Near-dup index maintained under CDC: insert the corpus, then
+    * UPDATE every doc_id%5==0 (appended marker text re-signs the doc —
+    * stale band entries and pairs retire, the new version re-pairs),
+    * then DELETE doc_id%17==0. The oracle is the batch minhash-pair SQL
+    * over the FINAL LWW corpus — incremental maintenance under I/U/D
+    * must land exactly where a from-scratch rebuild lands. */
+  private def cdcDedup(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val store = scratchDir("graft_cdcdedup_")
+    val b0 = docs.select(lit("I").as("_op"),
+      (col("doc_id") * 10).as("_seq"), col("doc_id"), col("text"))
+    val b1 = docs.filter(col("doc_id") % 5 === 0)
+      .select(lit("U").as("_op"), (col("doc_id") * 10 + 1).as("_seq"),
+        col("doc_id"),
+        concat(col("text"), lit(" graft edit marker graft edit marker"))
+          .as("text"))
+    val b2 = docs.filter(col("doc_id") % 17 === 0)
+      .select(lit("D").as("_op"), (col("doc_id") * 10 + 2).as("_seq"),
+        col("doc_id"), lit(null).cast("string").as("text"))
+    // small-SF bucket counts (same per-job tuning as dedup_incremental:
+    // default bucket counts mostly buy file-count overhead here)
+    val cfg = streaming.DedupIndex.Config(sigBuckets = 8,
+      bandBuckets = 16, pairBuckets = 8)
+    streaming.DedupIndex.applyBatch(b0, store, batchId = 0L, cfg)
+    streaming.DedupIndex.applyBatch(b1, store, batchId = 1L, cfg)
+    streaming.DedupIndex.applyBatch(b2, store, batchId = 2L, cfg)
+    streaming.DedupIndex.currentPairs(s, store, cfg)
+  }
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairsBlocked(t(s, dir, "documents"), "doc_id", "text",
       maxDist = 3)
@@ -2458,6 +2488,7 @@ object SparkEntry {
     "dedup_minhash" -> (dedupMinhash _),
     "graph_pagerank" -> (graphPagerank _),
     "dedup_incremental" -> (dedupIncremental _),
+    "cdc_dedup" -> (cdcDedup _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "dedup_embed_bucketed" -> (dedupEmbedBucketed _),
@@ -3499,6 +3530,7 @@ object SparkEntry {
     // the incremental 2-batch replay must land on the SAME pair set as
     // batch minhash over the whole corpus — that equality IS the gate
     "dedup_incremental" -> minhashPairsOracle,
+    "cdc_dedup" -> cdcDedupOracle,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
@@ -5071,6 +5103,22 @@ object SparkEntry {
 
   private def minhashPairsOracle: String =
     s"""$minhashCandsCtes
+       |$verifySql""".stripMargin
+
+  /** DuckDB replay of cdc_dedup: the FINAL LWW corpus of the I/U/D
+    * feed (update wins over insert, delete wins over both — expressed
+    * directly as CASE + WHERE), then the standard batch minhash-pair
+    * CTEs over it. The incremental index's current pairs must equal
+    * this from-scratch rebuild. */
+  private def cdcDedupOracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN text || ' graft edit marker graft edit marker'
+       |      ELSE text END AS text
+       |  FROM documents WHERE doc_id % 17 <> 0)
+       |${minhashCandsCtes.replaceFirst("^WITH ", ", ")
+            .replace("FROM documents)", "FROM corpus)")}
        |$verifySql""".stripMargin
 
   /** DuckDB replay of [[Graph.pageRank]] over the minhash near-dup

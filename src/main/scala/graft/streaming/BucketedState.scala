@@ -41,6 +41,23 @@ object BucketedState {
   private def bucketExpr(keyCols: Seq[String], nBuckets: Int) =
     pmod(hash(keyCols.map(col): _*), lit(nBuckets))
 
+  /** The bucket a row lands in — public so index layers
+    * ([[DedupIndex]]) can compute touched buckets for probe reads
+    * without round-tripping through a keys frame. Must stay in lockstep
+    * with the layout's `bucketExpr`. */
+  def bucketFor(cols: Seq[org.apache.spark.sql.Column],
+      nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(cols: _*), lit(nBuckets))
+
+  /** Effective bucketing columns: `bucketCols` when given (must be a
+    * PREFIX-semantics subset of the row identity — rows sharing
+    * `bucketCols` co-locate, enabling secondary-key probe pruning),
+    * otherwise the full `keyCols`. A state's choice is fixed at table
+    * creation, like `nBuckets`. */
+  private def effBucketCols(keyCols: Seq[String],
+      bucketCols: Seq[String]): Seq[String] =
+    if (bucketCols.isEmpty) keyCols else bucketCols
+
   /** Latest marker-complete version of one bucket, optionally below a
     * replay horizon. */
   private def latestVersion(spark: SparkSession, targetDir: String,
@@ -76,7 +93,9 @@ object BucketedState {
   def mergeBatch(batch: DataFrame, batchId: Long, targetDir: String,
       keyCols: Seq[String], nBuckets: Int, ignoreUpdates: Boolean = false,
       ignoreDeletes: Boolean = false,
-      tombstoneHorizon: Option[Long] = None): Unit = {
+      tombstoneHorizon: Option[Long] = None,
+      bucketCols: Seq[String] = Nil): Unit = {
+    val bCols = effBucketCols(keyCols, bucketCols)
     val spark = batch.sparkSession
     // pinned: evaluated twice (touched-bucket listing + merged write).
     // For a file-backed batch the pin merely saves a re-scan; for a
@@ -86,7 +105,7 @@ object BucketedState {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val touched = effective
-      .select(bucketExpr(keyCols, nBuckets).as(BucketTag))
+      .select(bucketExpr(bCols, nBuckets).as(BucketTag))
       .distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
     val state = readBuckets(spark, targetDir, effective.schema,
@@ -99,7 +118,7 @@ object BucketedState {
       case None => merged
     }
     gced
-      .withColumn(BucketTag, bucketExpr(keyCols, nBuckets))
+      .withColumn(BucketTag, bucketExpr(bCols, nBuckets))
       .write.mode("overwrite").partitionBy(BucketTag).parquet(staging)
     val f = fs(spark, targetDir)
     touched.foreach { b =>
@@ -177,7 +196,9 @@ object BucketedState {
       stateSchema: StructType, nBuckets: Int, keyCols: Seq[String],
       tombstoneHorizon: Option[Long] = None,
       keepVersions: Int = 2,
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil,
+      bucketCols: Seq[String] = Nil): Unit = {
+    val bCols = effBucketCols(keyCols, bucketCols)
     val f = fs(spark, targetDir)
     // recovery from a previous crashed optimize: a trash dir whose new
     // version is not marker-complete means the swap died mid-flight —
@@ -211,7 +232,7 @@ object BucketedState {
     val staging = s"$targetDir/.optimize-staging"
     f.delete(new Path(staging), true)
     gced
-      .withColumn(BucketTag, bucketExpr(keyCols, nBuckets))
+      .withColumn(BucketTag, bucketExpr(bCols, nBuckets))
       // hash-repartition ON the bucket column: every bucket's rows land
       // in exactly one task, so the partitioned write emits ONE file
       // per bucket
@@ -257,12 +278,20 @@ object BucketedState {
     * maintenance replays idempotently on top of. */
   def stateForKeys(spark: SparkSession, targetDir: String,
       stateSchema: StructType, nBuckets: Int, keyCols: Seq[String],
-      keys: DataFrame, beforeBatch: Option[Long] = None): DataFrame = {
+      keys: DataFrame, beforeBatch: Option[Long] = None,
+      bucketCols: Seq[String] = Nil): DataFrame = {
+    // for a bucketCols state the keys frame may carry ONLY the bucket
+    // columns (a secondary-key lookup: "every row whose bucketCols
+    // match"); the semi-join is on whatever columns the frame has
+    val bCols = effBucketCols(keyCols, bucketCols)
+    require(bCols.forall(keys.columns.contains),
+      s"stateForKeys: keys frame ${keys.columns.toSeq} must carry the " +
+        s"bucketing columns $bCols")
     val touched = keys
-      .select(bucketExpr(keyCols, nBuckets).as(BucketTag))
+      .select(bucketExpr(bCols, nBuckets).as(BucketTag))
       .distinct().collect().map(_.getInt(0)).toSeq
     readBuckets(spark, targetDir, stateSchema, touched, beforeBatch)
-      .join(broadcast(keys), keyCols, "left_semi")
+      .join(broadcast(keys), keys.columns.toSeq, "left_semi")
   }
 
   /** Live rows for exactly the given keys — [[stateForKeys]] minus
@@ -270,9 +299,10 @@ object BucketedState {
     * delta push ([[CdcStream.startToJdbc]]). */
   def viewForKeys(spark: SparkSession, targetDir: String,
       stateSchema: StructType, nBuckets: Int, keyCols: Seq[String],
-      keys: DataFrame, beforeBatch: Option[Long] = None): DataFrame =
+      keys: DataFrame, beforeBatch: Option[Long] = None,
+      bucketCols: Seq[String] = Nil): DataFrame =
     stateForKeys(spark, targetDir, stateSchema, nBuckets, keyCols, keys,
-      beforeBatch)
+      beforeBatch, bucketCols)
       .filter(col(OpCol) =!= OpDelete)
       .drop(OpCol, SeqCol)
 }

@@ -1,0 +1,228 @@
+package graft.streaming
+
+import graft.model.ChangeEvent.{OpCol, SeqCol, OpDelete, OpUpdate}
+import graft.operators.{CdcMerge, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Near-dup index maintained under CDC — the composition this engine
+  * exists for: the reference replicates a mutating MySQL table
+  * (I/U/D), and an LLM corpus built on such a table needs its
+  * MinHash-LSH duplicate pairs to FOLLOW the mutations.
+  * [[graft.operators.IncrementalDedup]] covers the append-only crawl;
+  * this covers the edited corpus: an UPDATE re-signs the document,
+  * retires the stale band entries and pairs, and re-pairs the new
+  * version against the live corpus; a DELETE retires everything.
+  *
+  * Three [[BucketedState]] tables under one store dir:
+  *   - `sigs`  — key `doc_id`: the live signature (hashed shingle set).
+  *   - `bands` — key `(band, key, doc_id)`, BUCKETED BY `(band, key)`:
+  *     the LSH posting index. Bucketing by the band key (not the full
+  *     row identity) is what makes the probe O(batch): a batch reads
+  *     only the band-key buckets its own signatures hash to.
+  *   - `pairs` — key `(id, other)`, BUCKETED BY `id`, each pair stored
+  *     in BOTH directions: retiring every pair of a changed doc is a
+  *     bucket-pruned lookup by that doc's id alone.
+  *
+  * Per batch, everything read or written is bounded by the batch's key
+  * spread (touched buckets), never the corpus: the state lookups are
+  * `viewForKeys`/`stateForKeys` (pre-batch versions via `beforeBatch`,
+  * so crash-replay reads identical inputs and the merge layer makes
+  * re-writes idempotent), and the band probe joins batch band keys
+  * against only their own buckets. Sequence discipline: band and pair
+  * rows carry engine sequences `2·batchId` (retire) / `2·batchId + 1`
+  * (assert) — monotone across batches, retire-below-assert within one,
+  * so a pair destroyed and re-established in the same batch survives.
+  */
+object DedupIndex {
+
+  /** Matches the `dedup_minhash` family's parameters, so the final
+    * state is oracle-checkable against the same SQL replay. */
+  case class Config(n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8, sigBuckets: Int = 16,
+      bandBuckets: Int = 32, pairBuckets: Int = 16)
+
+  val sigSchema: StructType = StructType.fromDDL(
+    "doc_id long, hs array<long>, n_sh long, _op string, _seq long")
+  val bandSchema: StructType = StructType.fromDDL(
+    "band int, key string, doc_id long, _op string, _seq long")
+  val pairSchema: StructType = StructType.fromDDL(
+    "id long, other long, jaccard double, _op string, _seq long")
+
+  private def bandKeys(sets: DataFrame, cfg: Config): DataFrame = {
+    val r = cfg.k / cfg.bands
+    sets.filter(col("n_sh") > 0)
+      .withColumn("sig", call_function("minhash_sig", col("hs"), lit(cfg.k)))
+      .select(col("doc_id"),
+        explode(array((0 until cfg.bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until r).map(i =>
+              element_at(col("sig"), b * r + i + 1).cast("string")): _*)
+              .as("key"))
+        }: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("doc_id"))
+  }
+
+  /** Apply one micro-batch of document changes
+    * (`_op, _seq, doc_id, text`). Multiple events per doc collapse LWW
+    * first, so any batch slicing of the same feed converges to the
+    * same state (spec-asserted). */
+  def applyBatch(changes: DataFrame, storeDir: String, batchId: Long,
+      cfg: Config = Config()): Unit = {
+    require(cfg.k % cfg.bands == 0,
+      s"k=${cfg.k} not divisible by bands=${cfg.bands}")
+    val spark = changes.sparkSession
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val collapsed = CdcMerge.latestByKey(
+      changes.select(col(OpCol), col(SeqCol), col("doc_id"), col("text")),
+      Seq("doc_id")).persist(mem)
+    try {
+      val keys = collapsed.select("doc_id").distinct()
+      // pre-batch live signatures of the touched docs (absent for docs
+      // new to the corpus)
+      val oldSigs = BucketedState.viewForKeys(spark, s"$storeDir/sigs",
+        sigSchema, cfg.sigBuckets, Seq("doc_id"), keys,
+        beforeBatch = Some(batchId))
+      val ups = collapsed.filter(col(OpCol) =!= OpDelete)
+      // cheap on the cached batch; a deletes-only batch (common in GDPR
+      // purge runs) skips signing, band asserts, and pair discovery
+      val hasUpserts = !ups.isEmpty
+      val newSigs = Dedup.textSignatures(ups, "doc_id", "text", cfg.n)
+        .select(col("doc_id"), col("hs"), col("n_sh"))
+        .join(ups.select(col("doc_id"), col(SeqCol)), Seq("doc_id"))
+        .persist(mem)
+      try {
+        // ---- sigs state: assert new versions, tombstone deletes
+        val sigTombs = collapsed.filter(col(OpCol) === OpDelete)
+          .select(col("doc_id"),
+            lit(null).cast("array<long>").as("hs"),
+            lit(null).cast("long").as("n_sh"),
+            col(OpCol), col(SeqCol))
+        val sigRows =
+          if (!hasUpserts) sigTombs
+          else newSigs
+            .select(col("doc_id"), col("hs"), col("n_sh"),
+              lit(OpUpdate).as(OpCol), col(SeqCol))
+            .unionByName(sigTombs)
+        BucketedState.mergeBatch(sigRows, batchId, s"$storeDir/sigs",
+          Seq("doc_id"), cfg.sigBuckets)
+
+        // ---- band index: retire the replaced versions' entries the
+        // new versions do not re-establish, assert the new entries
+        val newBands = bandKeys(newSigs, cfg).persist(mem)
+        try {
+          val retire = bandKeys(oldSigs, cfg)
+            .join(newBands, Seq("band", "key", "doc_id"), "left_anti")
+            .select(col("band"), col("key"), col("doc_id"),
+              lit(OpDelete).as(OpCol), lit(batchId * 2).as(SeqCol))
+          val assertB = newBands
+            .select(col("band"), col("key"), col("doc_id"),
+              lit(OpUpdate).as(OpCol), lit(batchId * 2 + 1).as(SeqCol))
+          BucketedState.mergeBatch(retire.unionByName(assertB), batchId,
+            s"$storeDir/bands", Seq("band", "key", "doc_id"),
+            cfg.bandBuckets, bucketCols = Seq("band", "key"))
+
+          // ---- candidate discovery: batch band keys vs ONLY their own
+          // pre-batch band buckets; store entries of docs changed in
+          // THIS batch are stale old versions — excluded
+          val newPairs = if (!hasUpserts) {
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "a long, b long, jaccard double"))
+          } else {
+            val touched = newBands
+              .select(BucketedState.bucketFor(
+                Seq(col("band"), col("key")), cfg.bandBuckets).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            val storeBands = BucketedState.readBuckets(spark,
+                s"$storeDir/bands", bandSchema, touched,
+                beforeBatch = Some(batchId))
+              .filter(col(OpCol) =!= OpDelete).drop(OpCol, SeqCol)
+              .join(broadcast(keys), Seq("doc_id"), "left_anti")
+            val cross = storeBands.as("x").join(newBands.as("y"),
+                col("x.band") === col("y.band") &&
+                  col("x.key") === col("y.key"))
+              .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+                greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+              .distinct()
+            val candIds = cross
+              .select(explode(array(col("a"), col("b"))).as("doc_id"))
+              .distinct()
+            val sets = newSigs.select(col("doc_id"), col("hs"), col("n_sh"))
+              .unionByName(
+                BucketedState.viewForKeys(spark, s"$storeDir/sigs",
+                  sigSchema, cfg.sigBuckets, Seq("doc_id"), candIds,
+                  beforeBatch = Some(batchId))
+                  .join(broadcast(keys), Seq("doc_id"), "left_anti"))
+            Dedup.jaccardVerify(cross, sets, cfg.threshold)
+              .unionByName(Dedup.minhashDedupPairsFromSets(
+                newSigs.select(col("doc_id"), col("hs"), col("n_sh")),
+                cfg.k, cfg.bands, cfg.threshold))
+              .distinct()
+              .localCheckpoint(true)
+          }
+
+          // ---- pair index: retire EVERY stored pair touching a
+          // changed doc (both directions), assert the re-verified set
+          val oldPairRows = BucketedState.stateForKeys(spark,
+              s"$storeDir/pairs", pairSchema, cfg.pairBuckets,
+              Seq("id", "other"), keys.select(col("doc_id").as("id")),
+              beforeBatch = Some(batchId), bucketCols = Seq("id"))
+            .filter(col(OpCol) =!= OpDelete)
+            .select(col("id"), col("other"))
+          val retireP = oldPairRows
+            .unionByName(oldPairRows.select(col("other").as("id"),
+              col("id").as("other")))
+            .distinct()
+            .select(col("id"), col("other"),
+              lit(null).cast("double").as("jaccard"),
+              lit(OpDelete).as(OpCol), lit(batchId * 2).as(SeqCol))
+          val assertP = newPairs
+            .select(col("a").as("id"), col("b").as("other"), col("jaccard"))
+            .unionByName(newPairs.select(col("b").as("id"),
+              col("a").as("other"), col("jaccard")))
+            .select(col("id"), col("other"), col("jaccard"),
+              lit(OpUpdate).as(OpCol), lit(batchId * 2 + 1).as(SeqCol))
+          BucketedState.mergeBatch(retireP.unionByName(assertP), batchId,
+            s"$storeDir/pairs", Seq("id", "other"), cfg.pairBuckets,
+            bucketCols = Seq("id"))
+        } finally newBands.unpersist(false)
+      } finally newSigs.unpersist(false)
+    } finally collapsed.unpersist(false)
+  }
+
+  /** Current duplicate pairs among live documents, one canonical row
+    * per pair (`a < b`). */
+  def currentPairs(spark: SparkSession, storeDir: String,
+      cfg: Config = Config()): DataFrame =
+    BucketedState.currentView(spark, s"$storeDir/pairs", pairSchema,
+        cfg.pairBuckets)
+      .filter(col("id") < col("other"))
+      .select(col("id").as("a"), col("other").as("b"), col("jaccard"))
+
+  /** Live signatures view (doc_id, hs, n_sh) — the corpus the index
+    * currently believes in; spec hook. */
+  def currentSigs(spark: SparkSession, storeDir: String,
+      cfg: Config = Config()): DataFrame =
+    BucketedState.currentView(spark, s"$storeDir/sigs", sigSchema,
+      cfg.sigBuckets)
+
+  /** Maintenance: compact + GC all three states ([[BucketedState
+    * .optimize]]); `tombstoneHorizon` in the ENGINE sequence domain
+    * (2·batchId) for bands/pairs, the feed's own for sigs. */
+  def optimize(spark: SparkSession, storeDir: String, cfg: Config,
+      sigHorizon: Option[Long] = None,
+      engineHorizon: Option[Long] = None): Unit = {
+    BucketedState.optimize(spark, s"$storeDir/sigs", sigSchema,
+      cfg.sigBuckets, Seq("doc_id"), sigHorizon)
+    BucketedState.optimize(spark, s"$storeDir/bands", bandSchema,
+      cfg.bandBuckets, Seq("band", "key", "doc_id"), engineHorizon,
+      bucketCols = Seq("band", "key"))
+    BucketedState.optimize(spark, s"$storeDir/pairs", pairSchema,
+      cfg.pairBuckets, Seq("id", "other"), engineHorizon,
+      bucketCols = Seq("id"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val cfg = DedupIndex.Config(sigBuckets = 4, bandBuckets = 8,
+    pairBuckets = 4)
+
+  private def newStore(): String =
+    Files.createTempDirectory("graft_dedupindex_").toString
+
+  // exact dups (0,1), near dups (2,3), unrelated (4,5); doc 6 starts
+  // unrelated and is EDITED into a copy of doc 4's text
+  private def docText(id: Long): String = id match {
+    case 0 => "the quick brown fox jumps over the lazy dog again and again"
+    case 1 => "the quick brown fox jumps over the lazy dog again and again"
+    case 2 => "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    case 3 => "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    case 4 => "completely different content about spark query engines at scale"
+    case 5 => "yet another unrelated document mentioning benchmarks and parquet"
+    case 6 => "a third standalone text speaking of optimizers and shuffles only"
+    case _ => fail(s"no text for doc $id")
+  }
+
+  private def ev(op: String, seq: Long, id: Long,
+      text: String): (String, Long, Long, String) = (op, seq, id, text)
+
+  private def feed(rows: Seq[(String, Long, Long, String)]): DataFrame =
+    rows.toDF("_op", "_seq", "doc_id", "text")
+
+  private def pairsOf(store: String): Set[(Long, Long)] =
+    DedupIndex.currentPairs(spark, store, cfg)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+
+  private def rebuildPairs(corpus: DataFrame): Set[(Long, Long)] =
+    Dedup.minhashDedupPairs(corpus, "doc_id", "text",
+      n = cfg.n, k = cfg.k, bands = cfg.bands, threshold = cfg.threshold)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+
+  test("update destroys stale pairs and creates new ones; delete retires") {
+    val store = newStore()
+    // batch 0: insert everything
+    DedupIndex.applyBatch(feed((0L to 6L).map(i =>
+      ev("I", i * 10, i, docText(i)))), store, 0L, cfg)
+    assert(pairsOf(store) == Set((0L, 1L), (2L, 3L)))
+    // batch 1: doc 1 edited away from doc 0 (pair dies); doc 6 edited
+    // INTO doc 4's text (pair appears)
+    DedupIndex.applyBatch(feed(Seq(
+      ev("U", 101, 1L, docText(3)),
+      ev("U", 102, 6L, docText(4)))), store, 1L, cfg)
+    assert(pairsOf(store) == Set((1L, 3L), (4L, 6L), (2L, 3L), (1L, 2L)))
+    // (doc 1 now carries doc 3's text: pairs with both 2 and 3)
+    // batch 2: delete doc 3 — its pairs retire, others survive
+    DedupIndex.applyBatch(feed(Seq(
+      ev("D", 200, 3L, null))), store, 2L, cfg)
+    assert(pairsOf(store) == Set((4L, 6L), (1L, 2L)))
+    // the index's final state == a from-scratch rebuild of the live corpus
+    val live = Seq(0L, 1L, 2L, 4L, 5L, 6L).map {
+      case 1L => (1L, docText(3))
+      case 6L => (6L, docText(4))
+      case i => (i, docText(i))
+    }.toDF("doc_id", "text")
+    assert(pairsOf(store) == rebuildPairs(live))
+  }
+
+  test("batch slicing does not change the final state") {
+    val events = (0L to 6L).map(i => ev("I", i * 10, i, docText(i))) ++ Seq(
+      ev("U", 101, 1L, docText(3)),
+      ev("U", 102, 6L, docText(4)),
+      ev("D", 200, 3L, null))
+    val oneShot = newStore()
+    DedupIndex.applyBatch(feed(events), oneShot, 0L, cfg)
+    val sliced = newStore()
+    events.grouped(3).zipWithIndex.foreach { case (g, i) =>
+      DedupIndex.applyBatch(feed(g), sliced, i.toLong, cfg)
+    }
+    assert(pairsOf(oneShot) == pairsOf(sliced))
+    assert(pairsOf(oneShot).nonEmpty)
+    val sigsA = DedupIndex.currentSigs(spark, oneShot, cfg)
+      .select(col("doc_id"), col("n_sh")).as[(Long, Long)].collect().toSet
+    val sigsB = DedupIndex.currentSigs(spark, sliced, cfg)
+      .select(col("doc_id"), col("n_sh")).as[(Long, Long)].collect().toSet
+    assert(sigsA == sigsB)
+  }
+
+  test("crash-replay of a batch is idempotent") {
+    val store = newStore()
+    DedupIndex.applyBatch(feed((0L to 6L).map(i =>
+      ev("I", i * 10, i, docText(i)))), store, 0L, cfg)
+    val b1 = feed(Seq(ev("U", 101, 1L, docText(3)), ev("D", 200, 3L, null)))
+    DedupIndex.applyBatch(b1, store, 1L, cfg)
+    val before = pairsOf(store)
+    DedupIndex.applyBatch(b1, store, 1L, cfg) // replay
+    assert(pairsOf(store) == before)
+  }
+
+  test("optimize preserves the state") {
+    val store = newStore()
+    DedupIndex.applyBatch(feed((0L to 6L).map(i =>
+      ev("I", i * 10, i, docText(i)))), store, 0L, cfg)
+    DedupIndex.applyBatch(feed(Seq(
+      ev("U", 101, 1L, docText(3)))), store, 1L, cfg)
+    val before = pairsOf(store)
+    DedupIndex.optimize(spark, store, cfg)
+    assert(pairsOf(store) == before)
+  }
+}
