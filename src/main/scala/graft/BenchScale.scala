@@ -1455,6 +1455,39 @@ object BenchScale {
       "n_replica_mass" -> nrMass))
   }
 
+  /** Bounded-state grouped top-k: output stays |groups|·k at every
+    * scale, the kept ORD VALUES are scale-invariant (copies replicate
+    * the value multiset; ids only break ties), and the executed plan
+    * has no WindowExec — the shuffle carries ≤ k pairs per task-group
+    * instead of every row through a per-group sort. */
+  private def runTopkAgg(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+    var centsMass = 0L
+    var windowNodes = 0L
+    val r = timed {
+      val q = ev.groupBy(col("event_type"))
+        .agg(call_function("topk_pairs",
+          (col("value").cast("decimal(12,2)") * 100).cast("long"),
+          col("event_id"), lit(5)).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), col("pos"), col("col.ord").as("cents"))
+      // rank-1 values are scale-invariant (copies replicate the value
+      // multiset, so the per-group MAX is unchanged); ranks 2..k shift
+      // onto duplicated copies of the top values — counted, not summed
+      val row = q.agg(count(lit(1)),
+        coalesce(sum(when(col("pos") === 0, col("cents"))), lit(0L)))
+        .head()
+      windowNodes = q.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Window")).toLong
+      centsMass = row.getLong(1)
+      row.getLong(0)
+    }(Map.empty)
+    r.copy(evidence = r.evidence ++ Map("top1_mass" -> centsMass,
+      "window_nodes" -> windowNodes))
+  }
+
   /** Grouped ntile: bucket count stays |groups|·k at every scale, the
     * executed plan must contain NO WindowExec (the operator's whole
     * point), and the ranked row count tracks the input. */
@@ -1766,6 +1799,7 @@ object BenchScale {
       "event_paths" -> (d => runPaths(spark, d)),
       "sync_checksum" -> (d => runSyncChecksum(spark, d)),
       "q_ntile" -> (d => runGroupedNtile(spark, d)),
+      "topk_grouped_agg" -> (d => runTopkAgg(spark, d)),
       "agg_view" -> (d => runAggView(spark, d,
         if (d.endsWith("x1")) 1 else n)),
       "stream_scd2" -> (d => runStreamScd(spark, d,
@@ -2112,6 +2146,13 @@ object BenchScale {
               at1.evidence("n_master_mass") * n &&
             atN.evidence("n_replica_mass") ==
               at1.evidence("n_replica_mass") * n
+        case "topk_grouped_agg" =>
+          // |groups|·k output and the per-group rank-1 values
+          // scale-invariant; no WindowExec anywhere
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("top1_mass") == at1.evidence("top1_mass") &&
+            atN.evidence("window_nodes") == 0L &&
+            at1.evidence("window_nodes") == 0L
         case "q_ntile" =>
           // ranked rows track input; bucket count |groups|·k at both
           // scales; NO WindowExec in the executed plan at either

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expr.{ByteHistogram, ConnectDecimal, CosineSimilarity, HashedShingles, HllSketch, KmvSetSketch, KmvSketch, MinHashSig, RepetitionSignals, SimHash60, SortedIntersectCount}
+import graft.functions.expr.{ByteHistogram, ConnectDecimal, CosineSimilarity, HashedShingles, HllSketch, KmvSetSketch, KmvSketch, MinHashSig, RepetitionSignals, SimHash60, SortedIntersectCount, TopKPairs}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -59,7 +59,10 @@ object GraftExtensions {
       RepetitionSignals(c.head)),
     // scale via int literal, e.g. connect_decimal(unbase64(v), 2)
     fn("connect_decimal", classOf[ConnectDecimal], 2)(c =>
-      ConnectDecimal(c.head, c(1).eval().asInstanceOf[Int])))
+      ConnectDecimal(c.head, c(1).eval().asInstanceOf[Int])),
+    // aggregate; k via int literal, e.g. topk_pairs(cents, id, 5)
+    fn("topk_pairs", classOf[TopKPairs], 3)(c =>
+      TopKPairs(c.head, c(1), c(2).eval().asInstanceOf[Int])))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit = {

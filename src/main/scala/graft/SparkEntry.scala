@@ -673,6 +673,25 @@ object SparkEntry {
         col("rk"))
   }
 
+  /** topk_per_group's SCALE twin: the same top-3-per-nation answer from
+    * the `topk_pairs` bounded-state native aggregate — each task
+    * reduces its slice to ≤ k (ord, id) pairs per group before the
+    * shuffle, and the plan holds no WindowExec (the window formulation
+    * sorts every group's FULL row set to keep 3 rows). Balance cents
+    * (exact long) order the heap; ties break on c_custkey ASC, encoded
+    * by negating the id in the (ord, id) max-heap order and un-negating
+    * on emit. */
+  private def topkGroupedAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(call_function("topk_pairs",
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long"),
+        (-col("c_custkey")).cast("long"), lit(3)).as("top"))
+      .select(col("c_nationkey"), posexplode(col("top")))
+      .select(col("c_nationkey"), (col("pos") + 1).cast("int").as("rk"),
+        (-col("col.id")).as("c_custkey"),
+        col("col.ord").as("acctbal_cents"))
+
   private def eventWindows(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("win_start"),
@@ -2461,6 +2480,7 @@ object SparkEntry {
     "q_median" -> (qMedian _),
     "sink_default_filter" -> (sinkDefaultFilter _),
     "topk_per_group" -> (topkPerGroup _),
+    "topk_grouped_agg" -> (topkGroupedAgg _),
     "event_windows" -> (eventWindows _),
     "event_cooccur" -> (eventCooccur _),
     "stream_cooccur" -> (streamCooccur _),
@@ -3249,6 +3269,15 @@ object SparkEntry {
         |  SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (
         |    PARTITION BY c_nationkey
         |    ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) WHERE rk <= 3""".stripMargin,
+    "topk_grouped_agg" ->
+      """SELECT c_nationkey, rk, c_custkey, acctbal_cents FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS acctbal_cents,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+        |        AS BIGINT) DESC, c_custkey) AS rk
         |  FROM customer) WHERE rk <= 3""".stripMargin,
     "event_windows" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
