@@ -75,16 +75,35 @@ object DedupIndex {
       s"k=${cfg.k} not divisible by bands=${cfg.bands}")
     val spark = changes.sparkSession
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val collapsed = CdcMerge.latestByKey(
+    val arrived = CdcMerge.latestByKey(
       changes.select(col(OpCol), col(SeqCol), col("doc_id"), col("text")),
       Seq("doc_id")).persist(mem)
     try {
+      val arrivedKeys = arrived.select("doc_id").distinct()
+      // pre-batch state of the touched docs WITH meta: a batch event at
+      // or below the stored sequence is a late duplicate — dropped here,
+      // so out-of-order redelivery can never regress bands/pairs (whose
+      // engine seqs are batch-monotone and would otherwise let stale
+      // text win)
+      val oldState = BucketedState.stateForKeys(spark, s"$storeDir/sigs",
+          sigSchema, cfg.sigBuckets, Seq("doc_id"), arrivedKeys,
+          beforeBatch = Some(batchId))
+        .persist(mem)
+      try {
+      val collapsed = arrived
+        .join(oldState.select(col("doc_id"),
+          col(SeqCol).as("_stored_seq")), Seq("doc_id"), "left")
+        .filter(col("_stored_seq").isNull ||
+          col(SeqCol) > col("_stored_seq"))
+        .drop("_stored_seq")
+        .persist(mem)
+      try {
       val keys = collapsed.select("doc_id").distinct()
-      // pre-batch live signatures of the touched docs (absent for docs
-      // new to the corpus)
-      val oldSigs = BucketedState.viewForKeys(spark, s"$storeDir/sigs",
-        sigSchema, cfg.sigBuckets, Seq("doc_id"), keys,
-        beforeBatch = Some(batchId))
+      // pre-batch live signatures of the docs actually advancing
+      val oldSigs = oldState
+        .join(broadcast(keys), Seq("doc_id"), "left_semi")
+        .filter(col(OpCol) =!= OpDelete)
+        .drop(OpCol, SeqCol)
       val ups = collapsed.filter(col(OpCol) =!= OpDelete)
       // cheap on the cached batch; a deletes-only batch (common in GDPR
       // purge runs) skips signing, band asserts, and pair discovery
@@ -191,7 +210,9 @@ object DedupIndex {
             bucketCols = Seq("id"))
         } finally newBands.unpersist(false)
       } finally newSigs.unpersist(false)
-    } finally collapsed.unpersist(false)
+      } finally collapsed.unpersist(false)
+      } finally oldState.unpersist(false)
+    } finally arrived.unpersist(false)
   }
 
   /** Current duplicate pairs among live documents, one canonical row
@@ -209,6 +230,24 @@ object DedupIndex {
       cfg: Config = Config()): DataFrame =
     BucketedState.currentView(spark, s"$storeDir/sigs", sigSchema,
       cfg.sigBuckets)
+
+  /** Structured Streaming driver: every micro-batch of the change feed
+    * (`_op, _seq, doc_id, text`) folds through [[applyBatch]];
+    * `optimizeEvery` > 0 runs the three-state [[optimize]] pass every K
+    * batches FIRST (pre-batch, so the batch's own versions are never
+    * the ones being swapped) — same auto-maintenance posture as
+    * `IncrementalDedup.stream` and `CdcStream`'s gcEvery/optimizeEvery
+    * knobs: a week-long stream must not accumulate a version per batch.
+    * Caller adds checkpoint/trigger and starts. */
+  def stream(changes: DataFrame, storeDir: String,
+      cfg: Config = Config(), optimizeEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (optimizeEvery > 0 && batchId > 0 && batchId % optimizeEvery == 0)
+        optimize(batch.sparkSession, storeDir, cfg)
+      applyBatch(batch, storeDir, batchId, cfg)
+    }
 
   /** Maintenance: compact + GC all three states ([[BucketedState
     * .optimize]]); `tombstoneHorizon` in the ENGINE sequence domain

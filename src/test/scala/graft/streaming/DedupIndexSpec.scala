@@ -102,6 +102,58 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(pairsOf(store) == before)
   }
 
+  test("stream driver == batch fold; auto-optimize bounds versions") {
+    val store = newStore()
+    val work = Files.createTempDirectory("graft_dedupindex_stream_")
+    val events = (0L to 6L).map(i => ("I", i * 10, i, docText(i)))
+    val upd: Seq[(String, Long, Long, String)] = Seq(
+      ("U", 101L, 1L, docText(3)), ("U", 102L, 6L, docText(4)))
+    val del: Seq[(String, Long, Long, String)] =
+      Seq(("D", 200L, 3L, docText(3)))
+    // three files → three micro-batches under maxFilesPerTrigger=1
+    feed(events).coalesce(1).write.parquet(s"$work/in/b0")
+    feed(upd).coalesce(1).write.parquet(s"$work/in/b1")
+    feed(del).coalesce(1).write.parquet(s"$work/in/b2")
+    val src = spark.readStream
+      .schema(feed(events).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$work/in/*")
+    val q = DedupIndex.stream(src, store, cfg, optimizeEvery = 2)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(pairsOf(store) == Set((4L, 6L), (1L, 2L)))
+    // auto-optimize at batch 2 + final state: every sig bucket holds
+    // at most keepVersions(=2) versions
+    val sigDir = new java.io.File(s"$store/sigs")
+    val worst = Option(sigDir.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("bucket="))
+      .map(b => b.listFiles().count(_.getName.startsWith("v=")))
+      .maxOption.getOrElse(0)
+    assert(worst <= 3, s"version accumulation: $worst versions in a bucket")
+  }
+
+  test("a late batch below the stored sequence is a no-op") {
+    val store = newStore()
+    DedupIndex.applyBatch(feed((0L to 6L).map(i =>
+      ev("I", i * 10, i, docText(i)))), store, 0L, cfg)
+    DedupIndex.applyBatch(feed(Seq(
+      ev("U", 101, 1L, docText(3)))), store, 1L, cfg)
+    val before = pairsOf(store)
+    // redelivered ORIGINAL insert of doc 1 (seq 10 < stored 101) in a
+    // LATER batch: without the stored-seq guard its stale text would
+    // win in bands/pairs via the batch-monotone engine seqs
+    DedupIndex.applyBatch(feed(Seq(
+      ev("I", 10, 1L, docText(1)))), store, 2L, cfg)
+    assert(pairsOf(store) == before)
+    val sig = DedupIndex.currentSigs(spark, store, cfg)
+      .filter(col("doc_id") === 1L).select(col("n_sh")).as[Long].head()
+    val sig3 = DedupIndex.currentSigs(spark, store, cfg)
+      .filter(col("doc_id") === 3L).select(col("n_sh")).as[Long].head()
+    assert(sig == sig3) // doc 1 still carries doc 3's (updated) text
+  }
+
   test("optimize preserves the state") {
     val store = newStore()
     DedupIndex.applyBatch(feed((0L to 6L).map(i =>
