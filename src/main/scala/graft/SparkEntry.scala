@@ -2424,6 +2424,106 @@ object SparkEntry {
 
   // --------------------------------------------------------------- registry
 
+  /** The synthetic CollapsingMergeTree sign stream over orders: every
+    * key inserts a state, keys %3==0 get an update (cancel old state +
+    * new state at price+10), keys %7==0 a delete (cancel of whatever
+    * state is current). Shared shape with the oracle's UNION ALL CTE. */
+  private def collapseFeed(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val base = o.select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"), lit(1).as("sign"), lit(1L).as("seq"))
+    val upd = o.filter(col("o_orderkey") % 3 === 0)
+    val cancels = upd.select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"), lit(-1).as("sign"), lit(2L).as("seq"))
+    val states = upd.select(col("o_orderkey"), col("o_custkey"),
+      (col("o_totalprice") + lit(10.0)).as("price"),
+      lit(1).as("sign"), lit(3L).as("seq"))
+    val dels = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(10.0))
+          .otherwise(col("o_totalprice")).as("price"),
+        lit(-1).as("sign"), lit(4L).as("seq"))
+    base.unionByName(cancels).unionByName(states).unionByName(dels)
+  }
+
+  /** CollapsingMergeTree(sign) FINAL over the synthetic sign stream:
+    * survivors are the un-deleted keys at their latest state — the
+    * read-side collapse a user of the reference's ClickHouse sink
+    * (ReplacingMergeTree today, README.md:161) runs when the table is
+    * remodeled as sign-collapsing instead of ALTER-mutating. */
+  private def chCollapse(s: SparkSession, dir: String): DataFrame =
+    Collapse.collapse(collapseFeed(s, dir), Seq("o_orderkey"),
+      "sign", "seq")
+
+  /** VersionedCollapsingMergeTree(sign, version) FINAL: cancels pair
+    * with states of the same version, so the at-least-once duplicate
+    * injected for keys %5==0 (untouched by update/delete) cannot
+    * mis-cancel anything — the key stays visible at version 1. */
+  private def chCollapseVersioned(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val base = o.select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"), lit(1L).as("ver"), lit(1).as("sign"))
+    val upd = o.filter(col("o_orderkey") % 3 === 0)
+    val cancels = upd.select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"), lit(1L).as("ver"), lit(-1).as("sign"))
+    val states = upd.select(col("o_orderkey"), col("o_custkey"),
+      (col("o_totalprice") + lit(10.0)).as("price"),
+      lit(2L).as("ver"), lit(1).as("sign"))
+    val dups = o.filter(col("o_orderkey") % 5 === 0 &&
+        col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price"), lit(1L).as("ver"), lit(1).as("sign"))
+    val dels = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(10.0))
+          .otherwise(col("o_totalprice")).as("price"),
+        when(col("o_orderkey") % 3 === 0, lit(2L)).otherwise(lit(1L))
+          .as("ver"),
+        lit(-1).as("sign"))
+    val feed = base.unionByName(cancels).unionByName(states)
+      .unionByName(dups).unionByName(dels)
+    Collapse.collapseVersioned(feed, Seq("o_orderkey"), "ver", "sign")
+  }
+
+  /** ClickHouse `TTL ts < cutoff GROUP BY day, type SET …` retention
+    * rewrite on events: the first 21 days collapse to exact per-
+    * (day, type) aggregates, the live tail keeps full grain. Exact
+    * decimal sums → one double cast, so the rewrite is bit-stable
+    * under replay. */
+  private def ttlExpire(s: SparkSession, dir: String): DataFrame =
+    Ttl.rollupExpired(events(s, dir), "ts",
+      lit("2024-01-22 00:00:00").cast("timestamp"),
+      keys = Seq(
+        "day" -> col("ts").cast("date").cast("string"),
+        "event_type" -> col("event_type")),
+      aggs = Seq(
+        ("n", count(lit(1)), lit(1L)),
+        ("sum_value",
+          sum(col("value").cast("decimal(18,2)")).cast("double"),
+          col("value").cast("decimal(18,2)").cast("double")),
+        ("max_value", max(col("value")), col("value"))),
+      liveCols = Seq("event_id" -> col("event_id"),
+        "user_id" -> col("user_id")))
+
+  /** LowCardinality dictionary: build the frequency-ordered global
+    * dictionary over event_type, broadcast-encode the fact table, and
+    * aggregate on the 4-byte code — the string column leaves the plan
+    * right after the scan and returns only via the dictionary-sized
+    * decode join. */
+  private def dictEncode(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val d = Dict.build(e, "event_type").cache()
+    Dict.encode(e, "event_type", d, "code")
+      .groupBy(col("code"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .join(broadcast(d.select(col("code"), col("value"))), Seq("code"))
+      .select(col("code"), col("value"), col("n"), col("sum_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_load" -> (snapshotLoad _),
     "cdc_insert_only" -> (cdcInsertOnly _),
@@ -2569,7 +2669,29 @@ object SparkEntry {
     "split_leakage_free" -> (splitLeakageFree _),
     "text_pii" -> (textPii _),
     "text_repetition" -> (textRepetition _),
-    "text_c4_clean" -> (textC4Clean _))
+    "text_c4_clean" -> (textC4Clean _),
+    "ch_collapse" -> (chCollapse _),
+    "ch_collapse_versioned" -> (chCollapseVersioned _),
+    "ttl_expire" -> (ttlExpire _),
+    "dict_encode" -> (dictEncode _))
+
+  /** The CollapsingMergeTree sign stream as SQL — mirrors
+    * [[collapseFeed]] term for term (already margin-stripped; the
+    * composed oracle's stripMargin leaves it untouched). */
+  private lazy val collapseFeedSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice AS price,
+      |    1 AS sign, 1 AS seq FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice, -1, 2
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 10.0, 1, 3
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+      |         ELSE o_totalprice END, -1, 4
+      |  FROM orders WHERE o_orderkey % 7 = 0""".stripMargin
 
   /** The synthetic I/U/D orders feed as a `changes` CTE — shared by the
     * LWW and SCD2 oracles (mirrors ChangeFeed.full). */
@@ -4445,6 +4567,76 @@ object SparkEntry {
         |  CASE WHEN blocked OR len(kl) < 3 THEN NULL
         |       ELSE array_to_string(kl, chr(10)) END AS clean_text
         |FROM kept""".stripMargin),
+    "ch_collapse" ->
+      s"""WITH feed AS ($collapseFeedSql),
+        |net AS (SELECT o_orderkey, sum(sign) AS net FROM feed GROUP BY 1),
+        |st AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM feed WHERE sign = 1)
+        |SELECT st.o_orderkey, st.o_custkey, st.price
+        |FROM st JOIN net USING (o_orderkey)
+        |WHERE net.net > 0 AND st.rn = 1""".stripMargin,
+    "ch_collapse_versioned" ->
+      """WITH feed AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice AS price,
+        |    1 AS ver, 1 AS sign FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 1, -1
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 10.0, 2, 1
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 1, 1
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |    AND o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END, -1
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |net AS (
+        |  SELECT o_orderkey, ver, sum(sign) AS net
+        |  FROM feed GROUP BY 1, 2),
+        |vis AS (
+        |  SELECT f.*, row_number() OVER (
+        |    PARTITION BY f.o_orderkey ORDER BY f.ver DESC) AS rn
+        |  FROM feed f
+        |  JOIN net ON f.o_orderkey = net.o_orderkey AND f.ver = net.ver
+        |  WHERE net.net > 0 AND f.sign = 1)
+        |SELECT o_orderkey, o_custkey, price, ver FROM vis
+        |WHERE rn = 1""".stripMargin,
+    "ttl_expire" ->
+      """WITH expired AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |    CAST(NULL AS BIGINT) AS event_id,
+        |    CAST(NULL AS BIGINT) AS user_id,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_value,
+        |    max(value) AS max_value, TRUE AS rolled
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-22 00:00:00'
+        |  GROUP BY 1, 2),
+        |live AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |    event_id, user_id, 1 AS n,
+        |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
+        |    value AS max_value, FALSE AS rolled
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00')
+        |SELECT * FROM expired UNION ALL SELECT * FROM live""".stripMargin,
+    "dict_encode" ->
+      """WITH dict AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY count(*) DESC, event_type ASC) AS code,
+        |    event_type AS value, count(*) AS dn
+        |  FROM events GROUP BY event_type)
+        |SELECT d.code, d.value, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events e JOIN dict d ON e.event_type = d.value
+        |GROUP BY d.code, d.value""".stripMargin,
     "corpus_page_clean" -> (c4KeptCtes + "\n" +
       """, surv AS (
         |  SELECT doc_id, kl FROM kept
