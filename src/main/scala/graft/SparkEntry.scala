@@ -2524,6 +2524,17 @@ object SparkEntry {
       .select(col("code"), col("value"), col("n"), col("sum_value"))
   }
 
+  /** Integer-exact Lloyd k-means (k=8, 2 rounds) over the embeddings:
+    * init = the 8 lowest vec_ids, quantized arithmetic throughout, so
+    * cluster membership replays bit-for-bit in the oracle. Output is
+    * the per-cluster size and exact quantized mass. */
+  private def embedKmeans(s: SparkSession, dir: String): DataFrame =
+    Kmeans.fit(t(s, dir, "embeddings"), "vec_id", "embedding", 8, 2)
+      .select(col("cid"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("qs"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("qs")).as("qsum"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_load" -> (snapshotLoad _),
     "cdc_insert_only" -> (cdcInsertOnly _),
@@ -2673,7 +2684,8 @@ object SparkEntry {
     "ch_collapse" -> (chCollapse _),
     "ch_collapse_versioned" -> (chCollapseVersioned _),
     "ttl_expire" -> (ttlExpire _),
-    "dict_encode" -> (dictEncode _))
+    "dict_encode" -> (dictEncode _),
+    "embed_kmeans" -> (embedKmeans _))
 
   /** The CollapsingMergeTree sign stream as SQL — mirrors
     * [[collapseFeed]] term for term (already margin-stripped; the
@@ -4626,6 +4638,45 @@ object SparkEntry {
         |    value AS max_value, FALSE AS rolled
         |  FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00')
         |SELECT * FROM expired UNION ALL SELECT * FROM live""".stripMargin,
+    "embed_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> CAST(round(x * 1048576) AS BIGINT) + 2097152) AS q
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, q AS c FROM e WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT e.vec_id, e.q, c0.cid,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (e.q[i] - c0.c[i]) * (e.q[i] - c0.c[i])))
+        |      AS BIGINT) AS dist
+        |  FROM e CROSS JOIN c0),
+        |a1 AS (
+        |  SELECT vec_id, q, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |u AS (SELECT cid, unnest(q) AS qv,
+        |        unnest(range(1, len(q) + 1)) AS pos FROM a1),
+        |cs AS (SELECT cid, pos,
+        |         CAST(sum(qv) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |           AS cv
+        |       FROM u GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(cv ORDER BY pos) AS c FROM cs
+        |       GROUP BY cid),
+        |d2 AS (
+        |  SELECT e.vec_id, e.q, c1.cid,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (e.q[i] - c1.c[i]) * (e.q[i] - c1.c[i])))
+        |      AS BIGINT) AS dist
+        |  FROM e CROSS JOIN c1),
+        |a2 AS (
+        |  SELECT vec_id, q, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+        |  WHERE rn = 1)
+        |SELECT cid, count(*) AS n,
+        |  CAST(sum(CAST(list_sum(q) AS BIGINT)) AS BIGINT) AS qsum
+        |FROM a2 GROUP BY cid""".stripMargin,
     "dict_encode" ->
       """WITH dict AS (
         |  SELECT row_number() OVER (
