@@ -2535,6 +2535,13 @@ object SparkEntry {
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sum(col("qs")).as("qsum"))
 
+  /** windowFunnel(60 min) over view→click→purchase: depth histogram of
+    * the longest in-order chain per user with all events within 60
+    * minutes of the chain's own anchor. */
+  private def eventWindowFunnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.windowed(events(s, dir), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), expr("INTERVAL 60 MINUTES"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_load" -> (snapshotLoad _),
     "cdc_insert_only" -> (cdcInsertOnly _),
@@ -2685,7 +2692,8 @@ object SparkEntry {
     "ch_collapse_versioned" -> (chCollapseVersioned _),
     "ttl_expire" -> (ttlExpire _),
     "dict_encode" -> (dictEncode _),
-    "embed_kmeans" -> (embedKmeans _))
+    "embed_kmeans" -> (embedKmeans _),
+    "event_window_funnel" -> (eventWindowFunnel _))
 
   /** The CollapsingMergeTree sign stream as SQL — mirrors
     * [[collapseFeed]] term for term (already margin-stripped; the
@@ -4638,6 +4646,30 @@ object SparkEntry {
         |    value AS max_value, FALSE AS rolled
         |  FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00')
         |SELECT * FROM expired UNION ALL SELECT * FROM live""".stripMargin,
+    "event_window_funnel" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS g, ts AS t1 FROM events
+        |  WHERE event_type = 'view'),
+        |aw AS (SELECT g, t1, t1 + INTERVAL 60 MINUTE AS tmax FROM a),
+        |l2 AS (
+        |  SELECT aw.g, aw.t1, aw.tmax, min(e.ts) AS t
+        |  FROM aw JOIN events e ON e.user_id = aw.g
+        |    AND e.event_type = 'click'
+        |    AND e.ts > aw.t1 AND e.ts <= aw.tmax
+        |  GROUP BY 1, 2, 3),
+        |l3 AS (
+        |  SELECT l2.g, l2.t1, min(e.ts) AS t
+        |  FROM l2 JOIN events e ON e.user_id = l2.g
+        |    AND e.event_type = 'purchase'
+        |    AND e.ts > l2.t AND e.ts <= l2.tmax
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT g, 1 AS depth FROM a
+        |  UNION ALL SELECT g, 2 FROM l2
+        |  UNION ALL SELECT g, 3 FROM l3),
+        |m AS (SELECT g, max(depth) AS depth FROM d GROUP BY 1)
+        |SELECT depth, count(*) AS n_groups FROM m
+        |GROUP BY 1""".stripMargin,
     "embed_kmeans" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding::DOUBLE[],

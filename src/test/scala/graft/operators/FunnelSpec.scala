@@ -40,4 +40,43 @@ class FunnelSpec extends AnyFunSuite {
       .as[(String, Int, Long)].collect().sortBy(_._2).map(_._3)
     assert(ns.sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
   }
+
+  import org.apache.spark.sql.functions.lit
+
+  private def windowedDepths(rows: Seq[(Long, String, Long)], w: Long) =
+    Funnel.windowed(rows.toDF("u", "t", "ts"), "u", "t", "ts",
+      Seq("view", "click", "purchase"), lit(w))
+      .as[(Int, Long)].collect().toMap
+
+  test("windowed: a later anchor completes where the first cannot") {
+    // from view@0 the chain dies (click@100 outside w=20); from
+    // view@90 it completes — sliding semantics, not earliest-anchor
+    val got = windowedDepths(Seq(
+      (1L, "view", 0L), (1L, "view", 90L),
+      (1L, "click", 100L), (1L, "purchase", 105L)), 20L)
+    assert(got == Map(3 -> 1L))
+  }
+
+  test("windowed: window bounds are (anchor, anchor + w] per stage") {
+    // u1: purchase exactly at anchor+w counts; u2: one past — depth 2
+    val got = windowedDepths(Seq(
+      (1L, "view", 0L), (1L, "click", 5L), (1L, "purchase", 10L),
+      (2L, "view", 0L), (2L, "click", 5L), (2L, "purchase", 11L)), 10L)
+    assert(got == Map(3 -> 1L, 2 -> 1L))
+  }
+
+  test("windowed: greedy earliest extension is what maximizes depth") {
+    // clicks at 2 and 9; purchase at 8 — only the early click chains
+    val got = windowedDepths(Seq(
+      (1L, "view", 0L), (1L, "click", 2L), (1L, "click", 9L),
+      (1L, "purchase", 8L)), 10L)
+    assert(got == Map(3 -> 1L))
+  }
+
+  test("windowed: out-of-order stages never chain; no-anchor group absent") {
+    val got = windowedDepths(Seq(
+      (1L, "click", 0L), (1L, "purchase", 1L), (1L, "view", 2L),
+      (2L, "click", 0L), (2L, "purchase", 1L)), 10L)
+    assert(got == Map(1 -> 1L)) // u1 depth 1; u2 has no anchor at all
+  }
 }
