@@ -2542,6 +2542,35 @@ object SparkEntry {
     Funnel.windowed(events(s, dir), "user_id", "event_type", "ts",
       Seq("view", "click", "purchase"), expr("INTERVAL 60 MINUTES"))
 
+  /** Skip-index scan: z-cluster events on (user_id, day), granule
+    * stats on BOTH columns, prune granules against a 2-D range
+    * predicate, then exact-filter the survivors. The result must equal
+    * the plain filter — stats may only over-approximate. LayoutSpec
+    * measures the actual skip rate; here the oracle proves zero false
+    * negatives. */
+  private def indexPrune(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .withColumn("day", dayofmonth(col("ts")))
+      .withColumn("_blk", Layout.blockOf(
+        Layout.zValue(col("user_id"), col("day"), 11), 12))
+    val stats = Layout.minmaxStats(e, "_blk", Seq("user_id", "day"))
+    val surv = Layout.pruneBlocks(stats,
+      Seq(("user_id", lit(100), lit(200)), ("day", lit(5), lit(10))))
+    Layout.prunedScan(e, "_blk", surv)
+      .filter(col("user_id").between(100, 200) &&
+        col("day").between(5, 10))
+      .select("event_id", "user_id", "day")
+  }
+
+  /** Full cube with grouping_id: all four grouping sets in one pass,
+    * the gid distinguishing a real null group from a rolled-up one. */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_load" -> (snapshotLoad _),
     "cdc_insert_only" -> (cdcInsertOnly _),
@@ -2693,7 +2722,9 @@ object SparkEntry {
     "ttl_expire" -> (ttlExpire _),
     "dict_encode" -> (dictEncode _),
     "embed_kmeans" -> (embedKmeans _),
-    "event_window_funnel" -> (eventWindowFunnel _))
+    "event_window_funnel" -> (eventWindowFunnel _),
+    "index_prune" -> (indexPrune _),
+    "q_cube" -> (qCube _))
 
   /** The CollapsingMergeTree sign stream as SQL — mirrors
     * [[collapseFeed]] term for term (already margin-stripped; the
@@ -4646,6 +4677,18 @@ object SparkEntry {
         |    value AS max_value, FALSE AS rolled
         |  FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00')
         |SELECT * FROM expired UNION ALL SELECT * FROM live""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | count(*) AS n,
+        | GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+        .stripMargin,
+    "index_prune" ->
+      """SELECT event_id, user_id, day(ts) AS day FROM events
+        |WHERE user_id BETWEEN 100 AND 200
+        |  AND day(ts) BETWEEN 5 AND 10""".stripMargin,
     "event_window_funnel" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id AS g, ts AS t1 FROM events

@@ -73,4 +73,36 @@ class LayoutSpec extends AnyFunSuite {
       }.collect()
     assert(ok.forall(identity))
   }
+
+  test("skip index: pruned scan equals the exact filter, and skips") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = (0 until 4000).map(i => (i.toLong, i % 97, i % 29))
+    val df = rows.toDF("id", "x", "y")
+      .withColumn("_blk", Layout.blockOf(
+        Layout.zValue(col("x"), col("y"), 7), 6))
+    val stats = Layout.minmaxStats(df, "_blk", Seq("x", "y"))
+    val surv = Layout.pruneBlocks(stats,
+      Seq(("x", lit(10), lit(20)), ("y", lit(3), lit(8))))
+    // real skipping happened
+    assert(surv.count() < stats.count())
+    val got = Layout.prunedScan(df, "_blk", surv)
+      .filter(col("x").between(10, 20) && col("y").between(3, 8))
+      .select("id").as[Long].collect().toSet
+    val want = rows.filter(r => r._2 >= 10 && r._2 <= 20 &&
+      r._3 >= 3 && r._3 <= 8).map(_._1).toSet
+    assert(got == want) // zero false negatives
+  }
+
+  test("skip index: fact side broadcast-semi-joins, never shuffles") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 100).map(i => (i.toLong, i % 7)).toDF("id", "x")
+      .withColumn("_blk", Layout.blockOf(col("id"), 4))
+    val stats = Layout.minmaxStats(df, "_blk", Seq("x"))
+    val plan = Layout.prunedScan(df, "_blk",
+      Layout.pruneBlocks(stats, Seq(("x", lit(1), lit(2)))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan)
+  }
 }
