@@ -2571,6 +2571,23 @@ object SparkEntry {
           .as("sum_qty"), count(lit(1)).as("n"),
         grouping_id().as("gid"))
 
+  /** Bloom-prefiltered selective join: urgent orders' keys become a
+    * bloom applied at the lineitem scan, so ~4/5 of the probe side
+    * dies before the join's exchange; the join then strips the bloom's
+    * false positives, making the result exactly the plain join (which
+    * is what the oracle runs). */
+  private def joinBloom(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    RuntimeFilter.bloomJoin(t(s, dir, "lineitem"), o,
+        "l_orderkey", "o_orderkey", 1 << 17)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_load" -> (snapshotLoad _),
     "cdc_insert_only" -> (cdcInsertOnly _),
@@ -2724,7 +2741,8 @@ object SparkEntry {
     "embed_kmeans" -> (embedKmeans _),
     "event_window_funnel" -> (eventWindowFunnel _),
     "index_prune" -> (indexPrune _),
-    "q_cube" -> (qCube _))
+    "q_cube" -> (qCube _),
+    "join_bloom" -> (joinBloom _))
 
   /** The CollapsingMergeTree sign stream as SQL — mirrors
     * [[collapseFeed]] term for term (already margin-stripped; the
@@ -4677,6 +4695,13 @@ object SparkEntry {
         |    value AS max_value, FALSE AS rolled
         |  FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00')
         |SELECT * FROM expired UNION ALL SELECT * FROM live""".stripMargin,
+    "join_bloom" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
