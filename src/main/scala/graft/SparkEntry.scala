@@ -2588,6 +2588,12 @@ object SparkEntry {
           .as("sum_qty"))
   }
 
+  /** Half-life smoothing over each user's daily spend, integer-exact:
+    * the bit-replayable EWMA (see TimeSeries.ewmaHalvingDaily). */
+  private def tsEwma(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.ewmaHalvingDaily(events(s, dir), "user_id", "ts",
+      "value")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_load" -> (snapshotLoad _),
     "cdc_insert_only" -> (cdcInsertOnly _),
@@ -2742,7 +2748,8 @@ object SparkEntry {
     "event_window_funnel" -> (eventWindowFunnel _),
     "index_prune" -> (indexPrune _),
     "q_cube" -> (qCube _),
-    "join_bloom" -> (joinBloom _))
+    "join_bloom" -> (joinBloom _),
+    "ts_ewma" -> (tsEwma _))
 
   /** The CollapsingMergeTree sign stream as SQL — mirrors
     * [[collapseFeed]] term for term (already margin-stripped; the
@@ -4695,6 +4702,25 @@ object SparkEntry {
         |    value AS max_value, FALSE AS rolled
         |  FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00')
         |SELECT * FROM expired UNION ALL SELECT * FROM live""".stripMargin,
+    "ts_ewma" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT user_id, list(cents ORDER BY day) AS cs,
+        |    list(day ORDER BY day) AS ds
+        |  FROM daily GROUP BY 1),
+        |ex AS (
+        |  SELECT user_id, unnest(ds) AS day,
+        |    unnest(range(1, len(cs) + 1)) AS i, cs
+        |  FROM arr)
+        |SELECT user_id, day, cs[i] AS cents,
+        |  CASE WHEN i = 1 THEN cs[1]
+        |       ELSE list_reduce(cs[1:i], (a, b) -> (a + b) // 2)
+        |  END AS ewma
+        |FROM ex""".stripMargin,
     "join_bloom" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

@@ -200,6 +200,45 @@ object TimeSeries {
     * the key's first active day through its last, `n_events` = rows
     * that day, `sum_value` = exact decimal sum of `valueCol` (0, not
     * null, on gap days). */
+  /** Integer-exact exponential smoothing (α = ½) over each key's
+    * daily totals: `e₁ = c₁`, `eᵢ = (eᵢ₋₁ + cᵢ) >> 1` on exact cents.
+    * The halving fold makes EWMA — normally hopeless to replay across
+    * engines because FP accumulation order differs — a pure integer
+    * recurrence: any engine that folds the same sorted list gets the
+    * same bits (the DuckDB oracle replays prefixes with list_reduce).
+    *
+    * Shape: one aggregate to (key, day) grain, then one shuffle to key
+    * grain where the fold runs inside a single array expression —
+    * per-key state is its active-day count (≤ series span), the
+    * documented bound for array-fold operators here (cf. Scd.scala's
+    * history arrays). Output one row per active (key, day):
+    * `(key, day, cents, ewma)`. */
+  def ewmaHalvingDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol),
+        col(tsCol).cast("date").cast("string").as("day"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("cents"))
+    val accType =
+      "array<struct<day:string,cents:bigint,ewma:bigint>>"
+    val folded = daily
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+        .as("arr"))
+      .withColumn("f", aggregate(
+        col("arr"),
+        expr(s"CAST(array() AS $accType)"),
+        (acc, x) => concat(acc, array(struct(
+          x.getField("day").as("day"),
+          x.getField("cents").as("cents"),
+          when(size(acc) === 0, x.getField("cents"))
+            .otherwise(shiftright(
+              element_at(acc, -1).getField("ewma") +
+                x.getField("cents"), 1)).as("ewma"))))))
+    folded.select(col(keyCol), explode(col("f")).as("e"))
+      .select(col(keyCol), col("e.day").as("day"),
+        col("e.cents").as("cents"), col("e.ewma").as("ewma"))
+  }
+
   def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val daily = df

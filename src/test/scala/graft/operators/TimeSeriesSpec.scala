@@ -170,4 +170,25 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1L, "2024-01-04", 16.0, false),
       (2L, "2024-02-01", 5.5, false)))
   }
+
+  test("ewmaHalvingDaily: integer halving recurrence on exact cents") {
+    // u1: days 250+150=400, 300 cents -> ewma 400, (400+300)>>1=350
+    val got = TimeSeries.ewmaHalvingDaily(ev, "u", "ts", "v")
+      .select("u", "day", "cents", "ewma")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01", 400L, 400L),
+      (1L, "2024-01-04", 300L, 350L),
+      (2L, "2024-02-10", 725L, 725L),
+      (3L, "2024-03-01", 100L, 100L),
+      (3L, "2024-03-02", 200L, 150L)))
+  }
+
+  test("ewmaHalvingDaily is partitioning-independent (bit-exact)") {
+    val a = TimeSeries.ewmaHalvingDaily(ev, "u", "ts", "v")
+      .collect().toSet
+    val b = TimeSeries.ewmaHalvingDaily(ev.repartition(7), "u", "ts", "v")
+      .collect().toSet
+    assert(a == b)
+  }
 }
