@@ -2594,6 +2594,16 @@ object SparkEntry {
     TimeSeries.ewmaHalvingDaily(events(s, dir), "user_id", "ts",
       "value")
 
+  /** Per-vertex triangle participation in the 0.35-cosine similarity
+    * graph — degree-oriented listing (skew-safe wedge generation), but
+    * the emitted triangle SET is orientation-independent, so the naive
+    * three-way-join oracle matches row-for-row. */
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleCounts(
+      Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.35,
+        native = true).select("a", "b"))
+      .select(col("n").as("vec_id"), col("n_tri"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_load" -> (snapshotLoad _),
     "cdc_insert_only" -> (cdcInsertOnly _),
@@ -2749,7 +2759,8 @@ object SparkEntry {
     "index_prune" -> (indexPrune _),
     "q_cube" -> (qCube _),
     "join_bloom" -> (joinBloom _),
-    "ts_ewma" -> (tsEwma _))
+    "ts_ewma" -> (tsEwma _),
+    "graph_triangles" -> (graphTriangles _))
 
   /** The CollapsingMergeTree sign stream as SQL — mirrors
     * [[collapseFeed]] term for term (already margin-stripped; the
@@ -4702,6 +4713,21 @@ object SparkEntry {
         |    value AS max_value, FALSE AS rolled
         |  FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00')
         |SELECT * FROM expired UNION ALL SELECT * FROM live""".stripMargin,
+    "graph_triangles" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b FROM e x
+         |  JOIN e y ON x.vec_id < y.vec_id
+         |  WHERE round(${cosineSql("x.v", "y.v")}, 4) >= 0.35),
+         |tri AS (
+         |  SELECT p1.a AS x, p1.b AS y, p2.b AS z
+         |  FROM p p1
+         |  JOIN p p2 ON p2.a = p1.b
+         |  JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b)
+         |SELECT v AS vec_id, count(*) AS n_tri FROM (
+         |  SELECT unnest([x, y, z]) AS v FROM tri)
+         |GROUP BY 1""".stripMargin,
     "ts_ewma" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,

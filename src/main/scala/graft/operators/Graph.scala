@@ -70,4 +70,67 @@ object Graph {
   def symmetrize(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+
+  /** Exact triangle listing over an undirected pair set, with the
+    * degree orientation that makes it survive skew (Suri &
+    * Vassilvitskii 2011): every edge is directed from its
+    * lower-(degree, id) endpoint, so a hub of degree d generates
+    * wedges only among its HIGHER-ranked neighbors — the per-vertex
+    * wedge count is bounded by the arboricity-style √|E| argument
+    * instead of d², which is what kills the naive a<b orientation on
+    * power-law graphs. Each triangle is emitted exactly once (its
+    * vertices in rank order), so the triangle SET is
+    * orientation-independent — an oracle using the naive formulation
+    * matches row-for-row.
+    *
+    * Shape: one degree aggregate, two degree-attach joins, one wedge
+    * self-join on the shared LOW vertex, one closing-edge left-semi
+    * join. Nothing materializes beyond the wedge set the orientation
+    * already minimized.
+    *
+    * @return `(x, y, z)` triangles, vertices in rank order. */
+  def triangles(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    // canonical undirected edges, defensively deduped
+    val und = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // total order: (degree, id) packed into one comparable struct
+    val ranked = und
+      .join(deg.withColumnsRenamed(Map("n" -> "u", "d" -> "du")), "u")
+      .join(deg.withColumnsRenamed(Map("n" -> "v", "d" -> "dv")), "v")
+      .select(col("u"), col("v"),
+        struct(col("du").as("d"), col("u").as("n")).as("ru"),
+        struct(col("dv").as("d"), col("v").as("n")).as("rv"))
+    val dir = ranked
+      .select(when(col("ru") < col("rv"),
+          struct(col("u").as("lon"), col("v").as("hin"),
+            col("rv").as("hir")))
+        .otherwise(struct(col("v").as("lon"), col("u").as("hin"),
+          col("ru").as("hir"))).as("e"))
+      .select(col("e.lon").as("lo"), col("e.hin").as("hi"),
+        col("e.hir").as("hir"))
+    val e1 = dir.select(col("lo").as("w"), col("hi").as("p"),
+      col("hir").as("pr"))
+    val e2 = dir.select(col("lo").as("w"), col("hi").as("q"),
+      col("hir").as("qr"))
+    val wedges = e1.join(e2, "w").filter(col("pr") < col("qr"))
+      .select(col("w"), col("p"), col("q"))
+    wedges
+      .join(dir.select(col("lo").as("p"), col("hi").as("q")),
+        Seq("p", "q"), "left_semi")
+      .select(col("w").as("x"), col("p").as("y"), col("q").as("z"))
+  }
+
+  /** Per-vertex triangle participation `(n, n_tri)` — vertices in no
+    * triangle are absent. */
+  def triangleCounts(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b"): DataFrame =
+    triangles(pairs, aCol, bCol)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
 }

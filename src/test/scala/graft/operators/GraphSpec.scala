@@ -63,4 +63,48 @@ class GraphSpec extends AnyFunSuite {
     // integer floors only ever LOSE mass vs the float fixpoint
     assert(got.map(_._2).sum <= 5L * 1000000L)
   }
+
+  test("triangles: K4 yields its four triangles, each listed once") {
+    import spark.implicits._
+    val k4 = (for { i <- 0 to 3; j <- 0 to 3 if i < j } yield
+      (i.toLong, j.toLong)).toDF("a", "b")
+    val tris = Graph.triangles(k4).as[(Long, Long, Long)]
+      .collect().toSet
+    assert(tris.size == 4)
+    // each triangle's vertex set is distinct
+    assert(tris.map { case (x, y, z) => Set(x, y, z) }.size == 4)
+    val counts = Graph.triangleCounts(k4)
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangles: duplicates and reversed edges don't double-count") {
+    import spark.implicits._
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    assert(Graph.triangles(messy).count() == 1)
+  }
+
+  test("triangles: star (pure hub skew) has none; wedge join stays sane") {
+    import spark.implicits._
+    val star = (1L to 50L).map(i => (0L, i)).toDF("a", "b")
+    assert(Graph.triangles(star).count() == 0)
+  }
+
+  test("triangles match a naive id-oriented formulation on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph
+    val edges = (0 until 400).map { i =>
+      val a = (i * 31 + 7) % 40; val b = (i * 17 + 3) % 40
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter(p => p._1 != p._2).distinct
+    val df = edges.toDF("a", "b")
+    val got = Graph.triangles(df).count()
+    val set = edges.toSet
+    val naive = (for {
+      (x, y) <- edges; z <- (y + 1) to 39L
+      if set.contains((y, z)) && set.contains((x, z))
+    } yield (x, y, z)).size
+    assert(got == naive)
+  }
 }
