@@ -2604,6 +2604,30 @@ object SparkEntry {
         native = true).select("a", "b"))
       .select(col("n").as("vec_id"), col("n_tri"))
 
+  /** Positional-index phrase search for "value table": the adjacency
+    * join must agree with the oracle's naive token-scan definition —
+    * same docs, same exact occurrence counts. */
+  private def textPhrase(s: SparkSession, dir: String): DataFrame =
+    Retrieval.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+      Seq("value", "table"))
+
+  /** First-view → first-subsequent-purchase latency, bucketed to whole
+    * hours on exact epoch-microsecond arithmetic. */
+  private def eventTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("ts") > col("tv"))
+      .groupBy(col("user_id"), col("tv"))
+      .agg(min(col("ts")).as("tp"))
+      .select(expr(
+        "(unix_micros(tp) - unix_micros(tv)) div 3600000000L")
+        .as("hours"))
+      .groupBy(col("hours")).agg(count(lit(1)).as("n_users"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_load" -> (snapshotLoad _),
     "cdc_insert_only" -> (cdcInsertOnly _),
@@ -2760,7 +2784,9 @@ object SparkEntry {
     "q_cube" -> (qCube _),
     "join_bloom" -> (joinBloom _),
     "ts_ewma" -> (tsEwma _),
-    "graph_triangles" -> (graphTriangles _))
+    "graph_triangles" -> (graphTriangles _),
+    "text_phrase" -> (textPhrase _),
+    "event_time_to_convert" -> (eventTimeToConvert _))
 
   /** The CollapsingMergeTree sign stream as SQL — mirrors
     * [[collapseFeed]] term for term (already margin-stripped; the
@@ -4713,6 +4739,32 @@ object SparkEntry {
         |    value AS max_value, FALSE AS rolled
         |  FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00')
         |SELECT * FROM expired UNION ALL SELECT * FROM live""".stripMargin,
+    "text_phrase" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(list_filter(range(1, len(toks)),
+        |    i -> toks[i] = 'value' AND toks[i + 1] = 'table'))
+        |    AS n_hits
+        |FROM tk
+        |WHERE len(list_filter(range(1, len(toks)),
+        |  i -> toks[i] = 'value' AND toks[i + 1] = 'table')) > 0"""
+        .stripMargin,
+    "event_time_to_convert" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, v.tv, min(e.ts) AS tp
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.tv
+        |  GROUP BY 1, 2)
+        |SELECT (epoch_us(tp) - epoch_us(tv)) // 3600000000 AS hours,
+        |  count(*) AS n_users
+        |FROM p GROUP BY 1""".stripMargin,
     "graph_triangles" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -64,4 +64,37 @@ object Retrieval {
     base.filter(anyMatch)
       .select(col("doc_id"), round(score, 6).as("bm25"))
   }
+
+  /** Exact phrase search through a positional inverted index — the
+    * posting-list adjacency join a search engine runs, as a Spark
+    * plan. The corpus explodes ONLY to postings of the |P| phrase
+    * terms (the `isin` filter rides the projection, so scan output is
+    * hits-sized, not token-count-sized); the phrase then assembles by
+    * chaining equi-joins on `(doc, position − offset)` — each join
+    * keyed on the same (doc, anchor-position) pair, so consecutive
+    * terms co-locate after one exchange. No regex over 100 TB of
+    * text, no full-token shuffle.
+    *
+    * @return `(doc_id, n_hits)` — documents containing the phrase at
+    *         least once, with the exact occurrence count (overlapping
+    *         occurrences counted separately, one per anchor). */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val posts = docs.select(col(idCol).as("_id"),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("_p", "_t")))
+      .filter(col("_t").isin(phrase.distinct: _*))
+    var cur = posts.filter(col("_t") === phrase.head)
+      .select(col("_id"), col("_p").as("_p0"))
+    phrase.zipWithIndex.drop(1).foreach { case (w, k) =>
+      cur = cur.join(
+        posts.filter(col("_t") === w)
+          .select(col("_id"), (col("_p") - k).as("_p0")),
+        Seq("_id", "_p0"))
+    }
+    cur.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("_id").as(idCol), col("n_hits"))
+  }
 }

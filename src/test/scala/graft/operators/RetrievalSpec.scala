@@ -61,4 +61,31 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.bm25(corpus, "doc_id", "text", Seq("a", "a"))
     }
   }
+
+  test("phraseSearch: adjacency only, overlaps counted per anchor") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "quick the brown"), // terms present, order wrong
+      (3L, "the quick and the quick brown"), // 2 hits of 'the quick'
+      (4L, "table table table"), // overlapping self-phrase
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("the", "quick")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L))
+    val tt = Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("table", "table")).as[(Long, Long)].collect().toMap
+    assert(tt == Map(4L -> 2L))
+  }
+
+  test("phraseSearch: three-term phrase chains through the index") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x c"), (3L, "x a b c")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("a", "b", "c")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L))
+  }
 }
