@@ -1713,6 +1713,248 @@ object BenchScale {
 
   // ------------------------------------------------------------------ main
 
+  // ---- round-11 operators ------------------------------------------
+
+  /** Base (pre-offset) event id — copy offsets are 10¹⁰ multiples, so
+    * pmod recovers the base id and modulo-derived mutation patterns
+    * replicate identically per copy while keys stay disjoint. */
+  private def baseEid(c: Column): Column = pmod(c, lit(10000000000L))
+
+  /** CollapsingMergeTree FINAL over a per-copy-identical sign stream:
+    * survivors and their cents mass must replicate exactly ×N (one
+    * key-partitioned exchange, nothing cross-copy). */
+  private def runChCollapse(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("value"))
+    val base = baseEid(col("event_id"))
+    val st1 = ev.select(col("event_id").as("k"), col("value").as("v"),
+      lit(1).as("sign"), lit(1L).as("seq"))
+    val upd = ev.filter(base % 3 === 0)
+    val can = upd.select(col("event_id").as("k"), col("value").as("v"),
+      lit(-1).as("sign"), lit(2L).as("seq"))
+    val st2 = upd.select(col("event_id").as("k"),
+      (col("value") + lit(1.0)).as("v"), lit(1).as("sign"),
+      lit(3L).as("seq"))
+    val del = ev.filter(base % 7 === 0)
+      .select(col("event_id").as("k"),
+        when(base % 3 === 0, col("value") + lit(1.0))
+          .otherwise(col("value")).as("v"),
+        lit(-1).as("sign"), lit(4L).as("seq"))
+    val feed = st1.unionByName(can).unionByName(st2).unionByName(del)
+    var mass = 0L
+    timed {
+      val agg = graft.operators.Collapse
+        .collapse(feed, Seq("k"), "sign", "seq")
+        .agg(count(lit(1)),
+          sum(round(col("v") * 100).cast("long"))).head()
+      mass = agg.getLong(1)
+      agg.getLong(0)
+    }(Map("cents_mass" -> mass))
+  }
+
+  /** TTL GROUP BY rewrite: the rolled grain (day × type) is shared by
+    * every copy, so rolled group count is scale-INVARIANT while its
+    * row mass and the live tail carry all of ×N. */
+  private def runTtlExpire(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    var rolledGroups = 0L
+    var nMass = 0L
+    var liveRows = 0L
+    timed {
+      val out = graft.operators.Ttl.rollupExpired(ev, "ts",
+        lit("2024-01-22 00:00:00").cast("timestamp"),
+        keys = Seq("day" -> col("ts").cast("date").cast("string"),
+          "event_type" -> col("event_type")),
+        aggs = Seq(("n", count(lit(1)), lit(1L)),
+          ("vmax", max(col("value")), col("value"))),
+        liveCols = Seq("event_id" -> col("event_id")))
+      val agg = out.agg(count(lit(1)),
+        sum(when(col("rolled"), lit(1L)).otherwise(lit(0L))),
+        sum(col("n")),
+        sum(when(!col("rolled"), lit(1L)).otherwise(lit(0L)))).head()
+      rolledGroups = agg.getLong(1)
+      nMass = agg.getLong(2)
+      liveRows = agg.getLong(3)
+      agg.getLong(0)
+    }(Map("rolled_groups" -> rolledGroups, "n_mass" -> nMass,
+      "live_rows" -> liveRows))
+  }
+
+  /** LowCardinality dictionary: the code table is alphabet-sized at
+    * ANY corpus size; counts carry ×N and the frequency order (hence
+    * the code assignment) is preserved under uniform scaling. */
+  private def runDictEncode(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    var nMass = 0L
+    var codeHash = 0L
+    timed {
+      val d = graft.operators.Dict.build(ev, "event_type")
+      val agg = d.agg(count(lit(1)), sum(col("n")),
+        sum(col("code") * pmod(xxhash64(col("value")),
+          lit(1000000007L)))).head()
+      nMass = agg.getLong(1)
+      codeHash = agg.getLong(2)
+      agg.getLong(0)
+    }(Map("n_mass" -> nMass, "code_hash" -> codeHash))
+  }
+
+  /** K-means ASSIGNMENT (the scan-dominant phase) with centroids
+    * frozen from copy 0: map-only — the executed plan must contain
+    * ZERO exchanges — with copy-0 assignments identical at both
+    * scales (sign-flipped copies add rows, never disturb copy 0). */
+  private def runKmeansAssign(s: SparkSession, dir: String): OpResult = {
+    import graft.operators.Kmeans
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.select(col("vec_id"),
+      Kmeans.quantize(col("embedding")).as("q"))
+    val centroids = q.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Long](1).toSeq }.toSeq
+    var copy0Mass = 0L
+    var exchanges = 0L
+    timed {
+      val assigned = Kmeans.assign(q, "q", centroids)
+      exchanges = "Exchange".r
+        .findAllIn(assigned.queryExecution.executedPlan.toString)
+        .size.toLong
+      val agg = assigned.agg(count(lit(1)),
+        sum(when(col("vec_id") < 100000000L,
+          (col("cid") + 1) * (col("vec_id") + 1)).otherwise(lit(0L))))
+        .head()
+      copy0Mass = agg.getLong(1)
+      agg.getLong(0)
+    }(Map("copy0_mass" -> copy0Mass, "exchange_nodes" -> exchanges))
+  }
+
+  /** Bloom runtime filter: the build side is pinned to copy-0 keys, so
+    * join output is scale-INVARIANT while the probe grows ×N; the
+    * bloom must keep the shuffled volume near the true match count
+    * (false positives bounded by the sized mask). */
+  private def runJoinBloom(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val build = ev.filter(col("user_id") < 100000000L &&
+        col("user_id") % 97 === 0)
+      .select(col("user_id").as("bk")).distinct()
+    var kept = 0L
+    var total = 0L
+    timed {
+      val bloom = graft.operators.RuntimeFilter
+        .keyBloom(build, "bk", 1 << 16)
+      total = ev.count()
+      kept = ev.filter(bloom(col("user_id"))).count()
+      ev.filter(bloom(col("user_id")))
+        .join(build, col("user_id") === col("bk"))
+        .count()
+    }(Map("bloom_kept" -> kept, "probe_rows" -> total))
+  }
+
+  /** Synthetic per-copy triangle motif over blown-up doc ids: one
+    * triangle per 10 base docs plus a per-copy hub star (skew probe).
+    * Triangles and their vertex mass replicate exactly ×N; the star
+    * adds zero triangles at every scale. */
+  private def runTriangles(s: SparkSession, dir: String): OpResult = {
+    val ids = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+    val base = pmod(col("doc_id"), lit(100000000L))
+    val copy = col("doc_id") - base
+    val tri = ids.filter(base % 10 === 0)
+      .select(explode(array(
+        struct(col("doc_id").as("a"), (col("doc_id") + 1).as("b")),
+        struct(col("doc_id").as("a"), (col("doc_id") + 2).as("b")),
+        struct((col("doc_id") + 1).as("a"), (col("doc_id") + 2).as("b"))
+      )).as("e")).select(col("e.a").as("a"), col("e.b").as("b"))
+    val star = ids.filter(base % 13 === 0)
+      .select(copy.as("a"), (col("doc_id") + 5).as("b"))
+    val edges = tri.unionByName(star)
+    var vertexMass = 0L
+    timed {
+      val t = graft.operators.Graph.triangles(edges)
+      // mass over BASE ids so per-copy contributions are identical
+      val agg = t.agg(count(lit(1)),
+        sum(pmod(pmod(col("x"), lit(100000000L)) +
+          pmod(col("y"), lit(100000000L)) +
+          pmod(col("z"), lit(100000000L)), lit(1000000007L))))
+        .head()
+      vertexMass = agg.getLong(1)
+      agg.getLong(0)
+    }(Map("vertex_mass" -> vertexMass))
+  }
+
+  /** Integer EWMA: per-copy series are identical, so the fold output
+    * (rows AND total smoothed mass) replicates exactly ×N. */
+  private def runTsEwma(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    var ewmaMass = 0L
+    timed {
+      val out = graft.operators.TimeSeries
+        .ewmaHalvingDaily(ev, "user_id", "ts", "value")
+      val agg = out.agg(count(lit(1)), sum(col("ewma"))).head()
+      ewmaMass = agg.getLong(1)
+      agg.getLong(0)
+    }(Map("ewma_mass" -> ewmaMass))
+  }
+
+  /** windowFunnel: copies carry identical timelines under fresh user
+    * ids, so the depth histogram keys are stable and every count
+    * carries exactly ×N. */
+  private def runWindowFunnel(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    var groupMass = 0L
+    timed {
+      val out = graft.operators.Funnel.windowed(ev, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        expr("INTERVAL 60 MINUTES"))
+      val agg = out.agg(count(lit(1)), sum(col("n_groups"))).head()
+      groupMass = agg.getLong(1)
+      agg.getLong(0)
+    }(Map("group_mass" -> groupMass))
+  }
+
+  /** Skip index: the range predicate lives entirely in copy 0, so
+    * result rows and surviving granules are scale-INVARIANT while the
+    * granule universe grows with the corpus — the skip RATIO is what
+    * improves at scale. */
+  private def runIndexPrune(s: SparkSession, dir: String): OpResult = {
+    import graft.operators.Layout
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("day", dayofmonth(col("ts")))
+      // cluster key: copy-separated user slot (base user ids < 2048;
+      // each copy's slot range is disjoint), integer arithmetic only
+      .withColumn("_blk", Layout.blockOf(
+        Layout.zValue(pmod(col("user_id"), lit(2048L)) +
+          expr("user_id div 100000000L") * lit(2048L),
+          col("day"), 16), 12))
+    var surviving = 0L
+    var totalBlocks = 0L
+    timed {
+      val stats = Layout.minmaxStats(ev, "_blk", Seq("user_id", "day"))
+      val surv = Layout.pruneBlocks(stats,
+        Seq(("user_id", lit(100), lit(200)), ("day", lit(5), lit(10))))
+      totalBlocks = stats.count()
+      surviving = surv.count()
+      Layout.prunedScan(ev, "_blk", surv)
+        .filter(col("user_id").between(100, 200) &&
+          col("day").between(5, 10))
+        .count()
+    }(Map("surviving_blocks" -> surviving,
+      "total_blocks" -> totalBlocks))
+  }
+
+  /** Phrase search: the alphabet rotation relocates every copy's
+    * tokens, so the hit set is confined to copy 0 — result rows and
+    * hit mass are scale-invariant while the postings scan carries ×N. */
+  private def runTextPhrase(s: SparkSession, dir: String): OpResult = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    var hitMass = 0L
+    timed {
+      val out = graft.operators.Retrieval.phraseSearch(docs, "doc_id",
+        "text", Seq("value", "table"))
+      val agg = out.agg(count(lit(1)), sum(col("n_hits"))).head()
+      hitMass = agg.getLong(1)
+      agg.getLong(0)
+    }(Map("hit_mass" -> hitMass))
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE",
       "/root/testdata/sf0.1")
@@ -1807,7 +2049,17 @@ object BenchScale {
       "ann_incremental" -> (d => runVecIndex(spark, d,
         if (d.endsWith("x1")) 1 else n)),
       "cdc_dedup" -> (d => runCdcDedup(spark, d,
-        if (d.endsWith("x1")) 1 else n)))
+        if (d.endsWith("x1")) 1 else n)),
+      "ch_collapse" -> (d => runChCollapse(spark, d)),
+      "ttl_expire" -> (d => runTtlExpire(spark, d)),
+      "dict_encode" -> (d => runDictEncode(spark, d)),
+      "embed_kmeans" -> (d => runKmeansAssign(spark, d)),
+      "join_bloom" -> (d => runJoinBloom(spark, d)),
+      "graph_triangles" -> (d => runTriangles(spark, d)),
+      "ts_ewma" -> (d => runTsEwma(spark, d)),
+      "event_window_funnel" -> (d => runWindowFunnel(spark, d)),
+      "index_prune" -> (d => runIndexPrune(spark, d)),
+      "text_phrase" -> (d => runTextPhrase(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -2197,6 +2449,66 @@ object BenchScale {
             atN.evidence("list_sum") == at1.evidence("list_sum") &&
             atN.evidence("state_rows") == at1.evidence("state_rows") * n &&
             atN.evidence("batch_keys") == at1.evidence("batch_keys")
+        case "ch_collapse" =>
+          // per-copy-identical sign stream: survivors and their exact
+          // cents mass replicate ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("cents_mass") == at1.evidence("cents_mass") * n
+        case "ttl_expire" =>
+          // rolled grain (day × type) is scale-INVARIANT; its row mass
+          // and the live tail carry all of ×N
+          atN.evidence("rolled_groups") == at1.evidence("rolled_groups") &&
+            atN.evidence("live_rows") == at1.evidence("live_rows") * n &&
+            atN.evidence("n_mass") == at1.evidence("n_mass") * n
+        case "dict_encode" =>
+          // dictionary stays alphabet-sized with the SAME code
+          // assignment (uniform ×N preserves frequency order); counts
+          // carry ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("code_hash") == at1.evidence("code_hash") &&
+            atN.evidence("n_mass") == at1.evidence("n_mass") * n
+        case "embed_kmeans" =>
+          // map-only assignment: zero exchanges at both scales, copy-0
+          // assignments bit-identical under frozen centroids
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("copy0_mass") == at1.evidence("copy0_mass") &&
+            atN.evidence("exchange_nodes") == 0L &&
+            at1.evidence("exchange_nodes") == 0L
+        case "join_bloom" =>
+          // build pinned to copy 0: join output scale-invariant; the
+          // bloom keeps shuffled volume at the true match count plus a
+          // bounded false-positive allowance over the ×N probe
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("probe_rows") == at1.evidence("probe_rows") * n &&
+            atN.evidence("bloom_kept") <= at1.evidence("bloom_kept") +
+              atN.evidence("probe_rows") / 1000
+        case "graph_triangles" =>
+          // per-copy triangle motifs over disjoint ids: count and
+          // base-id vertex mass exactly ×N; the hub stars never close
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("vertex_mass") == at1.evidence("vertex_mass") * n
+        case "ts_ewma" =>
+          // identical per-copy series: fold rows and smoothed mass ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("ewma_mass") == at1.evidence("ewma_mass") * n
+        case "event_window_funnel" =>
+          // same depth histogram keys; every count carries ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("group_mass") == at1.evidence("group_mass") * n
+        case "index_prune" =>
+          // predicate confined to copy 0: result AND surviving
+          // granules scale-invariant while the granule universe grows
+          // — the skip ratio is what improves with corpus size
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("surviving_blocks") ==
+              at1.evidence("surviving_blocks") &&
+            atN.evidence("total_blocks") >=
+              at1.evidence("total_blocks") * (n.toLong / 2)
+        case "text_phrase" =>
+          // rotation relocates every other copy's tokens: hits confined
+          // to copy 0, scan ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("hit_mass") == at1.evidence("hit_mass")
         case _ =>
           atN.evidence("out_rows") == at1.evidence("out_rows") * n
       }
