@@ -2628,6 +2628,51 @@ object SparkEntry {
       .groupBy(col("hours")).agg(count(lit(1)).as("n_users"))
   }
 
+  /** Robust dispersion: per-group interpolated median then the median
+    * of absolute deviations — the same two-pass rank machinery as
+    * q_median, run twice. Every interpolation uses the one FP
+    * expression both engines evaluate identically; ties in the
+    * deviation rank are harmless because the value AT a rank is
+    * well-defined under ties. */
+  private def statsMad(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_extendedprice").cast("double").as("p"))
+    def interpolatedMedian(df: DataFrame, vCol: String,
+        out: String): DataFrame = {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col(vCol))
+      val counts = df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+      val pos = lit(0.5) * (col("n") - 1).cast("double")
+      val loRk = (floor(pos) + 1).cast("long")
+      val hiRk = (ceil(pos) + 1).cast("long")
+      df.withColumn("rk", row_number().over(w))
+        .join(broadcast(counts), Seq("l_returnflag"))
+        .filter(col("rk") === loRk || col("rk") === hiRk)
+        .groupBy(col("l_returnflag"))
+        .agg(((lit(1.0) -
+          max(when(col("rk") === loRk, pos - floor(pos)))) *
+          max(when(col("rk") === loRk, col(vCol))) +
+          max(when(col("rk") === loRk, pos - floor(pos))) *
+            max(when(col("rk") === hiRk, col(vCol)))).as(out))
+    }
+    val med = interpolatedMedian(base, "p", "med_price")
+    val dev = base.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("d", abs(col("p") - col("med_price")))
+    interpolatedMedian(dev.select(col("l_returnflag"), col("d")),
+        "d", "mad_price")
+      .join(broadcast(med), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("med_price"), col("mad_price"))
+  }
+
+  /** Integer CUSUM changepoint per user: s_i = max(0, s_{i-1} + cᵢ − μ)
+    * over exact daily cents with μ the user's truncating-mean — a
+    * bit-replayable upward-drift detector (alarm when s exceeds 3μ).
+    * Same fold discipline as ts_ewma: zero-seeded so both engines'
+    * folds agree from the first element. */
+  private def tsCusum(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.cusumDaily(events(s, dir), "user_id", "ts", "value")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_load" -> (snapshotLoad _),
     "cdc_insert_only" -> (cdcInsertOnly _),
@@ -2786,7 +2831,9 @@ object SparkEntry {
     "ts_ewma" -> (tsEwma _),
     "graph_triangles" -> (graphTriangles _),
     "text_phrase" -> (textPhrase _),
-    "event_time_to_convert" -> (eventTimeToConvert _))
+    "event_time_to_convert" -> (eventTimeToConvert _),
+    "stats_mad" -> (statsMad _),
+    "ts_cusum" -> (tsCusum _))
 
   /** The CollapsingMergeTree sign stream as SQL — mirrors
     * [[collapseFeed]] term for term (already margin-stripped; the
@@ -4739,6 +4786,73 @@ object SparkEntry {
         |    value AS max_value, FALSE AS rolled
         |  FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00')
         |SELECT * FROM expired UNION ALL SELECT * FROM live""".stripMargin,
+    "stats_mad" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS f, CAST(l_extendedprice AS DOUBLE)
+        |    AS p FROM lineitem),
+        |n1 AS (SELECT f, count(*) AS n FROM base GROUP BY 1),
+        |r1 AS (SELECT f, p, row_number() OVER (
+        |  PARTITION BY f ORDER BY p) AS rk FROM base),
+        |med AS (
+        |  SELECT r1.f,
+        |    (1.0 - max(CASE WHEN rk =
+        |        CAST(floor(0.5*(n-1)) AS BIGINT) + 1
+        |        THEN 0.5*(n-1) - floor(0.5*(n-1)) END))
+        |      * max(CASE WHEN rk =
+        |          CAST(floor(0.5*(n-1)) AS BIGINT) + 1 THEN p END)
+        |    + max(CASE WHEN rk =
+        |        CAST(floor(0.5*(n-1)) AS BIGINT) + 1
+        |        THEN 0.5*(n-1) - floor(0.5*(n-1)) END)
+        |      * max(CASE WHEN rk =
+        |          CAST(ceil(0.5*(n-1)) AS BIGINT) + 1 THEN p END)
+        |    AS med_price
+        |  FROM r1 JOIN n1 USING (f) GROUP BY r1.f),
+        |dev AS (
+        |  SELECT b.f, abs(b.p - m.med_price) AS d
+        |  FROM base b JOIN med m ON b.f = m.f),
+        |r2 AS (SELECT f, d, row_number() OVER (
+        |  PARTITION BY f ORDER BY d) AS rk FROM dev),
+        |mad AS (
+        |  SELECT r2.f,
+        |    (1.0 - max(CASE WHEN rk =
+        |        CAST(floor(0.5*(n-1)) AS BIGINT) + 1
+        |        THEN 0.5*(n-1) - floor(0.5*(n-1)) END))
+        |      * max(CASE WHEN rk =
+        |          CAST(floor(0.5*(n-1)) AS BIGINT) + 1 THEN d END)
+        |    + max(CASE WHEN rk =
+        |        CAST(floor(0.5*(n-1)) AS BIGINT) + 1
+        |        THEN 0.5*(n-1) - floor(0.5*(n-1)) END)
+        |      * max(CASE WHEN rk =
+        |          CAST(ceil(0.5*(n-1)) AS BIGINT) + 1 THEN d END)
+        |    AS mad_price
+        |  FROM r2 JOIN n1 USING (f) GROUP BY r2.f)
+        |SELECT mad.f AS l_returnflag, med.med_price, mad.mad_price
+        |FROM mad JOIN med USING (f)""".stripMargin,
+    "ts_cusum" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT user_id, list(cents ORDER BY day) AS cs,
+        |    list(day ORDER BY day) AS ds,
+        |    CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |      AS mu
+        |  FROM daily GROUP BY 1),
+        |ex AS (
+        |  SELECT user_id, mu, cs, unnest(ds) AS day,
+        |    unnest(range(1, len(cs) + 1)) AS i
+        |  FROM arr)
+        |SELECT user_id, day, cents, cusum,
+        |  CAST(cusum > 3 * mu AS INT) AS alarm
+        |FROM (
+        |  SELECT user_id, mu, day, cs[i] AS cents,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(cs[1:i], c -> c - mu)),
+        |      (a, b) -> greatest(a + b, 0)) AS cusum
+        |  FROM ex)""".stripMargin,
     "text_phrase" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -239,6 +239,40 @@ object TimeSeries {
         col("e.cents").as("cents"), col("e.ewma").as("ewma"))
   }
 
+  /** Integer CUSUM drift detector per key:
+    * `s_i = max(0, s_{i-1} + cᵢ − μ)` over exact daily cents with μ
+    * the key's truncating mean; `alarm` fires when s exceeds
+    * `alarmMult·μ`. Zero-seeded fold (both engines agree from the
+    * first element), same one-aggregate-one-fold shape and per-key
+    * state bound as [[ewmaHalvingDaily]].
+    * @return (key, day, cents, cusum, alarm) */
+  def cusumDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alarmMult: Long = 3L): DataFrame = {
+    val daily = df.groupBy(col(keyCol),
+        col(tsCol).cast("date").cast("string").as("day"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("cents"))
+    val accType = "array<struct<day:string,cents:bigint,s:bigint>>"
+    daily.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+          .as("arr"),
+        expr("sum(cents) div count(1)").as("mu"))
+      .withColumn("f", aggregate(
+        col("arr"),
+        expr(s"CAST(array() AS $accType)"),
+        (acc, x) => concat(acc, array(struct(
+          x.getField("day").as("day"),
+          x.getField("cents").as("cents"),
+          greatest(
+            when(size(acc) === 0, lit(0L))
+              .otherwise(element_at(acc, -1).getField("s")) +
+              x.getField("cents") - col("mu"), lit(0L)).as("s"))))))
+      .select(col(keyCol), col("mu"), explode(col("f")).as("e"))
+      .select(col(keyCol), col("e.day").as("day"),
+        col("e.cents").as("cents"), col("e.s").as("cusum"),
+        (col("e.s") > lit(alarmMult) * col("mu")).cast("int")
+          .as("alarm"))
+  }
+
   def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val daily = df

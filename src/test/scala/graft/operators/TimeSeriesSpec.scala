@@ -191,4 +191,26 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().toSet
     assert(a == b)
   }
+
+  test("cusumDaily: zero-seeded clamped drift fold with truncating mean") {
+    // one user, cents 100, 100, 700 over 3 days -> mu = 300
+    // s: max(0,100-300)=0, max(0,0+100-300)=0, max(0,0+700-300)=400
+    val ev3 = Seq(
+      (9L, "2024-01-01 10:00:00", 1.0),
+      (9L, "2024-01-02 10:00:00", 1.0),
+      (9L, "2024-01-03 10:00:00", 7.0)
+    ).toDF("u", "ts_s", "v")
+      .selectExpr("u", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    val got = TimeSeries.cusumDaily(ev3, "u", "ts", "v")
+      .select("day", "cents", "cusum", "alarm")
+      .as[(String, Long, Long, Int)].collect().sortBy(_._1).toList
+    assert(got == List(
+      ("2024-01-01", 100L, 0L, 0),
+      ("2024-01-02", 100L, 0L, 0),
+      ("2024-01-03", 700L, 400L, 0)))
+    // tighter alarm threshold fires on the drift day
+    val tight = TimeSeries.cusumDaily(ev3, "u", "ts", "v", alarmMult = 1L)
+      .filter(col("alarm") === 1).select("day").as[String].collect()
+    assert(tight.toSeq == Seq("2024-01-03"))
+  }
 }
