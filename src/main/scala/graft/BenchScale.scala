@@ -1894,6 +1894,23 @@ object BenchScale {
     }(Map("ewma_mass" -> ewmaMass))
   }
 
+  /** Integer CUSUM: same per-copy-identical series argument as the
+    * EWMA — fold rows, drift mass, and alarm count replicate ×N. */
+  private def runTsCusum(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    var driftMass = 0L
+    var alarms = 0L
+    timed {
+      val out = graft.operators.TimeSeries
+        .cusumDaily(ev, "user_id", "ts", "value")
+      val agg = out.agg(count(lit(1)), sum(col("cusum")),
+        sum(col("alarm").cast("long"))).head()
+      driftMass = agg.getLong(1)
+      alarms = agg.getLong(2)
+      agg.getLong(0)
+    }(Map("drift_mass" -> driftMass, "alarms" -> alarms))
+  }
+
   /** windowFunnel: copies carry identical timelines under fresh user
     * ids, so the depth histogram keys are stable and every count
     * carries exactly ×N. */
@@ -2059,7 +2076,8 @@ object BenchScale {
       "ts_ewma" -> (d => runTsEwma(spark, d)),
       "event_window_funnel" -> (d => runWindowFunnel(spark, d)),
       "index_prune" -> (d => runIndexPrune(spark, d)),
-      "text_phrase" -> (d => runTextPhrase(spark, d)))
+      "text_phrase" -> (d => runTextPhrase(spark, d)),
+      "ts_cusum" -> (d => runTsCusum(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -2491,6 +2509,11 @@ object BenchScale {
           // identical per-copy series: fold rows and smoothed mass ×N
           atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
             atN.evidence("ewma_mass") == at1.evidence("ewma_mass") * n
+        case "ts_cusum" =>
+          // identical per-copy series: drift mass and alarms ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("drift_mass") == at1.evidence("drift_mass") * n &&
+            atN.evidence("alarms") == at1.evidence("alarms") * n
         case "event_window_funnel" =>
           // same depth histogram keys; every count carries ×N
           atN.evidence("out_rows") == at1.evidence("out_rows") &&
