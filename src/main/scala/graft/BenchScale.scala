@@ -1927,6 +1927,58 @@ object BenchScale {
     }(Map("group_mass" -> groupMass))
   }
 
+  /** SummingMergeTree fold: per-copy-identical measures (cents as
+    * exact longs) with %3 adjustments and %13 full negations on the
+    * BASE id — survivors, their count mass, and cents mass all ×N,
+    * and the negated keys vanish in every copy. */
+  private def runChSumming(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("value"))
+    val base = baseEid(col("event_id"))
+    val cents = round(col("value") * 100).cast("long")
+    val b = ev.select(col("event_id").as("k"), lit(1L).as("cnt"),
+      cents.as("c"))
+    val adj = ev.filter(base % 3 === 0)
+      .select(col("event_id").as("k"), lit(1L).as("cnt"),
+        lit(1000L).as("c"))
+    val neg = ev.filter(base % 13 === 0)
+      .select(col("event_id").as("k"),
+        when(base % 3 === 0, lit(-2L)).otherwise(lit(-1L)).as("cnt"),
+        (-(cents + when(base % 3 === 0, lit(1000L)).otherwise(lit(0L))))
+          .as("c"))
+    val feed = b.unionByName(adj).unionByName(neg)
+    var cntMass = 0L
+    var centsMass = 0L
+    timed {
+      val agg = graft.operators.Collapse
+        .summing(feed, Seq("k"), Seq("cnt", "c"), Seq.empty)
+        .agg(count(lit(1)), sum(col("cnt")), sum(col("c"))).head()
+      cntMass = agg.getLong(1)
+      centsMass = agg.getLong(2)
+      agg.getLong(0)
+    }(Map("cnt_mass" -> cntMass, "cents_mass" -> centsMass))
+  }
+
+  /** sequenceMatch: copies carry identical timelines under fresh user
+    * ids, so the match-count histogram keys are stable and every
+    * per-key count carries exactly ×N. */
+  private def runSeqMatch(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    var keyMass = 0L
+    var matchMass = 0L
+    timed {
+      val out = graft.operators.Sequence.seqMatch(ev, "user_id",
+        "event_type", "ts", "event_id",
+        Seq("view", "click", "purchase"),
+        Seq(expr("INTERVAL 120 MINUTES"), expr("INTERVAL 240 MINUTES")))
+      val agg = out.agg(count(lit(1)), sum(col("n_keys")),
+        sum(col("n_matches") * col("n_keys"))).head()
+      keyMass = agg.getLong(1)
+      matchMass = agg.getLong(2)
+      agg.getLong(0)
+    }(Map("key_mass" -> keyMass, "match_mass" -> matchMass))
+  }
+
   /** Skip index: the range predicate lives entirely in copy 0, so
     * result rows and surviving granules are scale-INVARIANT while the
     * granule universe grows with the corpus — the skip RATIO is what
@@ -2077,7 +2129,9 @@ object BenchScale {
       "event_window_funnel" -> (d => runWindowFunnel(spark, d)),
       "index_prune" -> (d => runIndexPrune(spark, d)),
       "text_phrase" -> (d => runTextPhrase(spark, d)),
-      "ts_cusum" -> (d => runTsCusum(spark, d)))
+      "ts_cusum" -> (d => runTsCusum(spark, d)),
+      "ch_summing" -> (d => runChSumming(spark, d)),
+      "event_seq_match" -> (d => runSeqMatch(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -2518,6 +2572,18 @@ object BenchScale {
           // same depth histogram keys; every count carries ×N
           atN.evidence("out_rows") == at1.evidence("out_rows") &&
             atN.evidence("group_mass") == at1.evidence("group_mass") * n
+        case "ch_summing" =>
+          // per-copy-identical measure feed: survivors, count mass and
+          // exact cents mass all ×N (negated keys vanish in every copy)
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("cnt_mass") == at1.evidence("cnt_mass") * n &&
+            atN.evidence("cents_mass") == at1.evidence("cents_mass") * n
+        case "event_seq_match" =>
+          // identical per-copy timelines: histogram keys stable, every
+          // key and match count carries ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("key_mass") == at1.evidence("key_mass") * n &&
+            atN.evidence("match_mass") == at1.evidence("match_mass") * n
         case "index_prune" =>
           // predicate confined to copy 0: result AND surviving
           // granules scale-invariant while the granule universe grows

@@ -2571,6 +2571,62 @@ object SparkEntry {
           .as("sum_qty"), count(lit(1)).as("n"),
         grouping_id().as("gid"))
 
+  /** Explicit GROUPING SETS — the cube's hand-picked cousin: exactly
+    * the (status, priority), (status), () roll-ups in one pass, with
+    * per-column grouping flags distinguishing rolled-up nulls. One
+    * expand + one hash aggregate; no set is computed that the report
+    * doesn't ask for (a cube would pay for (priority) too). */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("rev"))
+
+  /** SummingMergeTree(cnt, price) FINAL over a synthetic measure feed:
+    * every order contributes a base row, %3 keys an adjustment row,
+    * and %13 keys a full negation — so %13 keys must VANISH (the
+    * engine's all-zero elimination) and everything else folds to one
+    * exactly-summed row. Measures ride DECIMAL; the one double cast
+    * happens after the fold. */
+  private def chSumming(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dec = col("o_totalprice").cast("decimal(18,2)")
+    val ten = lit(BigDecimal("10.00")).cast("decimal(18,2)")
+    val zero = lit(BigDecimal("0.00")).cast("decimal(18,2)")
+    val base = o.select(col("o_orderkey"), col("o_custkey"),
+      lit(1L).as("cnt"), dec.as("price"))
+    val adj = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit(1L).as("cnt"), ten.as("price"))
+    val neg = o.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 3 === 0, lit(-2L)).otherwise(lit(-1L))
+          .as("cnt"),
+        (-(dec + when(col("o_orderkey") % 3 === 0, ten).otherwise(zero)))
+          .cast("decimal(18,2)").as("price"))
+    Collapse.summing(base.unionByName(adj).unionByName(neg),
+        Seq("o_orderkey"), Seq("cnt", "price"), Seq("o_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("cnt"),
+        col("price").cast("double").as("price"))
+  }
+
+  /** sequenceMatch('(?view)(?t≤2h)(?click)(?t≤4h)(?purchase)') over
+    * the per-user on-pattern subsequence: strict adjacency among
+    * view/click/purchase events with per-step gap bounds — the pattern
+    * operator Sequence.scala's transition matrix deliberately isn't.
+    * Output is the per-anchor match-count histogram. */
+  private def eventSeqMatch(s: SparkSession, dir: String): DataFrame =
+    Sequence.seqMatch(events(s, dir), "user_id", "event_type", "ts",
+      "event_id", Seq("view", "click", "purchase"),
+      Seq(expr("INTERVAL 120 MINUTES"), expr("INTERVAL 240 MINUTES")))
+
   /** Bloom-prefiltered selective join: urgent orders' keys become a
     * bloom applied at the lineitem scan, so ~4/5 of the probe side
     * dies before the join's exchange; the join then strips the bloom's
@@ -2833,7 +2889,10 @@ object SparkEntry {
     "text_phrase" -> (textPhrase _),
     "event_time_to_convert" -> (eventTimeToConvert _),
     "stats_mad" -> (statsMad _),
-    "ts_cusum" -> (tsCusum _))
+    "ts_cusum" -> (tsCusum _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "ch_summing" -> (chSumming _),
+    "event_seq_match" -> (eventSeqMatch _))
 
   /** The CollapsingMergeTree sign stream as SQL — mirrors
     * [[collapseFeed]] term for term (already margin-stripped; the
@@ -5034,7 +5093,56 @@ object SparkEntry {
         |  coalesce(a.n_kept, 0) AS n_kept, a.clean_text,
         |  len(regexp_extract_all(coalesce(a.clean_text, ''),
         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
-        |FROM surv s LEFT JOIN agg a USING (doc_id)""".stripMargin))
+        |FROM surv s LEFT JOIN agg a USING (doc_id)""".stripMargin),
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS rev
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())""".stripMargin,
+    "ch_summing" ->
+      """WITH feed AS (
+        |  SELECT o_orderkey, o_custkey, CAST(1 AS BIGINT) AS cnt,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 1,
+        |    CAST(10.00 AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN -2 ELSE -1 END,
+        |    -(CAST(o_totalprice AS DECIMAL(18,2)) +
+        |      CASE WHEN o_orderkey % 3 = 0
+        |           THEN CAST(10.00 AS DECIMAL(18,2))
+        |           ELSE CAST(0.00 AS DECIMAL(18,2)) END)
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT o_orderkey, min(o_custkey) AS o_custkey,
+        |  CAST(sum(cnt) AS BIGINT) AS cnt,
+        |  CAST(sum(price) AS DOUBLE) AS price
+        |FROM feed GROUP BY 1
+        |HAVING NOT (sum(cnt) = 0 AND sum(price) = 0)""".stripMargin,
+    "event_seq_match" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |l AS (
+        |  SELECT user_id, event_type, ts,
+        |    lead(event_type, 1) OVER w AS ty1, lead(ts, 1) OVER w AS ts1,
+        |    lead(event_type, 2) OVER w AS ty2, lead(ts, 2) OVER w AS ts2
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |m AS (
+        |  SELECT user_id, count(*) AS n_matches FROM l
+        |  WHERE event_type = 'view'
+        |    AND ty1 = 'click' AND ts1 <= ts + INTERVAL 120 MINUTE
+        |    AND ty2 = 'purchase' AND ts2 <= ts1 + INTERVAL 240 MINUTE
+        |  GROUP BY 1)
+        |SELECT n_matches, count(*) AS n_keys FROM m
+        |GROUP BY 1""".stripMargin)
 
   /** Replays AsofJoin's union+running-window formulation verbatim:
     * right rows (tag 0) sort before left rows (tag 1) at equal ts, the

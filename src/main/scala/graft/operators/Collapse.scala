@@ -51,6 +51,31 @@ object Collapse {
       .drop("_net", "_rn", signCol, seqCol)
   }
 
+  /** `SummingMergeTree(sumCols)` FINAL: rows sharing the sorting key
+    * merge by SUMMING the measure columns; a merged row whose measures
+    * are ALL zero is dropped entirely (the engine's documented
+    * zero-elimination — how "retract by inserting the negation" rides
+    * an insert-only sink). Non-key non-measure columns get "any value
+    * from the merged set" in ClickHouse; here the pick is pinned to
+    * `min` so the result is replayable. Callers pre-cast float
+    * measures to DECIMAL — the sums must be exact for the zero test
+    * (and the oracle hash) to be order-independent.
+    *
+    * Shape: ONE hash aggregate on the sorting key with map-side
+    * partials — no window, no sort. At 100 TB this is the cheapest
+    * exchange in the family: the combiner collapses dense keys before
+    * the shuffle, exactly like the engine's own part merge. */
+  def summing(df: DataFrame, keyCols: Seq[String], sumCols: Seq[String],
+      otherCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "summing: need at least one key column")
+    require(sumCols.nonEmpty, "summing: need at least one measure")
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      otherCols.map(c => min(col(c)).as(c))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(!sumCols.map(c => col(c) === lit(0)).reduce(_ && _))
+  }
+
   /** `VersionedCollapsingMergeTree(sign, version)` FINAL: cancels pair
     * up with states of the SAME (key, version) — out-of-order
     * delivery can't mis-cancel a newer state, the property the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -107,6 +107,53 @@ object Sequence {
           e => e.getField("t")),
         ">").as("path"))
       .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** ClickHouse `sequenceMatch`/`sequenceCount` with per-step time
+    * bounds — the pattern `(?1)(?t<=g1)(?2)(?t<=g2)(?3)…`: over the
+    * subsequence of a key's events whose type is one of `steps` (the
+    * condition-filtered timeline, exactly the engine's matching
+    * universe), an anchor matches iff the next k−1 subsequence events
+    * carry the step types IN ORDER and each adjacent gap is within its
+    * bound. Counts are per-ANCHOR (overlapping), which — unlike the
+    * engine's greedy non-overlap `sequenceCount` — is insertion-order
+    * independent and therefore oracle-gateable; `sequenceMatch` (the
+    * boolean) is identical under both conventions.
+    *
+    * Returns the bounded histogram `(n_matches, n_keys)` over keys
+    * with ≥1 match: output is |distinct match counts|-sized, never
+    * key- or event-sized.
+    *
+    * Shape: filter to on-pattern types FIRST (the scan drops every
+    * other row before any exchange), then ONE key-partitioned sort
+    * window evaluates all k−1 `lead`s together — a single data-sized
+    * shuffle + sort, no self-join, no per-key array materialization.
+    * Ordering is the `(tsCol, tiebreakCol)` total order, so ties are
+    * deterministic. */
+  def seqMatch(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tiebreakCol: String, steps: Seq[String],
+      maxGaps: Seq[Column]): DataFrame = {
+    require(steps.size >= 2, "seqMatch: need at least two steps")
+    require(maxGaps.size == steps.size - 1,
+      "seqMatch: need one gap bound per adjacent step pair")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val filtered = df
+      .filter(col(typeCol).isInCollection(steps.distinct))
+      .select(col(keyCol), col(typeCol), col(tsCol), col(tiebreakCol))
+    val withLeads = (1 until steps.size).foldLeft(filtered) { (acc, j) =>
+      acc.withColumn(s"_ty$j", lead(col(typeCol), j).over(w))
+        .withColumn(s"_ts$j", lead(col(tsCol), j).over(w))
+    }
+    val matched = (1 until steps.size).map { j =>
+      val prevTs = if (j == 1) col(tsCol) else col(s"_ts${j - 1}")
+      col(s"_ty$j") === steps(j) && col(s"_ts$j") <= prevTs + maxGaps(j - 1)
+    }.reduce(_ && _) && col(typeCol) === steps.head
+    withLeads.filter(matched)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_matches"))
+      .groupBy(col("n_matches"))
       .agg(count(lit(1)).as("n_keys"))
   }
 

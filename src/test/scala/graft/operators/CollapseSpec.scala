@@ -74,6 +74,49 @@ class CollapseSpec extends AnyFunSuite {
     assert(got == Set((2L, "live", 1L)))
   }
 
+  // (key, other, cnt, price-cents-as-decimal-string)
+  private def sfeed(rows: (Long, Long, Long, String)*) =
+    rows.toDF("k", "o", "cnt", "p")
+      .selectExpr("k", "o", "cnt", "CAST(p AS DECIMAL(18,2)) AS p")
+
+  test("summing: measures fold exactly, min pins the free column") {
+    val got = Collapse.summing(
+      sfeed((1L, 7L, 1L, "10.50"), (1L, 3L, 2L, "0.25"),
+        (2L, 9L, 1L, "5.00")),
+      Seq("k"), Seq("cnt", "p"), Seq("o"))
+      .selectExpr("k", "o", "cnt", "CAST(p AS STRING)")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 3L, 3L, "10.75"), (2L, 9L, 1L, "5.00")))
+  }
+
+  test("summing: all-zero group is eliminated, partial zero survives") {
+    val got = Collapse.summing(
+      sfeed((1L, 1L, 1L, "4.00"), (1L, 1L, -1L, "-4.00"), // vanishes
+        (2L, 2L, 1L, "3.00"), (2L, 2L, -1L, "1.00")), // cnt 0, p 4.00
+      Seq("k"), Seq("cnt", "p"), Seq("o"))
+      .selectExpr("k", "cnt", "CAST(p AS STRING)")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((2L, 0L, "4.00")))
+  }
+
+  test("summing is insertion-order independent") {
+    val rows = Seq((1L, 5L, 1L, "2.00"), (1L, 4L, 3L, "1.50"),
+      (2L, 8L, 1L, "9.99"))
+    val a = Collapse.summing(sfeed(rows: _*), Seq("k"),
+      Seq("cnt", "p"), Seq("o")).collect().toSet
+    val b = Collapse.summing(sfeed(rows.reverse: _*), Seq("k"),
+      Seq("cnt", "p"), Seq("o")).collect().toSet
+    assert(a == b)
+  }
+
+  test("summing: no sort, one hash aggregate exchange") {
+    val plan = Collapse.summing(sfeed((1L, 1L, 1L, "1.00")),
+      Seq("k"), Seq("cnt", "p"), Seq("o"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Sort "), plan) // window-free: partials combine
+  }
+
   test("one exchange: both collapses plan a single shuffle") {
     val plan = Collapse.collapse(feed((1L, "a", 1, 1L), (2L, "b", 1, 1L)),
       Seq("k"), "sign", "seq")

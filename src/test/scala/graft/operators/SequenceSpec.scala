@@ -113,4 +113,87 @@ class SequenceSpec extends AnyFunSuite {
       .selectExpr("u", "eid", "CAST(ts_s AS TIMESTAMP) AS ts", "et")
     assert(Sequence.transitions(e, "u", "et", "ts", "eid").count() == 0)
   }
+
+  private def sm(rows: Seq[(Long, Long, String, String)]) =
+    Sequence.seqMatch(
+      rows.toDF("u", "eid", "ts_s", "et")
+        .selectExpr("u", "eid", "CAST(ts_s AS TIMESTAMP) AS ts", "et"),
+      "u", "et", "ts", "eid", Seq("a", "b", "c"),
+      Seq(expr("INTERVAL 10 MINUTES"), expr("INTERVAL 10 MINUTES")))
+      .as[(Long, Long)].collect().toSet
+
+  test("seqMatch: adjacency is over the on-pattern subsequence") {
+    // u1: a → (off-pattern x ignored) → b → c, gaps within bounds — one
+    // match; u2: a → b with an INTERVENING on-pattern a — the pattern
+    // wants b directly after a in the subsequence, so u2 only matches
+    // from its SECOND a (a,b,c adjacent there), also one match — but
+    // u3's a,c,b order never matches.
+    val got = sm(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "a"),
+      (1L, 2L, "2024-01-01 10:01:00", "x"),
+      (1L, 3L, "2024-01-01 10:02:00", "b"),
+      (1L, 4L, "2024-01-01 10:03:00", "c"),
+      (2L, 5L, "2024-01-01 09:00:00", "a"),
+      (2L, 6L, "2024-01-01 09:01:00", "a"),
+      (2L, 7L, "2024-01-01 09:02:00", "b"),
+      (2L, 8L, "2024-01-01 09:03:00", "c"),
+      (3L, 9L, "2024-01-01 08:00:00", "a"),
+      (3L, 10L, "2024-01-01 08:01:00", "c"),
+      (3L, 11L, "2024-01-01 08:02:00", "b")))
+    assert(got == Set((1L, 2L))) // n_matches=1 → two keys (u1, u2)
+  }
+
+  test("seqMatch: a step outside its gap bound kills the chain") {
+    // a→b at 11 min > the 10-min bound; b→c fine — no match.
+    val got = sm(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "a"),
+      (1L, 2L, "2024-01-01 10:11:00", "b"),
+      (1L, 3L, "2024-01-01 10:12:00", "c")))
+    assert(got.isEmpty)
+    // boundary is inclusive: exactly 10 min matches
+    val ok = sm(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "a"),
+      (1L, 2L, "2024-01-01 10:10:00", "b"),
+      (1L, 3L, "2024-01-01 10:20:00", "c")))
+    assert(ok == Set((1L, 1L)))
+  }
+
+  test("seqMatch: same-timestamp ties resolve by the tiebreak id") {
+    // a and b share a timestamp; eid order (a before b) completes the
+    // chain — reversed ids would put b first and break it.
+    val ok = sm(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "a"),
+      (1L, 2L, "2024-01-01 10:00:00", "b"),
+      (1L, 3L, "2024-01-01 10:05:00", "c")))
+    assert(ok == Set((1L, 1L)))
+    val broken = sm(Seq(
+      (1L, 2L, "2024-01-01 10:00:00", "a"),
+      (1L, 1L, "2024-01-01 10:00:00", "b"),
+      (1L, 3L, "2024-01-01 10:05:00", "c")))
+    assert(broken.isEmpty)
+  }
+
+  test("seqMatch: overlapping anchors each count; one exchange") {
+    // a,a,b,c: anchor 1 sees subsequence-next a (no match), anchor 2
+    // matches — per-anchor counting, no double-count of the tail.
+    val df = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "a"),
+      (1L, 2L, "2024-01-01 10:01:00", "a"),
+      (1L, 3L, "2024-01-01 10:02:00", "b"),
+      (1L, 4L, "2024-01-01 10:03:00", "c"),
+      (1L, 5L, "2024-01-01 10:04:00", "a"),
+      (1L, 6L, "2024-01-01 10:05:00", "b"),
+      (1L, 7L, "2024-01-01 10:06:00", "c"))
+      .toDF("u", "eid", "ts_s", "et")
+      .selectExpr("u", "eid", "CAST(ts_s AS TIMESTAMP) AS ts", "et")
+    val q = Sequence.seqMatch(df, "u", "et", "ts", "eid",
+      Seq("a", "b", "c"),
+      Seq(expr("INTERVAL 10 MINUTES"), expr("INTERVAL 10 MINUTES")))
+    assert(q.as[(Long, Long)].collect().toSet == Set((2L, 1L)))
+    // all k−1 leads ride ONE key-partitioned sort: a single exchange
+    // before the histogram's (which aggregates ≤|keys| rows)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 3, plan)
+    assert("Window".r.findAllIn(plan).size == 1, plan)
+  }
 }
