@@ -1222,6 +1222,69 @@ object SparkEntry {
     s.read.schema(outSchema).parquet(s"$work/out")
   }
 
+  /** LEFT-OUTER stream-stream interval join — the watermark-DRIVEN
+    * side of [[streamInterval]]: unmatched clicks are released with a
+    * null purchase id only once the watermark proves no purchase can
+    * still land in their 24 h window. Outer emission happens in the
+    * batch AFTER the watermark passes, so the feed is three
+    * AvailableNow runs over one checkpoint: the real events, then two
+    * far-future sentinel runs under a reserved user — run k evicts
+    * with the watermark run k−1 established, and after the second
+    * sentinel every real click has provably emitted exactly once.
+    * The final output must equal the BATCH left interval join. */
+  private def streamIntervalLeft(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_sintl_")
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts"))
+    val mxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val in = s"$work/in"
+    def run(): Unit = {
+      def side(tpe: String) = s.readStream.schema(ev.schema)
+        .parquet(in)
+        .where(col("event_type") === tpe)
+        .drop("event_type")
+      val joined = streaming.StreamJoins.streamStreamInterval(
+        side("click"), side("purchase"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        within = "24 hours", delay = "0 seconds",
+        joinType = "leftOuter")
+        .select(col("l.user_id").as("user_id"),
+          col("l.event_id").as("click_id"),
+          col("r.event_id").as("purchase_id"))
+      val q = joined.writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$work/out")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.repartition(2).write.mode("append").parquet(in)
+    run()
+    (1 to 2).foreach { k =>
+      val tsv = timestamp_micros(lit(mxUs + k * 60L * 86400 * 1000000))
+      val one = ev.limit(1)
+      one.select(lit(-(2L * k)).as("event_id"), lit(-1L).as("user_id"),
+          lit("click").as("event_type"), tsv.as("ts"))
+        .unionByName(one.select(lit(-(2L * k) - 1).as("event_id"),
+          lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+          tsv.as("ts")))
+        .coalesce(1).write.mode("append").parquet(in)
+      run()
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("click_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("purchase_id",
+        org.apache.spark.sql.types.LongType)))
+    s.read.schema(outSchema).parquet(s"$work/out")
+      .filter(col("user_id") >= 0)
+  }
+
   /** Streaming ingest decontamination: the `decontam_bloom` bitmask
     * (built ONCE from the static benchmark, shipped as a literal) drops
     * into a Structured Streaming projection — each micro-batch of
@@ -2892,7 +2955,8 @@ object SparkEntry {
     "ts_cusum" -> (tsCusum _),
     "q_grouping_sets" -> (qGroupingSets _),
     "ch_summing" -> (chSumming _),
-    "event_seq_match" -> (eventSeqMatch _))
+    "event_seq_match" -> (eventSeqMatch _),
+    "stream_interval_left" -> (streamIntervalLeft _))
 
   /** The CollapsingMergeTree sign stream as SQL — mirrors
     * [[collapseFeed]] term for term (already margin-stripped; the
@@ -5142,7 +5206,15 @@ object SparkEntry {
         |    AND ty2 = 'purchase' AND ts2 <= ts1 + INTERVAL 240 MINUTE
         |  GROUP BY 1)
         |SELECT n_matches, count(*) AS n_keys FROM m
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "stream_interval_left" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |  AND p.ts <= c.ts + INTERVAL 24 HOUR""".stripMargin)
 
   /** Replays AsofJoin's union+running-window formulation verbatim:
     * right rows (tag 0) sort before left rows (tag 1) at equal ts, the

@@ -23,20 +23,30 @@ object StreamJoins {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
 
-  /** Inner stream-stream join: rows match when keys agree AND the right
+  /** Stream-stream join: rows match when keys agree AND the right
     * event lands within [left.ts, left.ts + within]. Watermarks on both
     * sides let Spark discard buffered rows once they can no longer
-    * match. */
+    * match.
+    *
+    * `joinType = "leftOuter"` adds watermark-DRIVEN null emission: an
+    * unmatched left row is released (right columns null) only once the
+    * watermark proves no future right row can land in its window —
+    * i.e. passes `leftTs + within + delay`. The outer result is thus a
+    * function of watermark progression, not just the data: a row whose
+    * window hasn't provably closed when the stream ends is withheld,
+    * which is why the gated query drives the final watermark past the
+    * real timeline with sentinel runs before reading the output. */
   def streamStreamInterval(left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
-      within: String, delay: String): DataFrame = {
+      within: String, delay: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, delay).as("l")
     val r = right.withWatermark(rightTs, delay).as("r")
     val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
       .reduce(_ && _)
     val timeCond = col(s"r.$rightTs") >= col(s"l.$leftTs") &&
       col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within")
-    l.join(r, keyCond && timeCond)
+    l.join(r, keyCond && timeCond, joinType)
   }
 
   /** Streaming as-of enrich — "enrich each click with the user's latest

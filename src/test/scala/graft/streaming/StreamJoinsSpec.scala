@@ -65,6 +65,45 @@ class StreamJoinsSpec extends AnyFunSuite {
     assert(got == Seq("1"))
   }
 
+  test("left-outer interval join: nulls only after the watermark " +
+      "proves the window closed") {
+    val work = Files.createTempDirectory("graft_ss2l_").toString
+    def ts(s: String) = s"2024-01-01 $s"
+    def click(rows: (Int, Int, String)*) = rows.toDF("uid", "cid", "tss")
+      .select($"uid", $"cid", to_timestamp($"tss").as("cts"))
+    def buy(rows: (Int, Int, String)*) = rows.toDF("uid", "bid", "tss")
+      .select($"uid", $"bid", to_timestamp($"tss").as("bts"))
+    // uid 1 matches; uid 2's buy is outside the 10-min window — it
+    // must surface with a NULL bid, but only once the watermark passes
+    click((1, 10, ts("10:00:00")), (2, 20, ts("10:00:00")))
+      .write.mode("append").parquet(s"$work/clicks")
+    buy((1, 100, ts("10:05:00")), (2, 200, ts("10:30:00")))
+      .write.mode("append").parquet(s"$work/buys")
+    def joined() = StreamJoins.streamStreamInterval(
+      spark.readStream.schema(click((0, 0, ts("00:00:00"))).schema)
+        .parquet(s"$work/clicks"),
+      spark.readStream.schema(buy((0, 0, ts("00:00:00"))).schema)
+        .parquet(s"$work/buys"),
+      Seq("uid"), "cts", "bts", within = "10 MINUTES",
+      delay = "0 seconds", joinType = "leftOuter")
+      .select(col("l.uid"), col("l.cid"), col("r.bid"))
+    def fmt(r: Row) =
+      s"${r.getInt(0)}:${r.getInt(1)}:" +
+        (if (r.isNullAt(2)) "null" else r.getInt(2).toString)
+    // run 1: real data — the inner match emits, the outer row is HELD
+    // (watermark is still at the epoch when the batch runs)
+    val first = collectStream(joined(), s"$work/ckpt", fmt)
+    assert(first == Seq("1:10:100"))
+    // sentinel run under a reserved uid advances the watermark past
+    // every real window; now (and only now) the unmatched click emits
+    click((99, 990, ts("23:00:00")))
+      .write.mode("append").parquet(s"$work/clicks")
+    buy((99, 991, ts("23:00:00")))
+      .write.mode("append").parquet(s"$work/buys")
+    val second = collectStream(joined(), s"$work/ckpt", fmt)
+    assert(second == Seq("2:20:null", "99:990:991"))
+  }
+
   test("streaming as-of enrich replay == batch AsofJoin.asof, " +
       "any batch split, plain and bucketed") {
     import graft.operators.AsofJoin
