@@ -1979,6 +1979,21 @@ object BenchScale {
     }(Map("key_mass" -> keyMass, "match_mass" -> matchMass))
   }
 
+  /** sequenceNextNode: identical per-copy timelines under fresh user
+    * ids — the next-type histogram keys are stable and every key
+    * count carries exactly ×N. */
+  private def runNextNode(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    var keyMass = 0L
+    timed {
+      val out = graft.operators.Sequence.nextNode(ev, "user_id",
+        "event_type", "ts", "event_id", Seq("view", "click"))
+      val agg = out.agg(count(lit(1)), sum(col("n_keys"))).head()
+      keyMass = agg.getLong(1)
+      agg.getLong(0)
+    }(Map("key_mass" -> keyMass))
+  }
+
   /** Skip index: the range predicate lives entirely in copy 0, so
     * result rows and surviving granules are scale-INVARIANT while the
     * granule universe grows with the corpus — the skip RATIO is what
@@ -2131,7 +2146,8 @@ object BenchScale {
       "text_phrase" -> (d => runTextPhrase(spark, d)),
       "ts_cusum" -> (d => runTsCusum(spark, d)),
       "ch_summing" -> (d => runChSumming(spark, d)),
-      "event_seq_match" -> (d => runSeqMatch(spark, d)))
+      "event_seq_match" -> (d => runSeqMatch(spark, d)),
+      "event_next_node" -> (d => runNextNode(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -2584,6 +2600,11 @@ object BenchScale {
           atN.evidence("out_rows") == at1.evidence("out_rows") &&
             atN.evidence("key_mass") == at1.evidence("key_mass") * n &&
             atN.evidence("match_mass") == at1.evidence("match_mass") * n
+        case "event_next_node" =>
+          // identical per-copy timelines: next-type histogram stable,
+          // key counts ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("key_mass") == at1.evidence("key_mass") * n
         case "index_prune" =>
           // predicate confined to copy 0: result AND surviving
           // granules scale-invariant while the granule universe grows

@@ -2690,6 +2690,13 @@ object SparkEntry {
       "event_id", Seq("view", "click", "purchase"),
       Seq(expr("INTERVAL 120 MINUTES"), expr("INTERVAL 240 MINUTES")))
 
+  /** sequenceNextNode(head, first_match): the event type immediately
+    * after each user's FIRST consecutive view→click run in the raw
+    * timeline — "where do users go right after a view-click?". */
+  private def eventNextNode(s: SparkSession, dir: String): DataFrame =
+    Sequence.nextNode(events(s, dir), "user_id", "event_type", "ts",
+      "event_id", Seq("view", "click"))
+
   /** Bloom-prefiltered selective join: urgent orders' keys become a
     * bloom applied at the lineitem scan, so ~4/5 of the probe side
     * dies before the join's exchange; the join then strips the bloom's
@@ -2956,7 +2963,8 @@ object SparkEntry {
     "q_grouping_sets" -> (qGroupingSets _),
     "ch_summing" -> (chSumming _),
     "event_seq_match" -> (eventSeqMatch _),
-    "stream_interval_left" -> (streamIntervalLeft _))
+    "stream_interval_left" -> (streamIntervalLeft _),
+    "event_next_node" -> (eventNextNode _))
 
   /** The CollapsingMergeTree sign stream as SQL — mirrors
     * [[collapseFeed]] term for term (already margin-stripped; the
@@ -5214,7 +5222,22 @@ object SparkEntry {
         |LEFT JOIN (SELECT * FROM events
         |           WHERE event_type = 'purchase') p
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |  AND p.ts <= c.ts + INTERVAL 24 HOUR""".stripMargin)
+        |  AND p.ts <= c.ts + INTERVAL 24 HOUR""".stripMargin,
+    "event_next_node" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lead(event_type, 1) OVER w AS ty1,
+        |    lead(event_type, 2) OVER w AS ty2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (
+        |  SELECT user_id, ty2 AS next_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM l
+        |  WHERE event_type = 'view' AND ty1 = 'click'
+        |    AND ty2 IS NOT NULL)
+        |SELECT next_type, count(*) AS n_keys FROM a WHERE rn = 1
+        |GROUP BY 1""".stripMargin)
 
   /** Replays AsofJoin's union+running-window formulation verbatim:
     * right rows (tag 0) sort before left rows (tag 1) at equal ts, the

@@ -157,6 +157,41 @@ object Sequence {
       .agg(count(lit(1)).as("n_keys"))
   }
 
+  /** ClickHouse `sequenceNextNode` (head/first_match): for each key,
+    * find the FIRST run of events matching `steps` CONSECUTIVELY in
+    * the full per-key timeline (no gaps allowed — unlike [[seqMatch]]
+    * this is raw-stream adjacency, the engine's contract) and report
+    * the type of the event immediately after it. Keys whose first
+    * matching run is their timeline's tail (no next event) are
+    * dropped. Output is the `(next_type, n_keys)` histogram — bounded
+    * by |event types|, never key-sized.
+    *
+    * Shape: ONE key-partitioned sort window carries all k leads; the
+    * first-run pick is a min_by over anchors under the (ts, tiebreak)
+    * total order, so the result is insertion-order independent. */
+  def nextNode(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tiebreakCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "nextNode: need at least one step")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val k = steps.size
+    val base = df.select(col(keyCol), col(typeCol), col(tsCol),
+      col(tiebreakCol))
+    val withLeads = (1 to k).foldLeft(base) { (acc, j) =>
+      acc.withColumn(s"_ty$j", lead(col(typeCol), j).over(w))
+    }
+    val isMatch = steps.zipWithIndex.map { case (st, i) =>
+      (if (i == 0) col(typeCol) else col(s"_ty$i")) === st
+    }.reduce(_ && _)
+    withLeads.filter(isMatch && col(s"_ty$k").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min_by(col(s"_ty$k"),
+        struct(col(tsCol), col(tiebreakCol))).as("next_type"))
+      .groupBy(col("next_type"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   /** Last-touch attribution: every `conversionType` event joined to
     * the MOST RECENT preceding `touchType` event of the same key (or
     * null if the key never touched before converting).

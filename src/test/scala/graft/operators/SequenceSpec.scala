@@ -173,6 +173,30 @@ class SequenceSpec extends AnyFunSuite {
     assert(broken.isEmpty)
   }
 
+  test("nextNode: first consecutive run wins, tail-run keys drop") {
+    // u1: a,b,x,… — first run a→b is followed by x; a LATER a→b→y run
+    // must not override (first_match). u2's only a→b run ends the
+    // timeline — no next node, key dropped. u3: a,x,b is NOT
+    // consecutive — no run at all.
+    val e = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "a"),
+      (1L, 2L, "2024-01-01 10:01:00", "b"),
+      (1L, 3L, "2024-01-01 10:02:00", "x"),
+      (1L, 4L, "2024-01-01 10:03:00", "a"),
+      (1L, 5L, "2024-01-01 10:04:00", "b"),
+      (1L, 6L, "2024-01-01 10:05:00", "y"),
+      (2L, 7L, "2024-01-01 09:00:00", "a"),
+      (2L, 8L, "2024-01-01 09:01:00", "b"),
+      (3L, 9L, "2024-01-01 08:00:00", "a"),
+      (3L, 10L, "2024-01-01 08:01:00", "x"),
+      (3L, 11L, "2024-01-01 08:02:00", "b"))
+      .toDF("u", "eid", "ts_s", "et")
+      .selectExpr("u", "eid", "CAST(ts_s AS TIMESTAMP) AS ts", "et")
+    val got = Sequence.nextNode(e, "u", "et", "ts", "eid", Seq("a", "b"))
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("x", 1L)))
+  }
+
   test("seqMatch: overlapping anchors each count; one exchange") {
     // a,a,b,c: anchor 1 sees subsequence-next a (no match), anchor 2
     // matches — per-anchor counting, no double-count of the tail.
