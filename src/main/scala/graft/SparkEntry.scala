@@ -1233,7 +1233,12 @@ object SparkEntry {
     * sentinel every real click has provably emitted exactly once.
     * The final output must equal the BATCH left interval join. */
   private def streamIntervalLeft(s: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      // 4, not the streaming default 8: this query pays the stateful-
+      // join state-store lifecycle (2 sides × partitions) THREE times
+      // (real + two sentinel runs), so halving the partition count
+      // nearly halves the fixed cost at gate SF; at production SF the
+      // knob scales with the cluster like every other shuffle width
+      withShufflePartitions(s, 4) {
     val work = scratchDir("graft_sintl_")
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
       col("event_type"), col("ts"))
