@@ -1994,6 +1994,25 @@ object BenchScale {
     }(Map("key_mass" -> keyMass))
   }
 
+  /** Behavioral entropy: identical per-copy event mixes under fresh
+    * user ids — contribution rows and exact count mass ×N while the
+    * set of DISTINCT rounded contributions stays fixed (a float-free
+    * equality on the 9-dp doubles). */
+  private def runStatsEntropy(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    var cMass = 0L
+    var hKeys = 0L
+    timed {
+      val out = graft.operators.CorpusStats.groupEntropy(
+        ev, "user_id", "event_type")
+      val agg = out.agg(count(lit(1)), sum(col("c")),
+        countDistinct(col("h_contrib"))).head()
+      cMass = agg.getLong(1)
+      hKeys = agg.getLong(2)
+      agg.getLong(0)
+    }(Map("c_mass" -> cMass, "h_keys" -> hKeys))
+  }
+
   /** Skip index: the range predicate lives entirely in copy 0, so
     * result rows and surviving granules are scale-INVARIANT while the
     * granule universe grows with the corpus — the skip RATIO is what
@@ -2147,7 +2166,8 @@ object BenchScale {
       "ts_cusum" -> (d => runTsCusum(spark, d)),
       "ch_summing" -> (d => runChSumming(spark, d)),
       "event_seq_match" -> (d => runSeqMatch(spark, d)),
-      "event_next_node" -> (d => runNextNode(spark, d)))
+      "event_next_node" -> (d => runNextNode(spark, d)),
+      "stats_entropy" -> (d => runStatsEntropy(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -2605,6 +2625,12 @@ object BenchScale {
           // key counts ×N
           atN.evidence("out_rows") == at1.evidence("out_rows") &&
             atN.evidence("key_mass") == at1.evidence("key_mass") * n
+        case "stats_entropy" =>
+          // identical per-copy mixes: rows and count mass ×N, the
+          // distinct rounded-contribution set invariant
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("c_mass") == at1.evidence("c_mass") * n &&
+            atN.evidence("h_keys") == at1.evidence("h_keys")
         case "index_prune" =>
           // predicate confined to copy 0: result AND surviving
           // granules scale-invariant while the granule universe grows

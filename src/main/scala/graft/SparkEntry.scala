@@ -2695,6 +2695,13 @@ object SparkEntry {
       "event_id", Seq("view", "click", "purchase"),
       Seq(expr("INTERVAL 120 MINUTES"), expr("INTERVAL 240 MINUTES")))
 
+  /** Behavioral entropy: per-user Shannon-entropy contributions over
+    * the event-type mix — exact counts through the one fixed double
+    * chain (c/n, ln, round 9) both engines replay identically. */
+  private def statsEntropy(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.groupEntropy(events(s, dir), "user_id",
+      "event_type")
+
   /** sequenceNextNode(head, first_match): the event type immediately
     * after each user's FIRST consecutive view→click run in the raw
     * timeline — "where do users go right after a view-click?". */
@@ -2969,7 +2976,8 @@ object SparkEntry {
     "ch_summing" -> (chSumming _),
     "event_seq_match" -> (eventSeqMatch _),
     "stream_interval_left" -> (streamIntervalLeft _),
-    "event_next_node" -> (eventNextNode _))
+    "event_next_node" -> (eventNextNode _),
+    "stats_entropy" -> (statsEntropy _))
 
   /** The CollapsingMergeTree sign stream as SQL — mirrors
     * [[collapseFeed]] term for term (already margin-stripped; the
@@ -5242,7 +5250,19 @@ object SparkEntry {
         |  WHERE event_type = 'view' AND ty1 = 'click'
         |    AND ty2 IS NOT NULL)
         |SELECT next_type, count(*) AS n_keys FROM a WHERE rn = 1
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "stats_entropy" ->
+      """WITH cnt AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT user_id, event_type, c,
+        |    CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM cnt)
+        |SELECT user_id, event_type, c, n,
+        |  round(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)), 9)
+        |    AS h_contrib
+        |FROM tot""".stripMargin)
 
   /** Replays AsofJoin's union+running-window formulation verbatim:
     * right rows (tag 0) sort before left rows (tag 1) at equal ts, the

@@ -252,4 +252,28 @@ object CorpusStats {
               ((col("q_cnt") + lit(1)) / (col("qt") + lit(buckets)))),
           9).as("kl_contrib"))
   }
+
+  /** Per-group Shannon entropy, reported as its per-value
+    * contributions `h_contrib = −(c/n)·ln(c/n)` (rounded to 9 dp, the
+    * [[bucketKlDivergence]] convention that absorbs last-ulp ln
+    * differences between engines) plus the exact counts they derive
+    * from — the behavioral-diversity signal ("how spread is this
+    * user's event mix"), summable per group by the reader.
+    *
+    * Shape: the (group, value) aggregate keeps its map-side combine —
+    * the exchange carries pair-grain partials, not raw rows (the
+    * dominant reduction when values repeat within a group); the
+    * group-total window then re-exchanges only the
+    * |groups|·|values|-sized aggregate. Two tiny exchanges beat one
+    * raw-data-sized exchange whenever values-per-pair > ~2. */
+  def groupEntropy(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+    val frac = col("c").cast("double") / col("n").cast("double")
+    df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(w))
+      .select(col(groupCol), col(valueCol), col("c"), col("n"),
+        round(-frac * log(frac), 9).as("h_contrib"))
+  }
 }

@@ -168,4 +168,36 @@ class CorpusStatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect()
     assert(drift.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("groupEntropy: exact counts, uniform max, single-value zero") {
+    val df = Seq(
+      // u1: 2×a, 2×b — uniform over 2 values → H = ln 2, each
+      // contribution exactly round(0.5·ln 2, 9)
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      // u2: only a → frac 1, contribution must be EXACTLY 0.0 (not
+      // -0.0: the canonical comparator stringifies doubles)
+      (2L, "a"), (2L, "a"),
+      // u3: 3×a, 1×b
+      (3L, "a"), (3L, "a"), (3L, "a"), (3L, "b"))
+      .toDF("u", "v")
+    val got = CorpusStats.groupEntropy(df, "u", "v")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4, r._5))).toMap
+    def h(c: Long, n: Long): Double = {
+      val f = c.toDouble / n.toDouble
+      BigDecimal(-f * math.log(f))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got((1L, "a")) == ((2L, 4L, h(2, 4))))
+    assert(got((1L, "b")) == ((2L, 4L, h(2, 4))))
+    assert(got((3L, "a")) == ((3L, 4L, h(3, 4))))
+    assert(got((3L, "b")) == ((1L, 4L, h(1, 4))))
+    // single-value group: zero entropy, rendered 0.0 not -0.0
+    val (c2, n2, h2) = got((2L, "a"))
+    assert((c2, n2) == ((2L, 2L)) && h2 == 0.0 &&
+      h2.toString == "0.0")
+    // u1 uniform: total entropy ln 2 within rounding
+    val u1 = got((1L, "a"))._3 + got((1L, "b"))._3
+    assert(math.abs(u1 - math.log(2)) < 2e-9)
+  }
 }
