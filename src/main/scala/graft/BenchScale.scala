@@ -1927,6 +1927,23 @@ object BenchScale {
     }(Map("group_mass" -> groupMass))
   }
 
+  /** Holt level+trend: same per-copy-identical series argument as the
+    * EWMA — fold rows, level mass and trend mass replicate ×N. */
+  private def runTsHolt(s: SparkSession, dir: String): OpResult = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    var levelMass = 0L
+    var trendMass = 0L
+    timed {
+      val out = graft.operators.TimeSeries
+        .holtHalvingDaily(ev, "user_id", "ts", "value")
+      val agg = out.agg(count(lit(1)), sum(col("level")),
+        sum(col("trend"))).head()
+      levelMass = agg.getLong(1)
+      trendMass = agg.getLong(2)
+      agg.getLong(0)
+    }(Map("level_mass" -> levelMass, "trend_mass" -> trendMass))
+  }
+
   /** SummingMergeTree fold: per-copy-identical measures (cents as
     * exact longs) with %3 adjustments and %13 full negations on the
     * BASE id — survivors, their count mass, and cents mass all ×N,
@@ -2167,7 +2184,8 @@ object BenchScale {
       "ch_summing" -> (d => runChSumming(spark, d)),
       "event_seq_match" -> (d => runSeqMatch(spark, d)),
       "event_next_node" -> (d => runNextNode(spark, d)),
-      "stats_entropy" -> (d => runStatsEntropy(spark, d)))
+      "stats_entropy" -> (d => runStatsEntropy(spark, d)),
+      "ts_holt" -> (d => runTsHolt(spark, d)))
       .filter { case (name, _) =>
         // SPARK_GRAFT_SCALE_ONLY=a,b restricts the op set (iteration
         // aid, mirrors Bench's SPARK_GRAFT_ONLY); unset = all
@@ -2599,6 +2617,11 @@ object BenchScale {
           // identical per-copy series: fold rows and smoothed mass ×N
           atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
             atN.evidence("ewma_mass") == at1.evidence("ewma_mass") * n
+        case "ts_holt" =>
+          // identical per-copy series: level and trend masses ×N
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("level_mass") == at1.evidence("level_mass") * n &&
+            atN.evidence("trend_mass") == at1.evidence("trend_mass") * n
         case "ts_cusum" =>
           // identical per-copy series: drift mass and alarms ×N
           atN.evidence("out_rows") == at1.evidence("out_rows") * n &&

@@ -2732,6 +2732,14 @@ object SparkEntry {
     TimeSeries.ewmaHalvingDaily(events(s, dir), "user_id", "ts",
       "value")
 
+  /** Integer Holt level+trend smoothing on the daily grain — the
+    * trend-aware forecast companion to [[tsEwma]]; all divisions
+    * truncate toward zero so declines (negative trend) replay
+    * bit-for-bit in the oracle's struct-state fold. */
+  private def tsHolt(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.holtHalvingDaily(events(s, dir), "user_id", "ts",
+      "value")
+
   /** Per-vertex triangle participation in the 0.35-cosine similarity
     * graph — degree-oriented listing (skew-safe wedge generation), but
     * the emitted triangle SET is orientation-independent, so the naive
@@ -2977,7 +2985,8 @@ object SparkEntry {
     "event_seq_match" -> (eventSeqMatch _),
     "stream_interval_left" -> (streamIntervalLeft _),
     "event_next_node" -> (eventNextNode _),
-    "stats_entropy" -> (statsEntropy _))
+    "stats_entropy" -> (statsEntropy _),
+    "ts_holt" -> (tsHolt _))
 
   /** The CollapsingMergeTree sign stream as SQL — mirrors
     * [[collapseFeed]] term for term (already margin-stripped; the
@@ -5262,7 +5271,37 @@ object SparkEntry {
         |SELECT user_id, event_type, c, n,
         |  round(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)), 9)
         |    AS h_contrib
-        |FROM tot""".stripMargin)
+        |FROM tot""".stripMargin,
+    "ts_holt" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT user_id, list(cents ORDER BY day) AS cs,
+        |    list(day ORDER BY day) AS ds
+        |  FROM daily GROUP BY 1),
+        |ex AS (
+        |  SELECT user_id, cs, unnest(ds) AS day,
+        |    unnest(range(1, len(cs) + 1)) AS i
+        |  FROM arr),
+        |st AS (
+        |  -- accumulator is a 2-list [level, trend], NOT a struct:
+        |  -- struct-returning reduce lambdas evaluate later fields
+        |  -- against the already-updated earlier ones (field aliasing),
+        |  -- which corrupts trend; list literals evaluate all elements
+        |  -- against the pristine accumulator
+        |  SELECT user_id, day, cs[i] AS cents,
+        |    list_reduce(
+        |      list_prepend([cs[1], 0::BIGINT],
+        |        list_transform(cs[2:i], c -> [c, 0::BIGINT])),
+        |      (a, x) -> [
+        |        (a[1] + a[2] + x[1]) // 2,
+        |        (a[2] + ((a[1] + a[2] + x[1]) // 2 - a[1])) // 2]) AS s
+        |  FROM ex)
+        |SELECT user_id, day, cents, s[1] AS level, s[2] AS trend
+        |FROM st""".stripMargin)
 
   /** Replays AsofJoin's union+running-window formulation verbatim:
     * right rows (tag 0) sort before left rows (tag 1) at equal ts, the

@@ -273,6 +273,51 @@ object TimeSeries {
           .as("alarm"))
   }
 
+  /** Integer-exact Holt (double-exponential) smoothing per key with
+    * α = β = ½ over exact daily cents:
+    * `level_i = ⌊(level_{i−1} + trend_{i−1} + c_i) / 2⌋`,
+    * `trend_i = ⌊(trend_{i−1} + (level_i − level_{i−1})) / 2⌋`
+    * seeded `(c_0, 0)` — level tracks the trend-adjusted forecast
+    * blended with the observation, trend tracks the level delta. All
+    * divisions TRUNCATE TOWARD ZERO (trend goes negative on declines;
+    * a floor shift would disagree with the oracle's `//` on negative
+    * odd values), so the whole chain is bit-replayable. Same
+    * one-aggregate-one-fold shape and per-key state bound as
+    * [[ewmaHalvingDaily]].
+    * @return (key, day, cents, level, trend) */
+  def holtHalvingDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    def tdiv2(c: Column): Column =
+      when(c >= 0, shiftright(c, 1)).otherwise(-shiftright(-c, 1))
+    val daily = df.groupBy(col(keyCol),
+        col(tsCol).cast("date").cast("string").as("day"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("cents"))
+    val accType =
+      "array<struct<day:string,cents:bigint,level:bigint,trend:bigint>>"
+    daily.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+        .as("arr"))
+      .withColumn("f", aggregate(
+        col("arr"),
+        expr(s"CAST(array() AS $accType)"),
+        (acc, x) => {
+          val prevL = element_at(acc, -1).getField("level")
+          val prevB = element_at(acc, -1).getField("trend")
+          val lvl = when(size(acc) === 0, x.getField("cents"))
+            .otherwise(tdiv2(prevL + prevB + x.getField("cents")))
+          val trd = when(size(acc) === 0, lit(0L))
+            .otherwise(tdiv2(prevB + (lvl - prevL)))
+          concat(acc, array(struct(
+            x.getField("day").as("day"),
+            x.getField("cents").as("cents"),
+            lvl.as("level"), trd.as("trend"))))
+        }))
+      .select(col(keyCol), explode(col("f")).as("e"))
+      .select(col(keyCol), col("e.day").as("day"),
+        col("e.cents").as("cents"), col("e.level").as("level"),
+        col("e.trend").as("trend"))
+  }
+
   def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val daily = df

@@ -213,4 +213,34 @@ class TimeSeriesSpec extends AnyFunSuite {
       .filter(col("alarm") === 1).select("day").as[String].collect()
     assert(tight.toSeq == Seq("2024-01-03"))
   }
+
+  test("holtHalvingDaily: level+trend recurrence truncates toward zero") {
+    // cents 1000, 100, 100: a steep decline drives trend negative with
+    // ODD intermediate sums — the floor-vs-truncate discriminator.
+    //   d1: l=1000, b=0
+    //   d2: l=(1000+0+100)/2=550, b=(0+(550-1000))/2=trunc(-225.0)=-225
+    //   d3: l=(550-225+100)/2=trunc(212.5)=212,
+    //       b=(-225+(212-550))/2=trunc(-281.5)=-281  (floor were -282)
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0),
+      (1L, "2024-01-02 10:00:00", 1.0),
+      (1L, "2024-01-03 10:00:00", 1.0)
+    ).toDF("u", "ts_s", "v")
+      .selectExpr("u", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    val got = TimeSeries.holtHalvingDaily(e, "u", "ts", "v")
+      .select("day", "cents", "level", "trend")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List(
+      ("2024-01-01", 1000L, 1000L, 0L),
+      ("2024-01-02", 100L, 550L, -225L),
+      ("2024-01-03", 100L, 212L, -281L)))
+  }
+
+  test("holtHalvingDaily is partitioning-independent (bit-exact)") {
+    val a = TimeSeries.holtHalvingDaily(ev, "u", "ts", "v")
+      .collect().toSet
+    val b = TimeSeries.holtHalvingDaily(ev.repartition(7), "u", "ts", "v")
+      .collect().toSet
+    assert(a == b)
+  }
 }
