@@ -60,7 +60,11 @@ object GraftExtensions {
     // scale via int literal, e.g. connect_decimal(unbase64(v), 2)
     fn("connect_decimal", classOf[ConnectDecimal], 2)(c =>
       ConnectDecimal(c.head, c(1).eval().asInstanceOf[Int])),
-    // aggregate; k via int literal, e.g. topk_pairs(cents, id, 5)
+    // aggregate; k via int literal, e.g. topk_pairs(cents, id, 5).
+    // Set semantics: EXACT duplicate (ord, id) input rows collapse to
+    // one buffer entry, so groups whose ids are not unique can return
+    // fewer than k rows and differ from the row_number window form —
+    // feed a unique id per row (the documented contract).
     fn("topk_pairs", classOf[TopKPairs], 3)(c =>
       TopKPairs(c.head, c(1), c(2).eval().asInstanceOf[Int])))
 

@@ -26,6 +26,14 @@ import org.apache.spark.sql.types._
   * deterministic and a DuckDB `row_number ... ORDER BY ord DESC, id
   * DESC` replay matches row-for-row. Both inputs are LONGs (normalize
   * floats to integer units first — same rule as every exact path here).
+  *
+  * The buffer is a SET over (ord, id): exact duplicate input pairs
+  * collapse to one entry, so if ids are NOT unique per group the
+  * result can hold fewer than k rows and diverge from the window
+  * formulation (which keeps both copies). Unique-id-per-row is the
+  * contract — it is what makes the order total and the result
+  * deterministic in the first place; callers with non-unique ids must
+  * disambiguate (e.g. monotonically_increasing_id) before aggregating.
   */
 case class TopKPairs(ord: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

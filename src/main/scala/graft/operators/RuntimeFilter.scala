@@ -32,8 +32,9 @@ object RuntimeFilter {
     * negatives is semantic, and that holds by construction. */
   def keyBloom(build: DataFrame, keyCol: String, mBits: Int,
       k: Int = 4): Column => Column = {
-    require(mBits > 0 && (mBits & (mBits - 1)) == 0,
-      s"mBits=$mBits must be a positive power of two")
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits=$mBits must be a power of two >= 64 (the mask is " +
+        "stored in 64-bit words; smaller sizes allocate zero words)")
     require(k >= 1, s"bloom k=$k must be >= 1")
     val h = pmod(xxhash64(col(keyCol)), lit(1L << 60))
     val positions = build

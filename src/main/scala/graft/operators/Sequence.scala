@@ -113,10 +113,14 @@ object Sequence {
   /** ClickHouse `sequenceMatch`/`sequenceCount` with per-step time
     * bounds — the pattern `(?1)(?t<=g1)(?2)(?t<=g2)(?3)…`: over the
     * subsequence of a key's events whose type is one of `steps` (the
-    * condition-filtered timeline, exactly the engine's matching
-    * universe), an anchor matches iff the next k−1 subsequence events
-    * carry the step types IN ORDER and each adjacent gap is within its
-    * bound. Counts are per-ANCHOR (overlapping), which — unlike the
+    * condition-filtered timeline), an anchor matches iff the next k−1
+    * subsequence events carry the step types IN ORDER and each
+    * adjacent gap is within its bound. This is a STRICT-ADJACENCY
+    * variant over that filtered subsequence — ClickHouse's matcher
+    * additionally allows intervening on-pattern events between matched
+    * steps (a second 'view' between a view and its click would not
+    * break the engine's match but does break this one), so counts here
+    * are a lower bound on the engine's, not an equivalence. Counts are per-ANCHOR (overlapping), which — unlike the
     * engine's greedy non-overlap `sequenceCount` — is insertion-order
     * independent and therefore oracle-gateable; `sequenceMatch` (the
     * boolean) is identical under both conventions.

@@ -201,7 +201,10 @@ object TimeSeries {
     * that day, `sum_value` = exact decimal sum of `valueCol` (0, not
     * null, on gap days). */
   /** Integer-exact exponential smoothing (α = ½) over each key's
-    * daily totals: `e₁ = c₁`, `eᵢ = (eᵢ₋₁ + cᵢ) >> 1` on exact cents.
+    * daily totals: `e₁ = c₁`, `eᵢ = ⌊(eᵢ₋₁ + cᵢ) / 2⌋` on exact cents,
+    * the division TRUNCATING TOWARD ZERO (same tdiv2 as
+    * [[holtHalvingDaily]] — a floor shift would disagree with the
+    * oracle's `//` on negative odd accumulators, e.g. refund days).
     * The halving fold makes EWMA — normally hopeless to replay across
     * engines because FP accumulation order differs — a pure integer
     * recurrence: any engine that folds the same sorted list gets the
@@ -215,6 +218,8 @@ object TimeSeries {
     * `(key, day, cents, ewma)`. */
   def ewmaHalvingDaily(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
+    def tdiv2(c: Column): Column =
+      when(c >= 0, shiftright(c, 1)).otherwise(-shiftright(-c, 1))
     val daily = df.groupBy(col(keyCol),
         col(tsCol).cast("date").cast("string").as("day"))
       .agg(sum(round(col(valueCol) * 100).cast("long")).as("cents"))
@@ -231,9 +236,9 @@ object TimeSeries {
           x.getField("day").as("day"),
           x.getField("cents").as("cents"),
           when(size(acc) === 0, x.getField("cents"))
-            .otherwise(shiftright(
+            .otherwise(tdiv2(
               element_at(acc, -1).getField("ewma") +
-                x.getField("cents"), 1)).as("ewma"))))))
+                x.getField("cents"))).as("ewma"))))))
     folded.select(col(keyCol), explode(col("f")).as("e"))
       .select(col(keyCol), col("e.day").as("day"),
         col("e.cents").as("cents"), col("e.ewma").as("ewma"))

@@ -30,6 +30,18 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(buildKeysPass == 4)
   }
 
+  test("keyBloom rejects masks smaller than one 64-bit word") {
+    // mBits in {1..32} used to allocate a zero-length words array and
+    // throw AIOOBE on the first set bit; now it fails fast at require
+    val e = intercept[IllegalArgumentException] {
+      RuntimeFilter.keyBloom(build, "bk", 32)
+    }
+    assert(e.getMessage.contains("power of two >= 64"))
+    // 64 is the smallest legal mask and must work end to end
+    val bloom = RuntimeFilter.keyBloom(build, "bk", 64)
+    assert(build.filter(bloom(col("bk"))).count() == 4)
+  }
+
   test("the bloom filter sits on the probe scan, below the join") {
     // parquet-backed probe: over a LocalRelation the optimizer folds
     // the filter away entirely, which hides the shape under test

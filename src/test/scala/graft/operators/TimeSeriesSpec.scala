@@ -184,6 +184,24 @@ class TimeSeriesSpec extends AnyFunSuite {
       (3L, "2024-03-02", 200L, 150L)))
   }
 
+  test("ewmaHalvingDaily truncates toward zero on negative odd sums") {
+    // refund days drive the accumulator negative: cents -300, then 100
+    // truncating: (-300 + 100) / 2 = -100 (floor shift would give -100
+    // here too, so use an ODD negative: -301 + 100 = -201 ->
+    // truncate -100, floor -101 — the DuckDB `//` oracle truncates)
+    val neg = Seq(
+      (7L, "2024-01-01 10:00:00", -3.01),
+      (7L, "2024-01-02 10:00:00", 1.00)
+    ).toDF("u", "ts_s", "v")
+      .selectExpr("u", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    val got = TimeSeries.ewmaHalvingDaily(neg, "u", "ts", "v")
+      .select("u", "day", "cents", "ewma")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (7L, "2024-01-01", -301L, -301L),
+      (7L, "2024-01-02", 100L, -100L)))
+  }
+
   test("ewmaHalvingDaily is partitioning-independent (bit-exact)") {
     val a = TimeSeries.ewmaHalvingDaily(ev, "u", "ts", "v")
       .collect().toSet
