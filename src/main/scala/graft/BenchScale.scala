@@ -1252,6 +1252,49 @@ object BenchScale {
       "cross_candidates" -> cRow.getLong(1)))
   }
 
+  /** Short-string fuzzy join at ×N — the brute bucket's scale claim:
+    * candidate volume tracks DISTINCT short strings, never rows. Left
+    * maps every doc (rows ×N) onto 36 fixed 4-char "XXYY" names — a
+    * duplicate-heavy corpus whose distinct-string space is CONSTANT —
+    * and right is a FIXED 360-row reference slice (copy 0 only, 10
+    * rows per name). XXYY doubles are pairwise dist >= 2 and
+    * gram-disjoint unless identical, so at maxDist=1 matches are
+    * exactly the same-name pairs: out_rows grows exactly ×N,
+    * candidates == out_rows (string-grain verification emits only
+    * real matches), and the distinct cross frame (36 × 36) never
+    * moves. The pre-fix row-level short cross emitted
+    * |shortL|·|shortR| candidates — 36× the match count here, with
+    * levenshtein run on every one of them downstream. */
+  private def runFuzzyShort(s: SparkSession, dir: String): OpResult = {
+    val doubles = (0 until 36).map { i =>
+      val a = ('a' + i / 6).toChar; val b = ('a' + i % 6).toChar
+      s"$a$a$b$b"
+    }
+    val nameOf = element_at(
+      typedLit(doubles), (pmod(col("doc_id"), lit(100000000L)) % 36 + 1)
+        .cast("int"))
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val l = docs.select(col("doc_id").as("l_id"), nameOf.as("l_s"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val r = docs
+      .filter(col("doc_id") < 100000000L &&
+        pmod(col("doc_id"), lit(100000000L)) < 360L)
+      .select(col("doc_id").as("r_id"), nameOf.as("r_s"))
+    var lRows = 0L
+    val res = timed {
+      val out = FuzzyJoin.join(l, "l_id", "l_s", r, "r_id", "r_s",
+        maxDist = 1)
+      out.count()
+    }(Map.empty)
+    lRows = l.count()
+    val cands = FuzzyJoin.candidatePairs(l, "l_id", "l_s",
+      r, "r_id", "r_s", maxDist = 1).count()
+    res.copy(evidence = res.evidence ++ Map(
+      "candidates" -> cands, "l_rows" -> lRows, "r_rows" -> r.count(),
+      "distinct_l" -> l.select("l_s").distinct().count(),
+      "distinct_r" -> r.select("r_s").distinct().count()))
+  }
+
   /** Time-series gap fill at ×N: copied users keep their timestamps,
     * so every copy's daily structure — active days, gap days, event
     * mass — replicates exactly ×N; one aggregate shuffle + scan-local
@@ -2152,6 +2195,7 @@ object BenchScale {
       "event_retention" -> (d => runRetention(spark, d)),
       "profile_table" -> (d => runProfile(spark, d)),
       "fuzzy_join" -> (d => runFuzzyJoin(spark, d)),
+      "fuzzy_short" -> (d => runFuzzyShort(spark, d)),
       "ts_resample" -> (d => runTsResample(spark, d)),
       "ts_rolling" -> (d => runTsRolling(spark, d)),
       "ts_anomaly" -> (d => runTsAnomaly(spark, d)),
@@ -2479,6 +2523,18 @@ object BenchScale {
             atN.evidence("cross_pairs") == 0L &&
             atN.evidence("candidates") <=
               (at1.evidence("candidates") * n * 2.5).toLong
+        case "fuzzy_short" =>
+          // duplicate-heavy short bucket: matches (fixed right side,
+          // left name counts replicate ×N) grow exactly ×N; EVERY
+          // candidate is a real match (string-grain verification), so
+          // candidates == out_rows — the pre-fix row-level cross made
+          // candidates = l_rows·r_rows, 36× out_rows and growing with
+          // rows; the distinct cross frame (36×36) never moves
+          atN.evidence("out_rows") == at1.evidence("out_rows") * n &&
+            atN.evidence("candidates") == atN.evidence("out_rows") &&
+            atN.evidence("l_rows") == at1.evidence("l_rows") * n &&
+            atN.evidence("distinct_l") == at1.evidence("distinct_l") &&
+            atN.evidence("distinct_r") == at1.evidence("distinct_r")
         case "ts_resample" =>
           // copied users keep their timestamps: active-day mass and
           // manufactured gap rows replicate exactly ×N

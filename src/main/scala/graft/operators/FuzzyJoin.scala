@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   *   - Strings too short for the lemma to bite (a pair can evade the
   *     prefix collision only when BOTH gram sets have size <= `k*q`)
   *     fall into a brute bucket — which is therefore closed:
-  *     short x short, never short x corpus.
+  *     short x short, never short x corpus — and the brute cross runs
+  *     over DISTINCT short strings (an alphabet-bounded space) with
+  *     output-sized re-expansion to ids, never over rows.
   *
   * Verification is the real `levenshtein` behind a length pre-filter
   * (`| |s|-|t| | <= k` is implied by `ed <= k`), so precision is exact
@@ -117,13 +119,27 @@ object FuzzyJoin {
     // short bucket: the prefix lemma's proof needs ONE side to hold
     // k*q + 1 grams, so a pair can evade only when BOTH gram sets have
     // size <= k*q (|s| <= k*q + q - 1) — the bucket is closed over
-    // shorts by construction, never short x corpus
+    // shorts by construction, never short x corpus. The cross product
+    // runs over DISTINCT short strings — a space bounded by the
+    // alphabet (<= Σ_{l<=shortLen} |Σ|^l), independent of row count —
+    // never over rows: a row-level cross is quadratic in the ROW count
+    // on duplicate-heavy short corpora (person names, SKUs at
+    // maxDist=1/q=3 ⇒ strings <= 5 chars). String pairs are
+    // distance-verified at the distinct grain (edit distance is a
+    // function of the strings, so every id pair inherits the exact
+    // verdict), which makes the id re-expansion joins match-output-
+    // sized rather than |shortL|·|shortR|-sized.
     val shortLen = k * q + q - 1
     val ls = left.select(col(leftId).as("l_id"), col(leftStr).as("l_s"))
       .filter(col("l_s").isNotNull && length(col("l_s")) <= shortLen)
     val rs = right.select(col(rightId).as("r_id"), col(rightStr).as("r_s"))
       .filter(col("r_s").isNotNull && length(col("r_s")) <= shortLen)
-    val shortCands = ls.crossJoin(rs)
+    val shortStrPairs = ls.select(col("l_s")).distinct()
+      .crossJoin(rs.select(col("r_s")).distinct())
+      .filter(abs(length(col("l_s")) - length(col("r_s"))) <= k &&
+        levenshtein(col("l_s"), col("r_s")) <= k)
+    val shortCands = shortStrPairs
+      .join(ls, Seq("l_s")).join(rs, Seq("r_s"))
       .select(col("l_id"), col("r_id"))
 
     gramCands.unionByName(shortCands).distinct()

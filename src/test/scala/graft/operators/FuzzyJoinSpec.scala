@@ -65,6 +65,39 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate-heavy short corpus: pair-set equal to quadratic, " +
+      "candidates track DISTINCT strings not rows") {
+    // 1200 rows over 40 distinct <= 5-char names (30 dups each) — the
+    // workload where a row-level short-bucket cross goes quadratic in
+    // rows. Names are "XXYY" doubles (pairwise dist >= 2) plus a few
+    // designed dist-1 neighbors so recall beyond identity is exercised.
+    val doubles = (0 until 36).map { i =>
+      val a = ('a' + i / 6).toChar; val b = ('a' + i % 6).toChar
+      s"$a$a$b$b"
+    }
+    // recall corpus: add designed dist-1 neighbors (aab~aabb,
+    // aabb!~aabb, zz~zzz) so short-bucket recall beyond identity is on
+    // the line, and gate pair-set equality with the quadratic join
+    val names = doubles ++ Seq("aab", "aabb!", "zz", "zzz")
+    val rows = (1L to 1200L).map(i => (i, names((i % 40).toInt)))
+    val l = rows.toDF("l_id", "l_s")
+    val r = rows.map { case (i, s) => (i + 10000L, s) }.toDF("r_id", "r_s")
+    assert(fuzzy(l, r, 1) == quadratic(l, r, 1))
+    // structural corpus: "XXYY" doubles are pairwise dist >= 2 AND
+    // gram-disjoint unless identical, so EVERY candidate must be a
+    // real match (the short bucket verifies at the string grain) —
+    // a row-level cross would emit 1200x1200 candidates
+    val cleanRows = (1L to 1200L).map(i => (i, doubles((i % 36).toInt)))
+    val cl = cleanRows.toDF("l_id", "l_s")
+    val cr = cleanRows.map { case (i, s) => (i + 10000L, s) }
+      .toDF("r_id", "r_s")
+    val cands = FuzzyJoin.candidatePairs(cl, "l_id", "l_s",
+      cr, "r_id", "r_s", maxDist = 1).count()
+    val matches = quadratic(cl, cr, 1).size.toLong
+    assert(cands == matches,
+      s"candidates=$cands should equal matches=$matches, not rows²")
+  }
+
   test("empty gram overlap at distance > k produces no pair") {
     val l = Seq((1L, "aaaaaaaaaaaa")).toDF("l_id", "l_s")
     val r = Seq((10L, "bbbbbbbbbbbb")).toDF("r_id", "r_s")
