@@ -317,14 +317,16 @@ object Bench {
     def jList(xs: Seq[String]): String =
       xs.map(q => "\"" + q + "\"").mkString("[", ",", "]")
     val record = s"""{"metric":"total","value":$total,"unit":"sec","value_clean":$totalClean,"queries":$qs,"queries_clean":$cs,"sf":"$sfDir","contaminated":$contaminated,"rescue_passes":$rescues,"floor_deltas":$ds,"failed":${jList(failed)},"floor_resets_applied":${jList(appliedNow)},"floor_resets_pending":${jList((pendingKeys -- appliedNow).toSeq.sorted)},"quiet_host":$quietHost,"canary_worst_ratio":${math.rint(canaryWorst * 100) / 100},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}"""
-    println(record)
-    // Full artifact on disk next to the floor file: the driver's
+    // Full artifact on disk FIRST — the source of truth: the driver's
     // stdout capture head-truncates long records (BENCH_r07's copy
-    // lost its header), so the round's complete per-query record must
-    // not depend on it.
+    // lost its header) and stray late log lines corrupt the tail
+    // (BENCH_r11's parsed: null), so the round's complete per-query
+    // record must never depend on stdout cleanliness.
     try Files.write(floorPath.toAbsolutePath.getParent.resolve("BENCH_local.json"),
       (record + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
-    spark.stop()
+    // stdout line for the driver/humans LAST, then immediate exit: no
+    // thread gets a timeslice to log behind the record
+    QuietExit.emitAndExit(spark, Some(record))
   }
 }

@@ -2747,10 +2747,12 @@ object BenchScale {
     val line =
       s"""{"metric":"scale","base":"$base","scale":$n,""" +
         s""""ops":$opsJson,"superlinear_count":$slCount}"""
-    println(line)
+    // file first (source of truth), stdout line last — see QuietExit
     Files.write(Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
         "BENCH_scale.json")),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
+    tempDirs.foreach(deleteRecursively)
+    QuietExit.emitAndExit(spark, Some(line))
     } finally {
       tempDirs.foreach(deleteRecursively)
       spark.stop()

@@ -46,6 +46,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    // oracle_sql.json is written LAST on purpose: its presence means
+    // the dump finished. Exit hard — streaming threads otherwise keep
+    // the JVM alive after main returns.
+    QuietExit.emitAndExit(spark, None)
   }
 }
