@@ -82,13 +82,17 @@ object CdcStream {
 
     /** Run whatever is due after `batchId`'s merge. OPTIMIZE subsumes
       * version GC (it ends with a `gcVersions`), so a batch where both
-      * fire pays only the optimize. */
+      * fire pays only the optimize. `bucketCols` must mirror the
+      * store's split bucketing when it has one ([[MinMaxView]]'s
+      * group-bucketed projection) — an optimize that re-buckets by row
+      * identity would scatter a co-located layout. */
     def run(spark: SparkSession, targetDir: String, batchId: Long,
         stateSchema: StructType, keyCols: Seq[String],
-        stateBuckets: Option[Int]): Unit = stateBuckets match {
+        stateBuckets: Option[Int],
+        bucketCols: Seq[String] = Nil): Unit = stateBuckets match {
       case Some(n) if due(optimizeEvery, batchId) =>
         BucketedState.optimize(spark, targetDir, stateSchema, n, keyCols,
-          tombstoneHorizon, keepVersions)
+          tombstoneHorizon, keepVersions, bucketCols = bucketCols)
       case Some(n) if due(gcEvery, batchId) =>
         BucketedState.gcVersions(spark, targetDir, n, keepVersions); ()
       case None if due(gcEvery, batchId) =>

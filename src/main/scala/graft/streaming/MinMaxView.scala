@@ -1,0 +1,228 @@
+package graft.streaming
+
+import graft.model.ChangeEvent
+import graft.operators.CdcMerge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Incrementally-maintained per-group MIN/MAX view over a CDC change
+  * stream — the companion to [[AggView]] for the aggregates that ±sum
+  * folding CANNOT maintain: deleting the current minimum needs the
+  * group's next-smallest value, which no per-group scalar can answer
+  * (AggView documents the gap; this is the code for it). The pattern
+  * it serves is the `AggregatingMergeTree`-style min/max dashboard a
+  * user hangs off the reference's replicated table (reference:
+  * README.md:44-56 for the MergeTree sink family the sync feeds).
+  *
+  * Design — a group-keyed secondary PROJECTION plus touched-group
+  * recompute, all bucket-pruned:
+  *
+  *   1. the projection store holds every LIVE row's
+  *      `(groupCols, keyCols, valueCols)` image, row identity
+  *      `groupCols ++ keyCols` but hash-bucketed by `groupCols` alone
+  *      ([[BucketedState]]'s split bucketCols, same mechanism as
+  *      [[DedupIndex]]'s band stores) — a group's rows co-locate, so
+  *      "all live rows of group g" is a bucket-pruned read no matter
+  *      how big the table;
+  *   2. per micro-batch, the batch keys' old/new live images (the
+  *      same pre-batch lookup + LWW collapse as [[AggView]]) become
+  *      projection events: U for every new live image, D for old
+  *      (group, key) identities the batch retired — a group-changing
+  *      update splits into D@old-group + U@new-group exactly like the
+  *      reference's PK-change split (river/sync.go:402-410 is the
+  *      analogous key-image discipline);
+  *   3. min/max of the TOUCHED groups only are recomputed from the
+  *      projection (bucket-pruned group read → one aggregate) and
+  *      merged into the view store keyed by `groupCols` — D when a
+  *      group lost its last live row.
+  *
+  * Exactness needs no integral restriction: min/max are comparisons,
+  * not accumulations, so any orderable column type replays bit-equal
+  * in any engine — the oracle gate checks the view against a direct
+  * min/max over the LWW final state.
+  *
+  * Scale: per batch the work is O(batch) images + O(rows of touched
+  * groups) recompute, never O(state) — the recompute is the honest
+  * cost of exact min/max under deletes, and it reads only the touched
+  * groups' buckets. Crash-replay recomputes identical projection
+  * events from identical `beforeBatch`-bounded pre-state, and every
+  * merge is an idempotent bucket promotion — exactly-once observable,
+  * the same argument as [[CdcStream]]/[[AggView]].
+  */
+object MinMaxView {
+  import ChangeEvent.{OpCol, SeqCol, OpDelete, OpUpdate}
+
+  /** View over a prepared change stream whose payload carries
+    * `keyCols ++ groupCols ++ valueCols` (project/derive upstream).
+    * Maintained output: `groupCols, n_live, min_<v>, max_<v>...`. */
+  final case class Spec(keyCols: Seq[String], groupCols: Seq[String],
+      valueCols: Seq[String]) {
+    require(keyCols.nonEmpty && groupCols.nonEmpty && valueCols.nonEmpty)
+    require(groupCols.intersect(valueCols).isEmpty,
+      "a column cannot be both group and value")
+    def minCol(v: String): String = s"min_$v"
+    def maxCol(v: String): String = s"max_$v"
+    def projCols: Seq[String] = groupCols ++ keyCols ++ valueCols
+    def outputCols: Seq[String] = groupCols ++ (CntCol +:
+      valueCols.flatMap(v => Seq(minCol(v), maxCol(v))))
+  }
+
+  val CntCol = "n_live"
+
+  /** Stored schema of the projection (live-row images + CDC meta). */
+  def projSchema(changeSchema: StructType, spec: Spec): StructType =
+    StructType(spec.projCols.map(c => changeSchema(c))
+      ++ Seq(StructField(OpCol, StringType), StructField(SeqCol, LongType)))
+
+  /** Stored schema of the view (group cols + counters + CDC meta). */
+  def viewSchema(changeSchema: StructType, spec: Spec): StructType =
+    StructType(spec.groupCols.map(g => changeSchema(g))
+      ++ Seq(StructField(CntCol, LongType))
+      ++ spec.valueCols.flatMap(v => Seq(
+        StructField(spec.minCol(v), changeSchema(v).dataType),
+        StructField(spec.maxCol(v), changeSchema(v).dataType)))
+      ++ Seq(StructField(OpCol, StringType),
+        StructField(SeqCol, LongType)))
+
+  /** One micro-batch: merge into key state, maintain the projection,
+    * recompute min/max for the touched groups. `serve` receives the
+    * emitted group events (D where a group emptied) while pinned. */
+  def applyBatch(batch: DataFrame, batchId: Long, keyStateDir: String,
+      projDir: String, viewDir: String, spec: Spec, stateBuckets: Int,
+      projBuckets: Int, viewBuckets: Int,
+      serve: DataFrame => Unit = _ => ()): Unit = {
+    val spark = batch.sparkSession
+    val keys = batch.select(spec.keyCols.map(col): _*).distinct()
+    // pre-batch images of the batch's keys (version-bounded: a crash
+    // replay recomputes byte-identical events)
+    val oldState = BucketedState.stateForKeys(spark, keyStateDir,
+      batch.schema, stateBuckets, spec.keyCols, keys,
+      beforeBatch = Some(batchId))
+    val newState =
+      CdcMerge.latestByKey(oldState.unionByName(batch), spec.keyCols)
+    BucketedState.mergeBatch(batch, batchId, keyStateDir, spec.keyCols,
+      stateBuckets)
+    // projection events: U for each new live image; D for each old
+    // live (group, key) identity absent from the new live set — covers
+    // deletes AND group moves (D@old-group + U@new-group)
+    def liveImages(df: DataFrame): DataFrame =
+      df.filter(col(OpCol) =!= OpDelete)
+        .select(spec.projCols.map(col): _*)
+    val newLive = liveImages(newState)
+    val projIdent = spec.groupCols ++ spec.keyCols
+    val retired = liveImages(oldState)
+      .join(newLive.select(projIdent.map(col): _*), projIdent, "left_anti")
+    val projEvents = newLive
+      .withColumn(OpCol, lit(OpUpdate))
+      .unionByName(retired.withColumn(OpCol, lit(OpDelete)))
+      .withColumn(SeqCol, lit(batchId))
+      // three consumers: touched-bucket listing inside mergeBatch, the
+      // touched-group listing, and (via the store it writes) the
+      // recompute — and the frame embeds a window collapse per read
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      BucketedState.mergeBatch(projEvents, batchId, projDir, projIdent,
+        projBuckets, bucketCols = spec.groupCols)
+      val touched = projEvents.select(spec.groupCols.map(col): _*)
+        .distinct()
+      // post-batch live rows of ONLY the touched groups (their buckets)
+      val live = BucketedState.viewForKeys(spark, projDir,
+        projSchema(batch.schema, spec), projBuckets, projIdent, touched,
+        beforeBatch = Some(batchId + 1), bucketCols = spec.groupCols)
+      val agg = live.groupBy(spec.groupCols.map(col): _*)
+        .agg(count(lit(1)).as(CntCol),
+          spec.valueCols.flatMap(v => Seq(
+            min(col(v)).as(spec.minCol(v)),
+            max(col(v)).as(spec.maxCol(v)))): _*)
+      // touched groups with zero surviving rows → tombstone the view row
+      val emptied = touched.join(agg.select(spec.groupCols.map(col): _*),
+          spec.groupCols, "left_anti")
+        .select(spec.groupCols.map(col)
+          ++ Seq(lit(null).cast(LongType).as(CntCol))
+          ++ spec.valueCols.flatMap(v => Seq(
+            lit(null).cast(batch.schema(v).dataType).as(spec.minCol(v)),
+            lit(null).cast(batch.schema(v).dataType).as(spec.maxCol(v))))
+          : _*)
+      val events = agg.withColumn(OpCol, lit(OpUpdate))
+        .unionByName(emptied.withColumn(OpCol, lit(OpDelete)))
+        .withColumn(SeqCol, lit(batchId))
+      BucketedState.mergeBatch(events, batchId, viewDir, spec.groupCols,
+        viewBuckets)
+      serve(events)
+    } finally projEvents.unpersist(false)
+  }
+
+  /** Start the maintenance stream over a file change log (same source
+    * contract as [[CdcStream.start]]). */
+  def start(spark: SparkSession, changesDir: String,
+      changeSchema: StructType, keyStateDir: String, projDir: String,
+      viewDir: String, checkpointDir: String, spec: Spec,
+      stateBuckets: Int = 16, projBuckets: Int = 8, viewBuckets: Int = 8,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maintenance: CdcStream.Maintenance = CdcStream.Maintenance())
+      : StreamingQuery = {
+    var reader = spark.readStream.schema(changeSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n))
+    val guarded = CdcMerge.requireKeys(reader.parquet(changesDir),
+      spec.keyCols, new org.apache.hadoop.fs.Path(viewDir).getName)
+    guarded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, keyStateDir, projDir, viewDir, spec,
+          stateBuckets, projBuckets, viewBuckets)
+        maintenance.run(spark, keyStateDir, batchId, batch.schema,
+          spec.keyCols, Some(stateBuckets))
+        maintenance.run(spark, projDir, batchId,
+          projSchema(batch.schema, spec),
+          spec.groupCols ++ spec.keyCols, Some(projBuckets),
+          bucketCols = spec.groupCols)
+        maintenance.run(spark, viewDir, batchId,
+          viewSchema(batch.schema, spec), spec.groupCols,
+          Some(viewBuckets))
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The maintained table: `groupCols, n_live, min_*, max_*`. */
+  def currentView(spark: SparkSession, viewDir: String,
+      changeSchema: StructType, spec: Spec,
+      viewBuckets: Int = 8): DataFrame =
+    BucketedState.currentView(spark, viewDir,
+      viewSchema(changeSchema, spec), viewBuckets)
+
+  /** Recompute-on-read for an ad-hoc group set: min/max over the
+    * projection's live rows restricted (bucket-pruned) to `groups` —
+    * the serving path when no materialized view row is wanted. */
+  def minMaxForGroups(spark: SparkSession, projDir: String,
+      changeSchema: StructType, spec: Spec, groups: DataFrame,
+      projBuckets: Int = 8): DataFrame =
+    BucketedState.viewForKeys(spark, projDir,
+      projSchema(changeSchema, spec), projBuckets,
+      spec.groupCols ++ spec.keyCols, groups,
+      bucketCols = spec.groupCols)
+      .groupBy(spec.groupCols.map(col): _*)
+      .agg(count(lit(1)).as(CntCol),
+        spec.valueCols.flatMap(v => Seq(
+          min(col(v)).as(spec.minCol(v)),
+          max(col(v)).as(spec.maxCol(v)))): _*)
+
+  /** Drain the change log and return the final maintained view. */
+  def replayToCompletion(spark: SparkSession, changesDir: String,
+      changeSchema: StructType, keyStateDir: String, projDir: String,
+      viewDir: String, checkpointDir: String, spec: Spec,
+      stateBuckets: Int = 16, projBuckets: Int = 8, viewBuckets: Int = 8,
+      maxFilesPerTrigger: Option[Int] = None,
+      maintenance: CdcStream.Maintenance = CdcStream.Maintenance())
+      : DataFrame = {
+    val q = start(spark, changesDir, changeSchema, keyStateDir, projDir,
+      viewDir, checkpointDir, spec, stateBuckets, projBuckets,
+      viewBuckets, maxFilesPerTrigger, maintenance = maintenance)
+    q.awaitTermination()
+    currentView(spark, viewDir, changeSchema, spec, viewBuckets)
+  }
+}

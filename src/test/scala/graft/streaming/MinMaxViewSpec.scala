@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.operators.{CdcMerge, ChangeFeed}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental min/max view: exact agreement with a direct min/max
+  * over the final LWW state (the aggregate ±delta folding cannot
+  * maintain), batch-boundary independence, the delete-exposes-runner-up
+  * case, group-moving updates, recompute-on-read, and replay
+  * idempotence. */
+class MinMaxViewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_minmax_").toString
+
+  private val spec = MinMaxView.Spec(
+    keyCols = Seq("o_orderkey"),
+    groupCols = Seq("ord_month"),
+    valueCols = Seq("cents"))
+
+  private def prepared(sfDir: String): DataFrame =
+    ChangeFeed.full(spark, sfDir).select(
+      col("o_orderkey"),
+      trunc(col("o_orderdate"), "month").as("ord_month"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("_op"), col("_seq"))
+
+  private def direct(feed: DataFrame): Seq[String] =
+    CdcMerge.lastWriteWins(feed, spec.keyCols)
+      .groupBy(col("ord_month"))
+      .agg(count(lit(1)).as("n_live"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .collect().map(_.toString).sorted.toSeq
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def replay(work: String, feed: DataFrame,
+      parts: Int): DataFrame = {
+    feed.repartition(parts).write.parquet(s"$work/changes")
+    MinMaxView.replayToCompletion(spark, s"$work/changes", feed.schema,
+      s"$work/state", s"$work/proj", s"$work/view", s"$work/ckpt", spec,
+      maxFilesPerTrigger = Some(1),
+      maintenance = CdcStream.Maintenance(gcEvery = 1))
+  }
+
+  test("maintained view equals direct min/max of final LWW state") {
+    val work = tmp()
+    val feed = prepared(TestSpark.Sf0001)
+    val got = replay(work, feed, parts = 4)
+    assert(rows(got) == direct(feed))
+    assert(got.columns.toSeq ==
+      Seq("ord_month", "n_live", "min_cents", "max_cents"))
+  }
+
+  test("batch boundaries don't matter: 1-batch == 4-batch view") {
+    val feed = prepared(TestSpark.Sf0001)
+    assert(rows(replay(tmp(), feed, parts = 1)) ==
+      rows(replay(tmp(), feed, parts = 4)))
+  }
+
+  test("deleting the minimum exposes the runner-up (the non-delta case)") {
+    val work = tmp()
+    def batch(rows: Seq[(Long, String, Long, String, Long)]): DataFrame =
+      rows.toDF("o_orderkey", "ord_month", "cents", "_op", "_seq")
+    val b0 = batch(Seq((1L, "g", 10L, "I", 1L), (2L, "g", 20L, "I", 2L),
+      (3L, "g", 30L, "I", 3L)))
+    val b1 = batch(Seq((1L, "g", 0L, "D", 4L))) // kills the min=10 row
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      MinMaxView.applyBatch(b, i.toLong, s"$work/state", s"$work/proj",
+        s"$work/view", spec, stateBuckets = 4, projBuckets = 4,
+        viewBuckets = 4)
+    }
+    val got = MinMaxView.currentView(spark, s"$work/view", b0.schema, spec,
+      viewBuckets = 4).as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("g", 2L, 20L, 30L)))
+  }
+
+  test("a group-moving update splits into D@old + U@new; emptied group " +
+      "leaves the view") {
+    val work = tmp()
+    def batch(rows: Seq[(Long, String, Long, String, Long)]): DataFrame =
+      rows.toDF("o_orderkey", "ord_month", "cents", "_op", "_seq")
+    val b0 = batch(Seq((1L, "a", 5L, "I", 1L), (2L, "b", 7L, "I", 2L)))
+    // key 1 moves a -> b: group a empties, b absorbs 5
+    val b1 = batch(Seq((1L, "b", 5L, "U", 3L)))
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      MinMaxView.applyBatch(b, i.toLong, s"$work/state", s"$work/proj",
+        s"$work/view", spec, stateBuckets = 4, projBuckets = 4,
+        viewBuckets = 4)
+    }
+    val got = MinMaxView.currentView(spark, s"$work/view", b0.schema, spec,
+      viewBuckets = 4).as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("b", 2L, 5L, 7L)))
+  }
+
+  test("crash-replay of a batch is idempotent") {
+    val work = tmp()
+    val feed = prepared(TestSpark.Sf0001)
+    val phases = Seq(
+      feed.filter(col("_op") === "I"),
+      feed.filter(col("_op") =!= "I"))
+    phases.zipWithIndex.foreach { case (b, i) =>
+      MinMaxView.applyBatch(b, i.toLong, s"$work/state", s"$work/proj",
+        s"$work/view", spec, stateBuckets = 16, projBuckets = 8,
+        viewBuckets = 8)
+    }
+    val before = rows(MinMaxView.currentView(spark, s"$work/view",
+      feed.schema, spec))
+    MinMaxView.applyBatch(phases(1), 1L, s"$work/state", s"$work/proj",
+      s"$work/view", spec, stateBuckets = 16, projBuckets = 8,
+      viewBuckets = 8)
+    val after = rows(MinMaxView.currentView(spark, s"$work/view",
+      feed.schema, spec))
+    assert(after == before)
+    assert(after == direct(feed))
+  }
+
+  test("minMaxForGroups (recompute-on-read) agrees with the view") {
+    val work = tmp()
+    val feed = prepared(TestSpark.Sf0001)
+    replay(work, feed, parts = 2)
+    val groups = MinMaxView.currentView(spark, s"$work/view", feed.schema,
+      spec).select("ord_month").limit(3)
+    val onRead = MinMaxView.minMaxForGroups(spark, s"$work/proj",
+      feed.schema, spec, groups)
+    val fromView = MinMaxView.currentView(spark, s"$work/view",
+      feed.schema, spec)
+      .join(groups, Seq("ord_month"), "left_semi")
+    assert(rows(onRead) == rows(fromView))
+  }
+}
