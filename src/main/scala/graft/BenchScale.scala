@@ -1605,6 +1605,65 @@ object BenchScale {
       "touched_view_buckets" -> touchedView.toLong))
   }
 
+  /** Min/max view maintenance against a ×1 vs ×N store: a FIXED
+    * 64-key update batch recomputes ONLY its touched groups from
+    * their group-bucketed projection buckets. Groups are
+    * `event_id div 64`, so blow-up copies (disjoint id ranges) form
+    * NEW groups of the same size — group membership is
+    * corpus-invariant and the probe's recompute reads the same ~2
+    * groups' rows at every scale: emitted view rows and their min/max
+    * mass must be IDENTICAL at ×1 and ×N, proj buckets touched stay
+    * bounded by the probe's group spread, and wall time stays flat
+    * while state_rows grows exactly ×N. */
+  private def runMinMaxView(s: SparkSession, dir: String,
+      scale: Int): OpResult = {
+    val work = newTempDir("graft_scale_minmax_")
+    val stateBuckets = 64 * scale
+    val projBuckets = 64 * scale
+    val viewBuckets = 16 * scale
+    val spec = streaming.MinMaxView.Spec(Seq("k"), Seq("g"), Seq("v"))
+    val seed = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id").as("k"), (col("event_id") / 64)
+        .cast("long").as("g"),
+        round(col("value") * 100).cast("long").as("v"),
+        lit("I").as("_op"), lit(1L).as("_seq"))
+    streaming.MinMaxView.applyBatch(seed, 0L, s"$work/state",
+      s"$work/proj", s"$work/view", spec, stateBuckets, projBuckets,
+      viewBuckets)
+    val stateRows = seed.count()
+    val probeKeys = seed.select(col("k")).orderBy(col("k")).limit(64)
+      .collect().map(_.getLong(0)).toSeq
+    val probe = seed
+      .filter(col("k").isin(probeKeys.map(Long.box): _*))
+      .select(col("k"), col("g"), (col("v") + 100000L).as("v"),
+        lit("U").as("_op"), lit(2L).as("_seq"))
+      .coalesce(1).localCheckpoint(eager = true)
+    val probeGroups = probe.select(col("g")).distinct().count()
+    val r = timed {
+      streaming.MinMaxView.applyBatch(probe, 1L, s"$work/state",
+        s"$work/proj", s"$work/view", spec, stateBuckets, projBuckets,
+        viewBuckets)
+      0L
+    }(Map.empty)
+    // the recomputed view rows of the probe's groups: identical at
+    // every scale (same groups, same membership, same +100000 bump)
+    val touched = probe.select(col("g")).distinct()
+    val view = streaming.MinMaxView.currentView(s, s"$work/view",
+      seed.schema, spec, viewBuckets)
+      .join(touched, Seq("g"), "left_semi")
+    val vRow = view.agg(count(lit(1)),
+      coalesce(sum(col("min_v") + col("max_v")), lit(0L))).head()
+    val touchedProj = (0 until projBuckets).count { b =>
+      new java.io.File(s"$work/proj/bucket=$b/v=1").exists()
+    }
+    probe.unpersist()
+    OpResult(r.secs, Map("out_rows" -> vRow.getLong(0),
+      "minmax_sum" -> vRow.getLong(1), "state_rows" -> stateRows,
+      "batch_keys" -> probeKeys.size.toLong,
+      "probe_groups" -> probeGroups,
+      "touched_proj_buckets" -> touchedProj.toLong))
+  }
+
   /** Streaming SCD2 maintenance against a ×1 vs ×N history: a FIXED
     * 64-key update batch reads, re-links and rewrites only its own
     * keys' histories (bucket-pruned; buckets ∝ data so bucket volume
@@ -2208,6 +2267,8 @@ object BenchScale {
       "topk_grouped_agg" -> (d => runTopkAgg(spark, d)),
       "agg_view" -> (d => runAggView(spark, d,
         if (d.endsWith("x1")) 1 else n)),
+      "minmax_view" -> (d => runMinMaxView(spark, d,
+        if (d.endsWith("x1")) 1 else n)),
       "stream_scd2" -> (d => runStreamScd(spark, d,
         if (d.endsWith("x1")) 1 else n)),
       "ann_incremental" -> (d => runVecIndex(spark, d,
@@ -2605,6 +2666,20 @@ object BenchScale {
             atN.evidence("state_rows") == at1.evidence("state_rows") * n &&
             atN.evidence("batch_keys") == at1.evidence("batch_keys") &&
             atN.evidence("touched_view_buckets") <= 8L
+        case "minmax_view" =>
+          // O(touched groups) min/max maintenance: the fixed probe's
+          // groups have corpus-invariant membership (g = id div 64,
+          // copies form NEW groups), so the recomputed view rows and
+          // their min/max mass are IDENTICAL against the ×1 and ×N
+          // stores; the group-bucketed projection confines the
+          // recompute to the probe's group spread in buckets; probe
+          // time itself is gated by the exponent
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("minmax_sum") == at1.evidence("minmax_sum") &&
+            atN.evidence("state_rows") == at1.evidence("state_rows") * n &&
+            atN.evidence("batch_keys") == at1.evidence("batch_keys") &&
+            atN.evidence("touched_proj_buckets") <=
+              atN.evidence("probe_groups")
         case "stream_scd2" =>
           // O(batch) history maintenance: the fixed probe's keys end
           // with exactly two correctly-linked versions each at BOTH

@@ -772,6 +772,32 @@ object SparkEntry {
       .withColumn("ord_month", col("ord_month").cast("string"))
   }
 
+  /** The min/max companion view ([[graft.streaming.MinMaxView]]): the
+    * aggregates ±delta folding cannot maintain, answered by a
+    * group-bucketed live-row projection + touched-group recompute.
+    * Oracle = direct min/max over the LWW final state. */
+  private def cdcAggMinmax(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_minmaxview_")
+    val spec = streaming.MinMaxView.Spec(keyCols = ChangeFeed.keyCols,
+      groupCols = Seq("ord_month"), valueCols = Seq("cents"))
+    val prepared = ChangeFeed.full(s, dir).select(
+      col("o_orderkey"),
+      trunc(col("o_orderdate"), "month").as("ord_month"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("_op"), col("_seq"))
+    // two micro-batches, same rationale as cdc_agg_view: one
+    // cross-boundary fold exercises the whole incremental path
+    prepared.repartition(2).write.mode("overwrite")
+      .parquet(s"$work/changes")
+    streaming.MinMaxView.replayToCompletion(s, s"$work/changes",
+      prepared.schema, s"$work/state", s"$work/proj", s"$work/view",
+      s"$work/ckpt", spec, stateBuckets = 16, projBuckets = 8,
+      viewBuckets = 8, maxFilesPerTrigger = Some(1),
+      maintenance = streaming.CdcStream.Maintenance(gcEvery = 1))
+      .withColumn("ord_month", col("ord_month").cast("string"))
+  }
+
   /** PMI co-occurrence mining over per-user event-type baskets: one
     * distinct + one group-by-user shuffle, pair space bounded by the
     * event-type vocabulary squared — never by row count. */
@@ -2831,6 +2857,7 @@ object SparkEntry {
     "cdc_stream_replay" -> (cdcStreamReplay _),
     "cdc_maintained_replay" -> (cdcMaintainedReplay _),
     "cdc_agg_view" -> (cdcAggView _),
+    "cdc_agg_minmax" -> (cdcAggMinmax _),
     "envelope_lww" -> (envelopeLww _),
     "route_filter" -> (routeFilter _),
     "type_enum" -> (typeEnum _),
@@ -3167,6 +3194,20 @@ object SparkEntry {
          |  count(*) AS cnt,
          |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
          |    AS sum_cents
+         |FROM live GROUP BY 1""".stripMargin,
+    "cdc_agg_minmax" ->
+      s"""$ordersChangesCte, ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY o_orderkey ORDER BY _seq DESC) AS rn
+         |  FROM changes),
+         |live AS (SELECT * FROM ranked WHERE rn = 1 AND _op <> 'D')
+         |SELECT CAST(date_trunc('month', o_orderdate) AS VARCHAR)
+         |    AS ord_month,
+         |  count(*) AS n_live,
+         |  CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS min_cents,
+         |  CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS max_cents
          |FROM live GROUP BY 1""".stripMargin,
     "envelope_lww" -> lwwOracleSql,
     "cdc_changed_cols" ->
