@@ -101,4 +101,42 @@ class DebeziumGoldenFixtureSpec extends AnyFunSuite {
     assert(got.isNullAt(1))
     assert(got.getDate(2).toString == "2026-01-02")
   }
+
+  test("scale-0 DECIMAL precise feed: the declared per-rule mode decodes " +
+      "where auto would mis-read") {
+    // 'auto''s residual ambiguity (TypeNorm): a scale-0 target keeps
+    // the plain-numeric preference, so a precise-mode payload whose
+    // base64 text is digit-only would cast as that number. "1234" is
+    // exactly such a payload: as Connect Decimal bytes it is
+    // 0xD76DF8 = -2658824, as a numeric string it is 1234. The
+    // per-rule DecimalModePrecise knob must reach the wire path and
+    // pick the bytes reading end-to-end.
+    import spark.implicits._
+    val feed = Seq(
+      """{"schema": {"type": "struct", "name": "io.debezium.connector.mysql.SchemaChangeValue"}, "payload": {"source": {"db": "inventory", "file": "mysql-bin.000009", "pos": 100}, "databaseName": "inventory", "ddl": "CREATE TABLE counters (id int NOT NULL, qty decimal(10,0), PRIMARY KEY (id))"}}""",
+      """{"schema": {"type": "struct", "name": "inventory.counters.Envelope"}, "payload": {"before": null, "after": {"id": 1, "qty": "1234"}, "source": {"db": "inventory", "table": "counters", "file": "mysql-bin.000009", "pos": 200, "ts_ms": 1786606200000}, "op": "c", "ts_ms": 1786606200900}}"""
+    ).toDF("value")
+    val catalog = new Catalog()
+    val events = DebeziumSource.ingest(feed, catalog)
+    val defn = catalog.get("inventory", "counters")
+      .getOrElse(fail("CREATE TABLE schema change not applied"))
+    def stateWith(rule: Rule) = CdcMerge.latestByKey(
+      Envelope.toTyped(
+        Envelope.splitKeyChanges(
+          Envelope.forTable(events, "inventory", "counters"),
+          defn.pkColumns),
+        defn, rule),
+      defn.pkColumns).filter(col("_op") =!= "D").drop("_op", "_seq")
+    def dec(s: String) = new java.math.BigDecimal(s)
+    val precise = Rule("inventory", "counters", "inventory", "counters",
+      decimalMode = graft.functions.TypeNorm.DecimalModePrecise)
+    val gotPrecise = stateWith(precise).collect()(0)
+    assert(gotPrecise.getDecimal(1).compareTo(dec("-2658824")) == 0)
+    // and the documented auto behavior on the same wire bytes: the
+    // digit-only text wins the scale-0 numeric preference — the
+    // mis-read the declared mode exists to prevent
+    val gotAuto = stateWith(
+      Rule("inventory", "counters", "inventory", "counters")).collect()(0)
+    assert(gotAuto.getDecimal(1).compareTo(dec("1234")) == 0)
+  }
 }
