@@ -2129,6 +2129,75 @@ object SparkEntry {
     }
   }
 
+  /** The v4 pipeline with benchmark DECONTAMINATION spliced between
+    * the LM filter and DSIR — the posture a real training run cannot
+    * skip (never train on eval data): dedup → per-domain quality → LM
+    * filter → drop docs whose 5-gram overlap flags them against the
+    * benchmark subset (the SAME operator + bench set `decontam_ngram`
+    * gates, reused verbatim) → DSIR select → temperature mixture →
+    * packing → split. The decontam stage adds one corpus-side shingle
+    * scan over the LM survivors and an inverted-index equi-join —
+    * never all-pairs; at 100 TB the bench side is tiny and broadcasts. */
+  private def corpusCleanV5(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = dedupKeptIds(s, dir, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clean = docs.join(kept, Seq("doc_id"))
+    val base = clean.join(CorpusStats.filterByDomainQuantile(
+        clean.select("doc_id", "source", "text"), "doc_id", "source",
+        TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
+        .select("doc_id"), Seq("doc_id"))
+      .select("doc_id", "lang", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var goodDocs: DataFrame = null
+    var decon: DataFrame = null
+    try {
+      val good = operators.LangModel.score(
+        base.select("doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")
+        .filter(col("lm_score") >= -3.40).select("doc_id")
+      goodDocs = base.join(good, Seq("doc_id"))
+        .select("doc_id", "lang", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // decontamination: bench = the full corpus's bucket-0 slice
+      // (decontam_ngram's benchmark), flag over the LM survivors only
+      val bench = docs
+        .filter(Sampling.hashBucket(col("doc_id"), 10) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val surviving = operators.Decontam.flag(
+        goodDocs.select("doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism),
+        bench, "doc_id", "text", "bench_id", "text",
+        n = 5, minMatched = 5L, minOverlap = 0.5)
+        .filter(col("contaminated") === 0).select("doc_id")
+      decon = goodDocs.join(surviving, Seq("doc_id"))
+        .select("doc_id", "lang", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sel = Dsir.select(decon,
+        decon.filter(col("lang") === "en"), "doc_id", "text",
+        buckets = 256, minMeanMicroNats = -25000L).select("doc_id")
+      val mixed = Sampling.temperatureSampleByHash(
+        decon.join(sel, Seq("doc_id")).select("doc_id", "lang"),
+        "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
+      val toks = decon.join(mixed.select("doc_id"), Seq("doc_id"))
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long")
+            .as("n_tok"))
+      val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
+        budget = 2048L)
+      Sampling.hashSplit(packed, "doc_id",
+          Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+        .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+        .localCheckpoint(true)
+    } finally {
+      kept.unpersist(false)
+      base.unpersist(false)
+      if (goodDocs != null) goodDocs.unpersist(false)
+      if (decon != null) decon.unpersist(false)
+    }
+  }
+
   /** Token-budget packing of the corpus into contiguous training bins
     * via the two-pass distributed prefix sum (no global-window reducer). */
   private def packBudget(s: SparkSession, dir: String): DataFrame =
@@ -2965,6 +3034,7 @@ object SparkEntry {
     "corpus_clean_v2" -> (corpusCleanV2 _),
     "corpus_clean_v3" -> (corpusCleanV3 _),
     "corpus_clean_v4" -> (corpusCleanV4 _),
+    "corpus_clean_v5" -> (corpusCleanV5 _),
     "sketch_kmv" -> (sketchKmv _),
     "sketch_cms" -> (sketchCms _),
     "sketch_hll" -> (sketchHll _),
@@ -4262,6 +4332,7 @@ object SparkEntry {
     "corpus_clean_v2" -> corpusCleanV2Oracle,
     "corpus_clean_v3" -> corpusCleanV3Oracle,
     "corpus_clean_v4" -> corpusCleanV4Oracle,
+    "corpus_clean_v5" -> corpusCleanV5Oracle,
     "pack_budget" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -5800,6 +5871,62 @@ object SparkEntry {
        |$qualityStageCtes
        |${lmGoodSql("qkept")}
        |${dsirStageSql("good")}
+       |${mixPackTailSql("dsel")}""".stripMargin
+
+  /** Benchmark-decontamination stage over `fromCte`'s docs — the
+    * `decontam_ngram` replay (same shingles, same md5-hash60, same
+    * bucket-0 bench set over the FULL corpus, same ≥5-matched /
+    * ≥0.5-overlap verdict) with the corpus side restricted to
+    * `fromCte`; ends at `dclean` (the uncontaminated survivor ids).
+    * MATERIALIZED on the shingle explode is load-bearing, same
+    * rationale as [[dsirStageSql]]'s dtb. */
+  private def decontamStageSql(fromCte: String): String =
+    s""", dcd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS dtoks
+       |  FROM documents)
+       |, dcsh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(dtoks) < 5 THEN []::VARCHAR[]
+       |         ELSE list_distinct(list_transform(
+       |           generate_series(1, len(dtoks) - 4),
+       |           i -> dtoks[i] || ' ' || dtoks[i+1] || ' ' ||
+       |                dtoks[i+2] || ' ' || dtoks[i+3] || ' ' ||
+       |                dtoks[i+4])) END
+       |      AS dcs
+       |  FROM dcd)
+       |, dcx AS MATERIALIZED (
+       |  SELECT doc_id, len(dcs) AS n_ngrams,
+       |    unnest(list_transform(dcs,
+       |      g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS h
+       |  FROM dcsh WHERE len(dcs) > 0)
+       |, dcbx AS (
+       |  SELECT DISTINCT doc_id AS bench_id, h FROM dcx
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |    ::BIGINT % 10 = 0)
+       |, dcpairs AS (
+       |  SELECT c.doc_id, b.bench_id, c.n_ngrams, count(*) AS matched
+       |  FROM dcx c JOIN $fromCte USING (doc_id) JOIN dcbx b USING (h)
+       |  GROUP BY 1, 2, 3)
+       |, dcagg AS (
+       |  SELECT doc_id,
+       |    max(round(matched / CAST(n_ngrams AS DOUBLE), 6)) AS dc_mo,
+       |    max(matched) AS dc_mm
+       |  FROM dcpairs WHERE doc_id <> bench_id GROUP BY 1)
+       |, dclean AS (
+       |  SELECT g.doc_id FROM $fromCte g LEFT JOIN dcagg a USING (doc_id)
+       |  WHERE NOT (coalesce(a.dc_mm, 0) >= 5
+       |             OR coalesce(a.dc_mo, 0.0) >= 0.5))""".stripMargin
+
+  /** v5: the v4 chain with the decontamination stage spliced between
+    * the LM filter (`good`) and DSIR. */
+  private def corpusCleanV5Oracle: String =
+    s"""$keptPairCtes
+       |$qualityStageCtes
+       |${lmGoodSql("qkept")}
+       |${decontamStageSql("good")}
+       |${dsirStageSql("dclean")}
        |${mixPackTailSql("dsel")}""".stripMargin
 
   /** DuckDB list of the language-ID stopwords, quoted. */
