@@ -34,8 +34,27 @@ import org.apache.spark.sql.types.StructType
   * rows carry engine sequences `2·batchId` (retire) / `2·batchId + 1`
   * (assert) — monotone across batches, retire-below-assert within one,
   * so a pair destroyed and re-established in the same batch survives.
+  *
+  * The three sub-store commits run CONCURRENTLY: every cross-store
+  * read in the batch is `beforeBatch`-bounded (candidate discovery
+  * reads the PRE-batch bands/sigs, the pair retire reads the
+  * PRE-batch pairs), so no stage observes another's v=batchId write
+  * and the commit order never mattered for correctness — serializing
+  * them only serialized their fixed job overheads. A crash with some
+  * stores advanced replays into identical frames and idempotent
+  * re-promotions, the same argument as a crash between two batches.
   */
 object DedupIndex {
+
+  /** Shared pool for the concurrent sub-store commits (3 at a time per
+    * batch; daemon threads so a dying JVM never hangs on it). */
+  private lazy val commitPool =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "dedup-index-commit")
+        t.setDaemon(true)
+        t
+      }))
 
   /** Matches the `dedup_minhash` family's parameters, so the final
     * state is oracle-checkable against the same SQL replay. */
@@ -125,8 +144,14 @@ object DedupIndex {
             .select(col("doc_id"), col("hs"), col("n_sh"),
               lit(OpUpdate).as(OpCol), col(SeqCol))
             .unionByName(sigTombs)
-        BucketedState.mergeBatch(sigRows, batchId, s"$storeDir/sigs",
-          Seq("doc_id"), cfg.sigBuckets)
+        // commit concurrently with the band/pair stages below — every
+        // later read of this store is beforeBatch-bounded (see the
+        // object doc's commit-concurrency argument)
+        import scala.concurrent.{Await, Future}
+        val sigsCommit = Future {
+          BucketedState.mergeBatch(sigRows, batchId, s"$storeDir/sigs",
+            Seq("doc_id"), cfg.sigBuckets)
+        }(commitPool)
 
         // ---- band index: retire the replaced versions' entries the
         // new versions do not re-establish, assert the new entries
@@ -139,9 +164,13 @@ object DedupIndex {
           val assertB = newBands
             .select(col("band"), col("key"), col("doc_id"),
               lit(OpUpdate).as(OpCol), lit(batchId * 2 + 1).as(SeqCol))
-          BucketedState.mergeBatch(retire.unionByName(assertB), batchId,
-            s"$storeDir/bands", Seq("band", "key", "doc_id"),
-            cfg.bandBuckets, bucketCols = Seq("band", "key"))
+          // concurrent with discovery: discovery reads the PRE-batch
+          // band buckets (beforeBatch = batchId), never this write
+          val bandsCommit = Future {
+            BucketedState.mergeBatch(retire.unionByName(assertB), batchId,
+              s"$storeDir/bands", Seq("band", "key", "doc_id"),
+              cfg.bandBuckets, bucketCols = Seq("band", "key"))
+          }(commitPool)
 
           // ---- candidate discovery: batch band keys vs ONLY their own
           // pre-batch band buckets; store entries of docs changed in
@@ -208,6 +237,10 @@ object DedupIndex {
           BucketedState.mergeBatch(retireP.unionByName(assertP), batchId,
             s"$storeDir/pairs", Seq("id", "other"), cfg.pairBuckets,
             bucketCols = Seq("id"))
+          // all three commits must land before the pins release (and
+          // before the caller's checkpoint commit)
+          Await.result(bandsCommit, scala.concurrent.duration.Duration.Inf)
+          Await.result(sigsCommit, scala.concurrent.duration.Duration.Inf)
         } finally newBands.unpersist(false)
       } finally newSigs.unpersist(false)
       } finally collapsed.unpersist(false)
