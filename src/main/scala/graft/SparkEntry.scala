@@ -2790,6 +2790,15 @@ object SparkEntry {
       "event_id", Seq("view", "click", "purchase"),
       Seq(expr("INTERVAL 120 MINUTES"), expr("INTERVAL 240 MINUTES")))
 
+  /** Full ClickHouse sequenceMatch fidelity (skip-allowed chains —
+    * intervening events between matched steps don't break a match),
+    * same pattern/gaps as `event_seq_match`; the backward-DP window
+    * formulation, oracle-replayed with the same DESC running-min. */
+  private def eventSeqMatchSkip(s: SparkSession, dir: String): DataFrame =
+    Sequence.seqMatchSkip(events(s, dir), "user_id", "event_type", "ts",
+      "event_id", Seq("view", "click", "purchase"),
+      Seq(expr("INTERVAL 120 MINUTES"), expr("INTERVAL 240 MINUTES")))
+
   /** Behavioral entropy: per-user Shannon-entropy contributions over
     * the event-type mix — exact counts through the one fixed double
     * chain (c/n, ln, round 9) both engines replay identically. */
@@ -3080,6 +3089,7 @@ object SparkEntry {
     "q_grouping_sets" -> (qGroupingSets _),
     "ch_summing" -> (chSumming _),
     "event_seq_match" -> (eventSeqMatch _),
+    "event_seq_match_skip" -> (eventSeqMatchSkip _),
     "stream_interval_left" -> (streamIntervalLeft _),
     "event_next_node" -> (eventNextNode _),
     "stats_entropy" -> (statsEntropy _),
@@ -5349,6 +5359,31 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT n_matches, count(*) AS n_keys FROM m
         |GROUP BY 1""".stripMargin,
+    "event_seq_match_skip" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s3 AS (
+        |  SELECT *, (event_type = 'purchase') AS f3 FROM f),
+        |s2 AS (
+        |  SELECT *, (event_type = 'click' AND
+        |    min(CASE WHEN f3 THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      <= ts + INTERVAL 240 MINUTE) AS f2
+        |  FROM s3),
+        |s1 AS (
+        |  SELECT *, (event_type = 'view' AND
+        |    min(CASE WHEN f2 THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      <= ts + INTERVAL 120 MINUTE) AS f1
+        |  FROM s2),
+        |m AS (
+        |  SELECT user_id, count(*) AS n_matches FROM s1 WHERE f1
+        |  GROUP BY 1)
+        |SELECT n_matches, count(*) AS n_keys FROM m GROUP BY 1"""
+        .stripMargin,
     "stream_interval_left" ->
       """SELECT c.user_id, c.event_id AS click_id,
         |  p.event_id AS purchase_id

@@ -120,7 +120,8 @@ object Sequence {
     * additionally allows intervening on-pattern events between matched
     * steps (a second 'view' between a view and its click would not
     * break the engine's match but does break this one), so counts here
-    * are a lower bound on the engine's, not an equivalence. Counts are per-ANCHOR (overlapping), which — unlike the
+    * are a lower bound on the engine's, not an equivalence —
+    * [[seqMatchSkip]] is the engine-equivalent matcher. Counts are per-ANCHOR (overlapping), which — unlike the
     * engine's greedy non-overlap `sequenceCount` — is insertion-order
     * independent and therefore oracle-gateable; `sequenceMatch` (the
     * boolean) is identical under both conventions.
@@ -155,6 +156,56 @@ object Sequence {
       col(s"_ty$j") === steps(j) && col(s"_ts$j") <= prevTs + maxGaps(j - 1)
     }.reduce(_ && _) && col(typeCol) === steps.head
     withLeads.filter(matched)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_matches"))
+      .groupBy(col("n_matches"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** [[seqMatch]]'s skip-allowed sibling — FULL ClickHouse
+    * `sequenceMatch('(?1)(?t<=g1)(?2)…')` fidelity: between matched
+    * steps any number of intervening events (on-pattern or not) may
+    * occur; an anchor matches iff SOME chain
+    * `e₁ = anchor < e₂ < … < e_k` (strictly later in the
+    * `(tsCol, tiebreakCol)` total order) carries the step types in
+    * order with each adjacent MATCHED-pair gap within its bound.
+    * Counts are per-anchor (overlapping), the oracle-gateable
+    * convention shared with [[seqMatch]].
+    *
+    * Algorithm — backward feasibility DP, no self-joins and no
+    * per-key arrays: feasibility of step s at event e needs only the
+    * MINIMUM timestamp among already-feasible step-(s+1) events
+    * strictly after e (if the earliest one misses the gap bound,
+    * every later one does too; its own feasibility is
+    * position-independent). That minimum is a running `min` over a
+    * DESC-ordered window, so the whole match is k−1 window passes
+    * over ONE key-partitioned sort — a single data-sized exchange,
+    * same cost class as [[seqMatch]]'s lead formulation.
+    *
+    * Returns the `(n_matches, n_keys)` histogram over keys with ≥1
+    * feasible anchor. */
+  def seqMatchSkip(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tiebreakCol: String, steps: Seq[String],
+      maxGaps: Seq[Column]): DataFrame = {
+    require(steps.size >= 2, "seqMatchSkip: need at least two steps")
+    require(maxGaps.size == steps.size - 1,
+      "seqMatchSkip: need one gap bound per adjacent step pair")
+    val k = steps.size
+    val wDesc = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tiebreakCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val filtered = df
+      .filter(col(typeCol).isInCollection(steps.distinct))
+      .select(col(keyCol), col(typeCol), col(tsCol), col(tiebreakCol))
+      .withColumn(s"_f$k", col(typeCol) === steps(k - 1))
+    val solved = (k - 1 to 1 by -1).foldLeft(filtered) { (acc, s) =>
+      // earliest already-feasible step-(s+1) event strictly after this
+      // row in the total order (DESC window, current row excluded)
+      val nextF = min(when(col(s"_f${s + 1}"), col(tsCol))).over(wDesc)
+      acc.withColumn(s"_f$s", col(typeCol) === steps(s - 1) &&
+        nextF <= col(tsCol) + maxGaps(s - 1))
+    }
+    solved.filter(col("_f1"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_matches"))
       .groupBy(col("n_matches"))
