@@ -188,6 +188,66 @@ object MinMaxView {
       .start()
   }
 
+  /** [[start]], plus a real-database serving endpoint — the min/max
+    * dashboard table a user hangs off the sync (the gap AggView
+    * documents): after each batch's touched-group recompute, the JDBC
+    * table is brought to agreement on exactly those groups
+    * (delete-then-insert via [[graft.sources.JdbcSink.upsertKeys]];
+    * an emptied group is deleted) — database work per trigger is
+    * O(touched groups), and the push input is the already-computed
+    * event frame. First batch against a missing table bootstraps with
+    * a full [[graft.sources.JdbcSink.replace]]. Crash before
+    * checkpoint commit replays into the same idempotent push —
+    * exactly-once observable serving state, the [[AggView]] argument
+    * verbatim. */
+  def startToJdbc(spark: SparkSession, changesDir: String,
+      changeSchema: StructType, keyStateDir: String, projDir: String,
+      viewDir: String, checkpointDir: String, spec: Spec,
+      jdbcUrl: String, jdbcTable: String, stateBuckets: Int = 16,
+      projBuckets: Int = 8, viewBuckets: Int = 8,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      jdbcOptions: Map[String, String] = Map.empty,
+      maintenance: CdcStream.Maintenance = CdcStream.Maintenance())
+      : StreamingQuery = {
+    import graft.sources.JdbcSink
+    var reader = spark.readStream.schema(changeSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n))
+    val guarded = CdcMerge.requireKeys(reader.parquet(changesDir),
+      spec.keyCols, jdbcTable)
+    guarded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, keyStateDir, projDir, viewDir, spec,
+          stateBuckets, projBuckets, viewBuckets, serve = events => {
+            if (!JdbcSink.tableExists(jdbcUrl, jdbcTable, jdbcOptions)) {
+              JdbcSink.replace(
+                currentView(spark, viewDir, batch.schema, spec,
+                  viewBuckets),
+                jdbcUrl, jdbcTable, options = jdbcOptions)
+            } else {
+              val keys = events.select(spec.groupCols.map(col): _*)
+              val live = events.filter(col(OpCol) =!= OpDelete)
+                .select(spec.outputCols.map(col): _*)
+              JdbcSink.upsertKeys(keys, live, spec.groupCols, jdbcUrl,
+                jdbcTable, options = jdbcOptions)
+            }
+          })
+        maintenance.run(spark, keyStateDir, batchId, batch.schema,
+          spec.keyCols, Some(stateBuckets))
+        maintenance.run(spark, projDir, batchId,
+          projSchema(batch.schema, spec),
+          spec.groupCols ++ spec.keyCols, Some(projBuckets),
+          bucketCols = spec.groupCols)
+        maintenance.run(spark, viewDir, batchId,
+          viewSchema(batch.schema, spec), spec.groupCols,
+          Some(viewBuckets))
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** The maintained table: `groupCols, n_live, min_*, max_*`. */
   def currentView(spark: SparkSession, viewDir: String,
       changeSchema: StructType, spec: Spec,

@@ -123,6 +123,38 @@ class MinMaxViewSpec extends AnyFunSuite {
     assert(after == direct(feed))
   }
 
+  test("startToJdbc serves the min/max table; emptied groups deleted") {
+    val work = tmp()
+    val driverOpt =
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    System.setProperty("derby.system.home", work)
+    val url = s"jdbc:derby:$work/mmdb;create=true"
+    // numeric group ids: Derby maps StringType to CLOB (same
+    // limitation note as AggViewSpec's serving test)
+    val s = MinMaxView.Spec(Seq("k"), Seq("g"), Seq("v"))
+    val b0 = Seq((1, 1L, 10L, "I", 1L), (2, 1L, 20L, "I", 2L),
+      (3, 2L, 5L, "I", 3L), (4, 3L, 7L, "I", 4L))
+      .toDF("k", "g", "v", "_op", "_seq")
+    // batch 1: group 1 empties; group 2's only row re-values (its
+    // min AND max move — the recompute path, not a delta)
+    val b1 = Seq((1, 1L, 0L, "D", 10L), (2, 1L, 0L, "D", 11L),
+      (3, 2L, 6L, "U", 12L))
+      .toDF("k", "g", "v", "_op", "_seq")
+    b0.coalesce(1).write.parquet(s"$work/changes")
+    b1.coalesce(1).write.mode("append").parquet(s"$work/changes")
+    val q = MinMaxView.startToJdbc(spark, s"$work/changes", b0.schema,
+      s"$work/state", s"$work/proj", s"$work/view", s"$work/ckpt", s,
+      url, "mm_live", stateBuckets = 4, projBuckets = 4, viewBuckets = 4,
+      maxFilesPerTrigger = Some(1), jdbcOptions = driverOpt)
+    q.awaitTermination()
+    val got = graft.sources.SnapshotSource
+      .jdbc(spark, url, "mm_live", options = driverOpt)
+    val want = MinMaxView.currentView(spark, s"$work/view", b0.schema, s,
+      viewBuckets = 4)
+    assert(rows(got.select(want.columns.map(col): _*)) == rows(want))
+    assert(rows(got) == Seq("[2,1,6,6]", "[3,1,7,7]")) // group 1 gone
+  }
+
   test("minMaxForGroups (recompute-on-read) agrees with the view") {
     val work = tmp()
     val feed = prepared(TestSpark.Sf0001)
