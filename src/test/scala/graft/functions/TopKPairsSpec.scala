@@ -48,6 +48,21 @@ class TopKPairsSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("partial_topk_pairs"), plan)
   }
 
+  test("exact duplicate (ord, id) rows collapse: the documented set " +
+      "contract") {
+    // unique-id-per-row is the contract; when violated, duplicates
+    // dedup in the buffer and the group can return fewer than k rows
+    // (the window formulation would keep both copies) — pinned here so
+    // the registry comment stays true
+    val df = Seq((1L, 7L, 10L), (1L, 7L, 10L), (1L, 8L, 5L))
+      .toDF("g", "id", "v")
+    val got = df.groupBy(col("g"))
+      .agg(call_function("topk_pairs", col("v"), col("id"), lit(3))
+        .as("top"))
+      .select(size(col("top"))).as[Int].head()
+    assert(got == 2) // not 3: the duplicate (10, 7) collapsed
+  }
+
   test("nulls are skipped, not kept") {
     val df = Seq(
       (1L, Some(1L), Some(10L)), (1L, Some(2L), None),
