@@ -146,11 +146,15 @@ object AggView {
       // so the pin pays for itself immediately
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    // key-state merge AFTER the pre-batch read (beforeBatch makes the
-    // order immaterial for correctness; this order reads v<batchId
-    // listings before new versions land)
-    BucketedState.mergeBatch(batch, batchId, keyStateDir, spec.keyCols,
-      stateBuckets)
+    // key-state merge CONCURRENT with the view fold below: nothing
+    // after this point reads the key store, and the delta's own
+    // old-state evaluations are beforeBatch-bounded, so the new
+    // v=batchId versions are invisible to them however the two
+    // interleave (the BucketedState.commitPool argument)
+    val keyCommit = scala.concurrent.Future {
+      BucketedState.mergeBatch(batch, batchId, keyStateDir, spec.keyCols,
+        stateBuckets)
+    }(BucketedState.commitPool)
     val aggSchema = viewSchema(batch.schema, spec)
     val touched = delta.select(spec.groupCols.map(col): _*)
     // current aggregates of ONLY the touched groups; null-safe join
@@ -177,6 +181,10 @@ object AggView {
     BucketedState.mergeBatch(events, batchId, viewDir, spec.groupCols,
       viewBuckets)
     serve(events)
+    // both commits land before the pins release (and before the
+    // caller's checkpoint commit)
+    scala.concurrent.Await.result(keyCommit,
+      scala.concurrent.duration.Duration.Inf)
     } finally delta.unpersist(false)
   }
 

@@ -32,6 +32,22 @@ import org.apache.spark.sql.types.StructType
 object BucketedState {
   import graft.model.ChangeEvent.{OpCol, SeqCol, OpDelete}
 
+  /** Shared pool for concurrent store commits within one micro-batch
+    * (DedupIndex's three sub-stores, the views' key-state merges).
+    * Safe whenever every cross-store read in the batch is
+    * `beforeBatch`-bounded: no stage observes another's v=batchId
+    * write, so commit order never mattered — serializing them only
+    * serialized their fixed job overheads. Daemon threads: a dying
+    * JVM never hangs on the pool. */
+  private[streaming] lazy val commitPool
+      : scala.concurrent.ExecutionContextExecutorService =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-store-commit")
+        t.setDaemon(true)
+        t
+      }))
+
   private val Marker = "_GRAFT_OK"
   private val BucketTag = "_gb" // staging partition column
 

@@ -46,15 +46,9 @@ import org.apache.spark.sql.types.StructType
   */
 object DedupIndex {
 
-  /** Shared pool for the concurrent sub-store commits (3 at a time per
-    * batch; daemon threads so a dying JVM never hangs on it). */
-  private lazy val commitPool =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newCachedThreadPool(r => {
-        val t = new Thread(r, "dedup-index-commit")
-        t.setDaemon(true)
-        t
-      }))
+  /** The shared commit pool ([[BucketedState.commitPool]]) — 3
+    * concurrent sub-store commits per batch. */
+  private def commitPool = BucketedState.commitPool
 
   /** Matches the `dedup_minhash` family's parameters, so the final
     * state is oracle-checkable against the same SQL replay. */

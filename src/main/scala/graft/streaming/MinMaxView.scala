@@ -102,8 +102,14 @@ object MinMaxView {
       beforeBatch = Some(batchId))
     val newState =
       CdcMerge.latestByKey(oldState.unionByName(batch), spec.keyCols)
-    BucketedState.mergeBatch(batch, batchId, keyStateDir, spec.keyCols,
-      stateBuckets)
+    // key-state merge CONCURRENT with the projection/view fold below:
+    // nothing after this point reads the key store, and the image
+    // frames' old-state evaluations are beforeBatch-bounded (the
+    // BucketedState.commitPool argument)
+    val keyCommit = scala.concurrent.Future {
+      BucketedState.mergeBatch(batch, batchId, keyStateDir, spec.keyCols,
+        stateBuckets)
+    }(BucketedState.commitPool)
     // projection events: U for each new live image; D for each old
     // live (group, key) identity absent from the new live set — covers
     // deletes AND group moves (D@old-group + U@new-group)
@@ -123,14 +129,28 @@ object MinMaxView {
       // recompute — and the frame embeds a window collapse per read
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      BucketedState.mergeBatch(projEvents, batchId, projDir, projIdent,
-        projBuckets, bucketCols = spec.groupCols)
+      // the projection commit rides the pool too: the recompute below
+      // folds the post-batch state IN MEMORY (pre-batch rows ∪ this
+      // batch's events — the same latestByKey collapse the merge
+      // applies), so nothing waits on the write landing, and the
+      // write→read store round-trip leaves the critical path
+      val projCommit = scala.concurrent.Future {
+        BucketedState.mergeBatch(projEvents, batchId, projDir, projIdent,
+          projBuckets, bucketCols = spec.groupCols)
+      }(BucketedState.commitPool)
       val touched = projEvents.select(spec.groupCols.map(col): _*)
         .distinct()
-      // post-batch live rows of ONLY the touched groups (their buckets)
-      val live = BucketedState.viewForKeys(spark, projDir,
+      // post-batch live rows of ONLY the touched groups: pre-batch
+      // projection rows of their buckets (version-bounded) merged with
+      // the batch's own events — bit-identical to reading the store
+      // back after the commit, minus the dependency
+      val preProj = BucketedState.stateForKeys(spark, projDir,
         projSchema(batch.schema, spec), projBuckets, projIdent, touched,
-        beforeBatch = Some(batchId + 1), bucketCols = spec.groupCols)
+        beforeBatch = Some(batchId), bucketCols = spec.groupCols)
+      val live = CdcMerge.latestByKey(
+        preProj.unionByName(projEvents), projIdent)
+        .filter(col(OpCol) =!= OpDelete)
+        .drop(OpCol, SeqCol)
       val agg = live.groupBy(spec.groupCols.map(col): _*)
         .agg(count(lit(1)).as(CntCol),
           spec.valueCols.flatMap(v => Seq(
@@ -151,6 +171,10 @@ object MinMaxView {
       BucketedState.mergeBatch(events, batchId, viewDir, spec.groupCols,
         viewBuckets)
       serve(events)
+      scala.concurrent.Await.result(projCommit,
+        scala.concurrent.duration.Duration.Inf)
+      scala.concurrent.Await.result(keyCommit,
+        scala.concurrent.duration.Duration.Inf)
     } finally projEvents.unpersist(false)
   }
 
