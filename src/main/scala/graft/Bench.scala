@@ -321,12 +321,39 @@ object Bench {
     // stdout capture head-truncates long records (BENCH_r07's copy
     // lost its header) and stray late log lines corrupt the tail
     // (BENCH_r11's parsed: null), so the round's complete per-query
-    // record must never depend on stdout cleanliness.
-    try Files.write(floorPath.toAbsolutePath.getParent.resolve("BENCH_local.json"),
-      (record + "\n").getBytes(StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // record must never depend on stdout cleanliness. A write failure
+    // is flagged loudly (stderr doesn't contaminate the parsed stdout
+    // record) instead of swallowed: a round must not report success on
+    // stdout with the authoritative artifact silently missing or stale.
+    val recordFile =
+      floorPath.toAbsolutePath.getParent.resolve("BENCH_local.json")
+    val recordWritten =
+      try {
+        Files.write(recordFile,
+          (record + "\n").getBytes(StandardCharsets.UTF_8))
+        true
+      } catch {
+        case t: Throwable =>
+          System.err.println(
+            s"WARNING: failed to write $recordFile: $t — the full " +
+              "per-query record is LOST for this run; only the compact " +
+              "stdout totals survive")
+          false
+      }
+    // The stdout line is a COMPACT record: the driver keeps only the
+    // last ~2000 chars of stdout, and the full per-query record line
+    // (~4 KB at 170 queries) overflows that window — BENCH_r11/r12
+    // both came back `parsed: null` with a perfectly clean exit. The
+    // compact line carries the headline totals, the contamination
+    // flags, the slowest queries, and a pointer to the on-disk record;
+    // the full per-query maps live only in BENCH_local.json.
+    def jCap(xs: Seq[String]): String = jList(xs.take(20))
+    val slowest = clean.sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1e4) / 1e4 }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","value_clean":$totalClean,"n_queries":${okResults.size},"sf":"$sfDir","contaminated":$contaminated,"rescue_passes":$rescues,"failed_count":${failed.size},"failed":${jCap(failed)},"floor_deltas":$ds,"floor_resets_applied":${jCap(appliedNow)},"floor_resets_pending":${jCap((pendingKeys -- appliedNow).toSeq.sorted)},"quiet_host":$quietHost,"canary_worst_ratio":${math.rint(canaryWorst * 100) / 100},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"slowest_clean":$slowest,"record_written":$recordWritten,"record_file":"$recordFile"}"""
     // stdout line for the driver/humans LAST, then immediate exit: no
     // thread gets a timeslice to log behind the record
-    QuietExit.emitAndExit(spark, Some(record))
+    QuietExit.emitAndExit(spark, Some(compact))
   }
 }

@@ -145,7 +145,6 @@ object AggView {
       // re-reads the old-state buckets and re-runs the collapse window,
       // so the pin pays for itself immediately
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
     // key-state merge CONCURRENT with the view fold below: nothing
     // after this point reads the key store, and the delta's own
     // old-state evaluations are beforeBatch-bounded, so the new
@@ -155,6 +154,7 @@ object AggView {
       BucketedState.mergeBatch(batch, batchId, keyStateDir, spec.keyCols,
         stateBuckets)
     }(BucketedState.commitPool)
+    try {
     val aggSchema = viewSchema(batch.schema, spec)
     val touched = delta.select(spec.groupCols.map(col): _*)
     // current aggregates of ONLY the touched groups; null-safe join
@@ -178,13 +178,38 @@ object AggView {
           when(newCnt === 0L, lit(ChangeEvent.OpDelete))
             .otherwise(lit(OpUpdate)).as(OpCol),
           lit(batchId).as(SeqCol)): _*)
-    BucketedState.mergeBatch(events, batchId, viewDir, spec.groupCols,
-      viewBuckets)
-    serve(events)
-    // both commits land before the pins release (and before the
-    // caller's checkpoint commit)
+      // consumers: the view merge's touched listing + write, and
+      // `serve` — pinned so the fold join runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // view merge CONCURRENT with serve: serve consumes the already-
+      // computed events frame (the JDBC bootstrap folds the pre-batch
+      // view in memory), so neither reads the store mid-promotion
+      val viewCommit = scala.concurrent.Future {
+        BucketedState.mergeBatch(events, batchId, viewDir,
+          spec.groupCols, viewBuckets)
+      }(BucketedState.commitPool)
+      try {
+        serve(events)
+        // both commits land before the pins release (and before the
+        // caller's checkpoint commit); failures propagate
+        scala.concurrent.Await.result(viewCommit,
+          scala.concurrent.duration.Duration.Inf)
+      } catch {
+        case t: Throwable =>
+          // join the in-flight commit on a failing batch so a retry of
+          // the same batchId never races an orphaned merge against its
+          // own staging directory
+          BucketedState.joinQuietly(viewCommit)
+          throw t
+      }
+    } finally events.unpersist(false)
     scala.concurrent.Await.result(keyCommit,
       scala.concurrent.duration.Duration.Inf)
+    } catch {
+      case t: Throwable =>
+        BucketedState.joinQuietly(keyCommit)
+        throw t
     } finally delta.unpersist(false)
   }
 
@@ -251,10 +276,21 @@ object AggView {
         applyBatch(batch, batchId, keyStateDir, viewDir, spec,
           stateBuckets, viewBuckets, serve = events => {
             if (!JdbcSink.tableExists(jdbcUrl, jdbcTable, jdbcOptions)) {
-              JdbcSink.replace(
-                currentView(spark, viewDir, batch.schema, spec,
-                  viewBuckets),
-                jdbcUrl, jdbcTable, options = jdbcOptions)
+              // bootstrap must not read the view store — its commit is
+              // in flight concurrently with serve. Fold the post-batch
+              // view in memory: pre-batch state (version-bounded) ∪
+              // this batch's events, the same LWW collapse the merge
+              // applies.
+              val post = CdcMerge.latestByKey(
+                BucketedState.currentState(spark, viewDir,
+                  viewSchema(batch.schema, spec), viewBuckets,
+                  beforeBatch = Some(batchId))
+                  .unionByName(events),
+                spec.groupCols)
+                .filter(col(OpCol) =!= OpDelete)
+                .drop(OpCol, SeqCol)
+              JdbcSink.replace(post, jdbcUrl, jdbcTable,
+                options = jdbcOptions)
             } else {
               val keys = events.select(spec.groupCols.map(col): _*)
               val live = events.filter(col(OpCol) =!= OpDelete)

@@ -48,6 +48,26 @@ object BucketedState {
         t
       }))
 
+  /** Join in-flight commit futures on a FAILING batch: `Await.ready`
+    * each (swallowing its outcome — the batch's own failure is the one
+    * to propagate) so no commit outlives its batch attempt. Without
+    * this, an in-process retry of the same batchId can run a second
+    * `mergeBatch` against the same store's `.staging-v<batchId>`
+    * directory concurrently with the orphaned first — corrupting the
+    * staged bucket promotion. The success path still `Await.result`s
+    * (propagating commit failures); this is the failure-path
+    * counterpart. */
+  private[streaming] def joinQuietly(
+      fs: scala.concurrent.Future[_]*): Unit =
+    fs.foreach { f =>
+      try scala.concurrent.Await.ready(f,
+        scala.concurrent.duration.Duration.Inf)
+      catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case _: Throwable => ()
+      }
+    }
+
   private val Marker = "_GRAFT_OK"
   private val BucketTag = "_gb" // staging partition column
 
@@ -272,10 +292,15 @@ object BucketedState {
     ()
   }
 
-  /** Full state (all buckets' latest complete versions). */
+  /** Full state (all buckets' latest complete versions); `beforeBatch`
+    * bounds every bucket's version below a replay horizon — the
+    * pre-batch snapshot a batch can fold its own events onto without
+    * waiting for (or observing) the batch's concurrent commit. */
   def currentState(spark: SparkSession, targetDir: String,
-      stateSchema: StructType, nBuckets: Int): DataFrame =
-    readBuckets(spark, targetDir, stateSchema, 0 until nBuckets)
+      stateSchema: StructType, nBuckets: Int,
+      beforeBatch: Option[Long] = None): DataFrame =
+    readBuckets(spark, targetDir, stateSchema, 0 until nBuckets,
+      beforeBatch)
 
   /** Live rows only, meta dropped. */
   def currentView(spark: SparkSession, targetDir: String,
@@ -306,8 +331,19 @@ object BucketedState {
     val touched = keys
       .select(bucketExpr(bCols, nBuckets).as(BucketTag))
       .distinct().collect().map(_.getInt(0)).toSeq
-    readBuckets(spark, targetDir, stateSchema, touched, beforeBatch)
-      .join(broadcast(keys), keys.columns.toSeq, "left_semi")
+    // null-safe probe: a key/bucket column may legitimately hold null
+    // (e.g. a view grouped on a derivable-null expression). `hash(null)`
+    // is a real bucket, so the row is IN the store — a null-unsafe
+    // semi-join would drop it here and the caller would treat the row
+    // as absent every batch (re-emitting its events forever).
+    val st = readBuckets(spark, targetDir, stateSchema, touched,
+      beforeBatch).alias("__st")
+    val ks = broadcast(keys.alias("__ks"))
+    st.join(ks,
+        keys.columns.map(c => col(s"__st.$c") <=> col(s"__ks.$c"))
+          .reduce(_ && _),
+        "left_semi")
+      .select(stateSchema.fieldNames.map(col): _*)
   }
 
   /** Live rows for exactly the given keys — [[stateForKeys]] minus

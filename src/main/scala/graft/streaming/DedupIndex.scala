@@ -88,6 +88,11 @@ object DedupIndex {
       s"k=${cfg.k} not divisible by bands=${cfg.bands}")
     val spark = changes.sparkSession
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // in-flight sub-store commits, joined on a failing batch so no
+    // commit outlives its batch attempt (a retry of the same batchId
+    // must never race an orphaned merge on its own staging directory)
+    val pending =
+      scala.collection.mutable.ArrayBuffer.empty[scala.concurrent.Future[Unit]]
     val arrived = CdcMerge.latestByKey(
       changes.select(col(OpCol), col(SeqCol), col("doc_id"), col("text")),
       Seq("doc_id")).persist(mem)
@@ -146,6 +151,7 @@ object DedupIndex {
           BucketedState.mergeBatch(sigRows, batchId, s"$storeDir/sigs",
             Seq("doc_id"), cfg.sigBuckets)
         }(commitPool)
+        pending += sigsCommit
 
         // ---- band index: retire the replaced versions' entries the
         // new versions do not re-establish, assert the new entries
@@ -165,6 +171,7 @@ object DedupIndex {
               s"$storeDir/bands", Seq("band", "key", "doc_id"),
               cfg.bandBuckets, bucketCols = Seq("band", "key"))
           }(commitPool)
+          pending += bandsCommit
 
           // ---- candidate discovery: batch band keys vs ONLY their own
           // pre-batch band buckets; store entries of docs changed in
@@ -239,6 +246,10 @@ object DedupIndex {
       } finally newSigs.unpersist(false)
       } finally collapsed.unpersist(false)
       } finally oldState.unpersist(false)
+    } catch {
+      case t: Throwable =>
+        BucketedState.joinQuietly(pending.toSeq: _*)
+        throw t
     } finally arrived.unpersist(false)
   }
 

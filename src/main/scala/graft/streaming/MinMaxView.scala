@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-/** Incrementally-maintained per-group MIN/MAX view over a CDC change
+/** Incrementally-maintained per-group MIN/MAX (and exact
+  * DISTINCT-count, via [[Spec.distinctCols]]) view over a CDC change
   * stream — the companion to [[AggView]] for the aggregates that ±sum
   * folding CANNOT maintain: deleting the current minimum needs the
   * group's next-smallest value, which no per-group scalar can answer
@@ -55,18 +56,33 @@ object MinMaxView {
   import ChangeEvent.{OpCol, SeqCol, OpDelete, OpUpdate}
 
   /** View over a prepared change stream whose payload carries
-    * `keyCols ++ groupCols ++ valueCols` (project/derive upstream).
-    * Maintained output: `groupCols, n_live, min_<v>, max_<v>...`. */
+    * `keyCols ++ groupCols ++ valueCols ++ distinctCols` (project/derive
+    * upstream). Maintained output: `groupCols, n_live, min_<v>,
+    * max_<v>..., uniq_<d>...`.
+    *
+    * `distinctCols` generalizes the same projection machinery to the
+    * other delete-hostile aggregate ClickHouse users hang off
+    * replicated tables (`uniqExact` views, reference README.md:44-56):
+    * an HLL sketch cannot retract a deleted value, but the live-row
+    * projection holds exactly the state an exact `count(distinct v)`
+    * recompute over the touched groups needs — same buckets, same
+    * events, one more aggregate expression. Exactness: counting
+    * distinct values is comparison-based like min/max, so any
+    * orderable type replays bit-equal in any engine. */
   final case class Spec(keyCols: Seq[String], groupCols: Seq[String],
-      valueCols: Seq[String]) {
-    require(keyCols.nonEmpty && groupCols.nonEmpty && valueCols.nonEmpty)
-    require(groupCols.intersect(valueCols).isEmpty,
-      "a column cannot be both group and value")
+      valueCols: Seq[String], distinctCols: Seq[String] = Nil) {
+    require(keyCols.nonEmpty && groupCols.nonEmpty
+      && (valueCols.nonEmpty || distinctCols.nonEmpty))
+    require(groupCols.intersect(valueCols ++ distinctCols).isEmpty,
+      "a column cannot be both group and value/distinct")
     def minCol(v: String): String = s"min_$v"
     def maxCol(v: String): String = s"max_$v"
-    def projCols: Seq[String] = groupCols ++ keyCols ++ valueCols
+    def uniqCol(v: String): String = s"uniq_$v"
+    def projCols: Seq[String] =
+      (groupCols ++ keyCols ++ valueCols ++ distinctCols).distinct
     def outputCols: Seq[String] = groupCols ++ (CntCol +:
-      valueCols.flatMap(v => Seq(minCol(v), maxCol(v))))
+      (valueCols.flatMap(v => Seq(minCol(v), maxCol(v)))
+        ++ distinctCols.map(uniqCol)))
   }
 
   val CntCol = "n_live"
@@ -83,58 +99,99 @@ object MinMaxView {
       ++ spec.valueCols.flatMap(v => Seq(
         StructField(spec.minCol(v), changeSchema(v).dataType),
         StructField(spec.maxCol(v), changeSchema(v).dataType)))
+      ++ spec.distinctCols.map(v =>
+        StructField(spec.uniqCol(v), LongType))
       ++ Seq(StructField(OpCol, StringType),
         StructField(SeqCol, LongType)))
 
+  /** The view's aggregate list over live projection rows — shared by
+    * the per-batch touched-group recompute and [[minMaxForGroups]]. */
+  private def aggExprs(spec: Spec) =
+    spec.valueCols.flatMap(v => Seq(
+      min(col(v)).as(spec.minCol(v)),
+      max(col(v)).as(spec.maxCol(v)))) ++
+      spec.distinctCols.map(v =>
+        count_distinct(col(v)).as(spec.uniqCol(v)))
+
+  /** Null columns of an emptied group's tombstone row. */
+  private def tombAggCols(schema: StructType, spec: Spec) =
+    spec.valueCols.flatMap(v => Seq(
+      lit(null).cast(schema(v).dataType).as(spec.minCol(v)),
+      lit(null).cast(schema(v).dataType).as(spec.maxCol(v)))) ++
+      spec.distinctCols.map(v =>
+        lit(null).cast(LongType).as(spec.uniqCol(v)))
+
   /** One micro-batch: merge into key state, maintain the projection,
-    * recompute min/max for the touched groups. `serve` receives the
-    * emitted group events (D where a group emptied) while pinned. */
+    * recompute min/max (and distinct counts) for the touched groups.
+    * `serve` receives the emitted group events (D where a group
+    * emptied) while pinned.
+    *
+    * All three store commits (key state, projection, view) ride
+    * [[BucketedState.commitPool]] and run CONCURRENTLY with each other
+    * AND with `serve`: every in-batch read is `beforeBatch`-bounded
+    * (the recompute folds pre-batch projection rows with this batch's
+    * events IN MEMORY, and `serve` consumes the already-computed
+    * events frame), so no stage observes another's v=batchId write —
+    * nothing on the critical path waits for a write to land. On a
+    * failing batch every in-flight commit is joined before the error
+    * propagates, so a retry of the same batchId never races an
+    * orphaned merge against its own staging directory. */
   def applyBatch(batch: DataFrame, batchId: Long, keyStateDir: String,
       projDir: String, viewDir: String, spec: Spec, stateBuckets: Int,
       projBuckets: Int, viewBuckets: Int,
       serve: DataFrame => Unit = _ => ()): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
     val spark = batch.sparkSession
-    val keys = batch.select(spec.keyCols.map(col): _*).distinct()
-    // pre-batch images of the batch's keys (version-bounded: a crash
-    // replay recomputes byte-identical events)
-    val oldState = BucketedState.stateForKeys(spark, keyStateDir,
-      batch.schema, stateBuckets, spec.keyCols, keys,
-      beforeBatch = Some(batchId))
-    val newState =
-      CdcMerge.latestByKey(oldState.unionByName(batch), spec.keyCols)
-    // key-state merge CONCURRENT with the projection/view fold below:
-    // nothing after this point reads the key store, and the image
-    // frames' old-state evaluations are beforeBatch-bounded (the
-    // BucketedState.commitPool argument)
-    val keyCommit = scala.concurrent.Future {
-      BucketedState.mergeBatch(batch, batchId, keyStateDir, spec.keyCols,
-        stateBuckets)
-    }(BucketedState.commitPool)
-    // projection events: U for each new live image; D for each old
-    // live (group, key) identity absent from the new live set — covers
-    // deletes AND group moves (D@old-group + U@new-group)
-    def liveImages(df: DataFrame): DataFrame =
-      df.filter(col(OpCol) =!= OpDelete)
-        .select(spec.projCols.map(col): _*)
-    val newLive = liveImages(newState)
-    val projIdent = spec.groupCols ++ spec.keyCols
-    val retired = liveImages(oldState)
-      .join(newLive.select(projIdent.map(col): _*), projIdent, "left_anti")
-    val projEvents = newLive
-      .withColumn(OpCol, lit(OpUpdate))
-      .unionByName(retired.withColumn(OpCol, lit(OpDelete)))
-      .withColumn(SeqCol, lit(batchId))
-      // three consumers: touched-bucket listing inside mergeBatch, the
-      // touched-group listing, and (via the store it writes) the
-      // recompute — and the frame embeds a window collapse per read
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Future[Unit]]
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      // the projection commit rides the pool too: the recompute below
-      // folds the post-batch state IN MEMORY (pre-batch rows ∪ this
-      // batch's events — the same latestByKey collapse the merge
-      // applies), so nothing waits on the write landing, and the
-      // write→read store round-trip leaves the critical path
-      val projCommit = scala.concurrent.Future {
+      val keys = batch.select(spec.keyCols.map(col): _*).distinct()
+      // pre-batch images of the batch's keys (version-bounded: a crash
+      // replay recomputes byte-identical events)
+      val oldState = BucketedState.stateForKeys(spark, keyStateDir,
+        batch.schema, stateBuckets, spec.keyCols, keys,
+        beforeBatch = Some(batchId))
+      val newState =
+        CdcMerge.latestByKey(oldState.unionByName(batch), spec.keyCols)
+      pending += Future {
+        BucketedState.mergeBatch(batch, batchId, keyStateDir,
+          spec.keyCols, stateBuckets)
+      }(BucketedState.commitPool)
+      // projection events: U for each new live image; D for each old
+      // live (group, key) identity absent from the new live set —
+      // covers deletes AND group moves (D@old-group + U@new-group).
+      // Null-safe identity match: a group column may legitimately hold
+      // null (e.g. trunc() of a null date), and a null-unsafe anti-join
+      // would re-retire such a live row every batch, emitting same-_seq
+      // U and D events whose LWW tie-break is nondeterministic.
+      def liveImages(df: DataFrame): DataFrame =
+        df.filter(col(OpCol) =!= OpDelete)
+          .select(spec.projCols.map(col): _*)
+      val newLive = liveImages(newState)
+      val projIdent = spec.groupCols ++ spec.keyCols
+      val retired = liveImages(oldState).alias("__o")
+        .join(newLive.select(projIdent.map(col): _*).alias("__n"),
+          projIdent.map(c => col(s"__o.$c") <=> col(s"__n.$c"))
+            .reduce(_ && _),
+          "left_anti")
+        .select(spec.projCols.map(col): _*)
+      val projEvents = newLive
+        .withColumn(OpCol, lit(OpUpdate))
+        .unionByName(retired.withColumn(OpCol, lit(OpDelete)))
+        .withColumn(SeqCol, lit(batchId))
+        // three consumers: touched-bucket listing inside mergeBatch,
+        // the touched-group listing, and the in-memory recompute fold —
+        // and the frame embeds a window collapse per read
+        .persist(mem)
+      pins += projEvents
+      // the recompute below folds the post-batch state IN MEMORY
+      // (pre-batch rows ∪ this batch's events — the same latestByKey
+      // collapse the merge applies), so nothing waits on this write
+      // landing: the write→read store round-trip leaves the critical
+      // path
+      pending += Future {
         BucketedState.mergeBatch(projEvents, batchId, projDir, projIdent,
           projBuckets, bucketCols = spec.groupCols)
       }(BucketedState.commitPool)
@@ -152,30 +209,37 @@ object MinMaxView {
         .filter(col(OpCol) =!= OpDelete)
         .drop(OpCol, SeqCol)
       val agg = live.groupBy(spec.groupCols.map(col): _*)
-        .agg(count(lit(1)).as(CntCol),
-          spec.valueCols.flatMap(v => Seq(
-            min(col(v)).as(spec.minCol(v)),
-            max(col(v)).as(spec.maxCol(v)))): _*)
-      // touched groups with zero surviving rows → tombstone the view row
-      val emptied = touched.join(agg.select(spec.groupCols.map(col): _*),
-          spec.groupCols, "left_anti")
+        .agg(count(lit(1)).as(CntCol), aggExprs(spec): _*)
+      // touched groups with zero surviving rows → tombstone the view
+      // row (null-safe probe, same argument as `retired`)
+      val emptied = touched.alias("__t")
+        .join(agg.select(spec.groupCols.map(col): _*).alias("__a"),
+          spec.groupCols.map(g => col(s"__t.$g") <=> col(s"__a.$g"))
+            .reduce(_ && _),
+          "left_anti")
         .select(spec.groupCols.map(col)
           ++ Seq(lit(null).cast(LongType).as(CntCol))
-          ++ spec.valueCols.flatMap(v => Seq(
-            lit(null).cast(batch.schema(v).dataType).as(spec.minCol(v)),
-            lit(null).cast(batch.schema(v).dataType).as(spec.maxCol(v))))
-          : _*)
+          ++ tombAggCols(batch.schema, spec): _*)
       val events = agg.withColumn(OpCol, lit(OpUpdate))
         .unionByName(emptied.withColumn(OpCol, lit(OpDelete)))
         .withColumn(SeqCol, lit(batchId))
-      BucketedState.mergeBatch(events, batchId, viewDir, spec.groupCols,
-        viewBuckets)
+        // consumers: the view merge's touched listing + write, and
+        // `serve` — pinned so the touched-group recompute runs once
+        .persist(mem)
+      pins += events
+      pending += Future {
+        BucketedState.mergeBatch(events, batchId, viewDir, spec.groupCols,
+          viewBuckets)
+      }(BucketedState.commitPool)
       serve(events)
-      scala.concurrent.Await.result(projCommit,
-        scala.concurrent.duration.Duration.Inf)
-      scala.concurrent.Await.result(keyCommit,
-        scala.concurrent.duration.Duration.Inf)
-    } finally projEvents.unpersist(false)
+      // all commits land before the pins release (and before the
+      // caller's checkpoint commit); failures propagate
+      pending.foreach(f => Await.result(f, Duration.Inf))
+    } catch {
+      case t: Throwable =>
+        BucketedState.joinQuietly(pending.toSeq: _*)
+        throw t
+    } finally pins.foreach(_.unpersist(false))
   }
 
   /** Start the maintenance stream over a file change log (same source
@@ -246,10 +310,22 @@ object MinMaxView {
         applyBatch(batch, batchId, keyStateDir, projDir, viewDir, spec,
           stateBuckets, projBuckets, viewBuckets, serve = events => {
             if (!JdbcSink.tableExists(jdbcUrl, jdbcTable, jdbcOptions)) {
-              JdbcSink.replace(
-                currentView(spark, viewDir, batch.schema, spec,
-                  viewBuckets),
-                jdbcUrl, jdbcTable, options = jdbcOptions)
+              // bootstrap must not read the view store — its commit is
+              // in flight concurrently with serve and a mid-promotion
+              // read could mix bucket versions. The post-batch view is
+              // folded in memory instead: pre-batch state (version-
+              // bounded) ∪ this batch's events, the same LWW collapse
+              // the merge applies.
+              val post = CdcMerge.latestByKey(
+                BucketedState.currentState(spark, viewDir,
+                  viewSchema(batch.schema, spec), viewBuckets,
+                  beforeBatch = Some(batchId))
+                  .unionByName(events),
+                spec.groupCols)
+                .filter(col(OpCol) =!= OpDelete)
+                .drop(OpCol, SeqCol)
+              JdbcSink.replace(post, jdbcUrl, jdbcTable,
+                options = jdbcOptions)
             } else {
               val keys = events.select(spec.groupCols.map(col): _*)
               val live = events.filter(col(OpCol) =!= OpDelete)
@@ -290,10 +366,7 @@ object MinMaxView {
       spec.groupCols ++ spec.keyCols, groups,
       bucketCols = spec.groupCols)
       .groupBy(spec.groupCols.map(col): _*)
-      .agg(count(lit(1)).as(CntCol),
-        spec.valueCols.flatMap(v => Seq(
-          min(col(v)).as(spec.minCol(v)),
-          max(col(v)).as(spec.maxCol(v)))): _*)
+      .agg(count(lit(1)).as(CntCol), aggExprs(spec): _*)
 
   /** Drain the change log and return the final maintained view. */
   def replayToCompletion(spark: SparkSession, changesDir: String,

@@ -155,6 +155,86 @@ class MinMaxViewSpec extends AnyFunSuite {
     assert(rows(got) == Seq("[2,1,6,6]", "[3,1,7,7]")) // group 1 gone
   }
 
+  test("a null group is a real group: untouched null-group rows survive " +
+      "a later batch (null-safe retired/emptied/probe joins)") {
+    val work = tmp()
+    def batch(rows: Seq[(Long, Option[String], Long, String, Long)])
+        : DataFrame =
+      rows.toDF("o_orderkey", "ord_month", "cents", "_op", "_seq")
+    val b0 = batch(Seq((1L, None, 10L, "I", 1L), (2L, None, 20L, "I", 2L),
+      (3L, Some("g"), 5L, "I", 3L)))
+    // batch 1 touches key 1 only — with null-unsafe joins the old
+    // (null, 1) image never matched the new one, so the row was both
+    // retired (D) and asserted (U) at the same _seq, and the pre-batch
+    // probe dropped every null-group store row from the recompute
+    val b1 = batch(Seq((1L, None, 11L, "U", 4L)))
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      MinMaxView.applyBatch(b, i.toLong, s"$work/state", s"$work/proj",
+        s"$work/view", spec, stateBuckets = 4, projBuckets = 4,
+        viewBuckets = 4)
+    }
+    val got = MinMaxView.currentView(spark, s"$work/view", b0.schema, spec,
+      viewBuckets = 4).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set((None, 2L, 11L, 20L), (Some("g"), 1L, 5L, 5L)))
+    // and a batch that EMPTIES the null group tombstones its view row
+    val b2 = batch(Seq((1L, None, 0L, "D", 5L), (2L, None, 0L, "D", 6L)))
+    MinMaxView.applyBatch(b2, 2L, s"$work/state", s"$work/proj",
+      s"$work/view", spec, stateBuckets = 4, projBuckets = 4,
+      viewBuckets = 4)
+    val after = MinMaxView.currentView(spark, s"$work/view", b0.schema,
+      spec, viewBuckets = 4).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(after == Set((Some("g"), 1L)))
+  }
+
+  test("distinctCols: exact count(distinct) under deletes; duplicate " +
+      "values keep the count until the last holder dies") {
+    val work = tmp()
+    val s = MinMaxView.Spec(Seq("k"), Seq("g"), valueCols = Nil,
+      distinctCols = Seq("v"))
+    def batch(rows: Seq[(Long, String, Long, String, Long)]): DataFrame =
+      rows.toDF("k", "g", "v", "_op", "_seq")
+    val b0 = batch(Seq((1L, "g", 10L, "I", 1L), (2L, "g", 10L, "I", 2L),
+      (3L, "g", 20L, "I", 3L), (4L, "h", 7L, "I", 4L)))
+    // delete one of the two v=10 holders AND the v=20 holder: distinct
+    // drops 2 -> 1 (an HLL could not retract either)
+    val b1 = batch(Seq((1L, "g", 0L, "D", 5L), (3L, "g", 0L, "D", 6L)))
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      MinMaxView.applyBatch(b, i.toLong, s"$work/state", s"$work/proj",
+        s"$work/view", s, stateBuckets = 4, projBuckets = 4,
+        viewBuckets = 4)
+    }
+    val got = MinMaxView.currentView(spark, s"$work/view", b0.schema, s,
+      viewBuckets = 4)
+    assert(got.columns.toSeq == Seq("g", "n_live", "uniq_v"))
+    assert(got.as[(String, Long, Long)].collect().toSet ==
+      Set(("g", 1L, 1L), ("h", 1L, 1L)))
+  }
+
+  test("distinctCols replay equals direct count(distinct) over the LWW " +
+      "state, any batch slicing") {
+    val s = MinMaxView.Spec(Seq("o_orderkey"), Seq("ord_month"),
+      valueCols = Seq("cents"), distinctCols = Seq("cents"))
+    val feed = prepared(TestSpark.Sf0001)
+    def replayS(work: String, parts: Int): DataFrame = {
+      feed.repartition(parts).write.parquet(s"$work/changes")
+      MinMaxView.replayToCompletion(spark, s"$work/changes", feed.schema,
+        s"$work/state", s"$work/proj", s"$work/view", s"$work/ckpt", s,
+        maxFilesPerTrigger = Some(1))
+    }
+    val direct = CdcMerge.lastWriteWins(feed, s.keyCols)
+      .groupBy(col("ord_month"))
+      .agg(count(lit(1)).as("n_live"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        count_distinct(col("cents")).as("uniq_cents"))
+      .collect().map(_.toString).sorted.toSeq
+    val one = replayS(tmp(), 1)
+    assert(rows(one) == direct)
+    assert(rows(replayS(tmp(), 4)) == direct)
+  }
+
   test("minMaxForGroups (recompute-on-read) agrees with the view") {
     val work = tmp()
     val feed = prepared(TestSpark.Sf0001)
