@@ -798,6 +798,37 @@ object SparkEntry {
       .withColumn("ord_month", col("ord_month").cast("string"))
   }
 
+  /** The exact DISTINCT-count companion view
+    * ([[graft.streaming.MinMaxView.Spec.distinctCols]]) — the
+    * uniqExact-style view ClickHouse users hang off the synced table
+    * as routinely as sums (reference README.md:44-56): an HLL sketch
+    * cannot retract a deleted value, but the group-bucketed live-row
+    * projection recomputes count(distinct) for exactly the touched
+    * groups. Per-month live-order count + distinct live customers.
+    * Oracle = direct count(distinct) over the LWW final state. */
+  private def cdcAggDistinct(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_distview_")
+    val spec = streaming.MinMaxView.Spec(keyCols = ChangeFeed.keyCols,
+      groupCols = Seq("ord_month"), valueCols = Nil,
+      distinctCols = Seq("cust"))
+    val prepared = ChangeFeed.full(s, dir).select(
+      col("o_orderkey"),
+      trunc(col("o_orderdate"), "month").as("ord_month"),
+      col("o_custkey").as("cust"),
+      col("_op"), col("_seq"))
+    // two micro-batches, same rationale as cdc_agg_view: one
+    // cross-boundary fold exercises the whole incremental path
+    prepared.repartition(2).write.mode("overwrite")
+      .parquet(s"$work/changes")
+    streaming.MinMaxView.replayToCompletion(s, s"$work/changes",
+      prepared.schema, s"$work/state", s"$work/proj", s"$work/view",
+      s"$work/ckpt", spec, stateBuckets = 16, projBuckets = 8,
+      viewBuckets = 8, maxFilesPerTrigger = Some(1),
+      maintenance = streaming.CdcStream.Maintenance(gcEvery = 1))
+      .withColumn("ord_month", col("ord_month").cast("string"))
+  }
+
   /** PMI co-occurrence mining over per-user event-type baskets: one
     * distinct + one group-by-user shuffle, pair space bounded by the
     * event-type vocabulary squared — never by row count. */
@@ -2198,6 +2229,86 @@ object SparkEntry {
     }
   }
 
+  /** The v5 pipeline with SEMANTIC dedup spliced between
+    * decontamination and DSIR — the real-pipeline posture of deduping
+    * semantically AFTER the lexical stages (SemDeDup, Abbas et al.
+    * 2023): dedup → per-domain quality → LM filter → decontam →
+    * semantic near-dup drop among the survivors
+    * ([[graft.operators.Similarity.semanticDupes]] reused verbatim,
+    * clusters from the FULL embedding space via the shared IVF
+    * centroid machinery; a doc without an embedding passes through) →
+    * DSIR select → temperature mixture → packing → split. The semantic
+    * stage adds one cluster assignment scan and a per-cluster-bounded
+    * pair join — never all-pairs; at 100 TB `nlist` scales with the
+    * corpus to keep clusters machine-sized. */
+  private def corpusCleanV6(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = dedupKeptIds(s, dir, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clean = docs.join(kept, Seq("doc_id"))
+    val base = clean.join(CorpusStats.filterByDomainQuantile(
+        clean.select("doc_id", "source", "text"), "doc_id", "source",
+        TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
+        .select("doc_id"), Seq("doc_id"))
+      .select("doc_id", "lang", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var goodDocs: DataFrame = null
+    var sem: DataFrame = null
+    try {
+      val good = operators.LangModel.score(
+        base.select("doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")
+        .filter(col("lm_score") >= -3.40).select("doc_id")
+      goodDocs = base.join(good, Seq("doc_id"))
+        .select("doc_id", "lang", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bench = docs
+        .filter(Sampling.hashBucket(col("doc_id"), 10) === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val surviving = operators.Decontam.flag(
+        goodDocs.select("doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism),
+        bench, "doc_id", "text", "bench_id", "text",
+        n = 5, minMatched = 5L, minOverlap = 0.5)
+        .filter(col("contaminated") === 0).select("doc_id")
+      val decon = goodDocs.join(surviving, Seq("doc_id"))
+        .select("doc_id", "lang", "text")
+      // semantic near-dup drop among the decontaminated survivors:
+      // pair space restricted to their vectors, centroids shared with
+      // the gated dedup_semantic chain; left_anti keeps the docs that
+      // have no embedding at all
+      val semDrop = Similarity.semanticDupes(
+        t(s, dir, "embeddings"), threshold = 0.45, native = true,
+        among = Some(decon.select(col("doc_id").as("vec_id"))))
+        .filter(col("is_dup") === 1)
+        .select(col("vec_id").as("doc_id"))
+      sem = decon.join(semDrop, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sel = Dsir.select(sem,
+        sem.filter(col("lang") === "en"), "doc_id", "text",
+        buckets = 256, minMeanMicroNats = -25000L).select("doc_id")
+      val mixed = Sampling.temperatureSampleByHash(
+        sem.join(sel, Seq("doc_id")).select("doc_id", "lang"),
+        "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
+      val toks = sem.join(mixed.select("doc_id"), Seq("doc_id"))
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long")
+            .as("n_tok"))
+      val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
+        budget = 2048L)
+      Sampling.hashSplit(packed, "doc_id",
+          Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+        .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+        .localCheckpoint(true)
+    } finally {
+      kept.unpersist(false)
+      base.unpersist(false)
+      if (goodDocs != null) goodDocs.unpersist(false)
+      if (sem != null) sem.unpersist(false)
+    }
+  }
+
   /** Token-budget packing of the corpus into contiguous training bins
     * via the two-pass distributed prefix sum (no global-window reducer). */
   private def packBudget(s: SparkSession, dir: String): DataFrame =
@@ -2936,6 +3047,7 @@ object SparkEntry {
     "cdc_maintained_replay" -> (cdcMaintainedReplay _),
     "cdc_agg_view" -> (cdcAggView _),
     "cdc_agg_minmax" -> (cdcAggMinmax _),
+    "cdc_agg_distinct" -> (cdcAggDistinct _),
     "envelope_lww" -> (envelopeLww _),
     "route_filter" -> (routeFilter _),
     "type_enum" -> (typeEnum _),
@@ -3044,6 +3156,7 @@ object SparkEntry {
     "corpus_clean_v3" -> (corpusCleanV3 _),
     "corpus_clean_v4" -> (corpusCleanV4 _),
     "corpus_clean_v5" -> (corpusCleanV5 _),
+    "corpus_clean_v6" -> (corpusCleanV6 _),
     "sketch_kmv" -> (sketchKmv _),
     "sketch_cms" -> (sketchCms _),
     "sketch_hll" -> (sketchHll _),
@@ -3288,6 +3401,17 @@ object SparkEntry {
          |    AS min_cents,
          |  CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
          |    AS max_cents
+         |FROM live GROUP BY 1""".stripMargin,
+    "cdc_agg_distinct" ->
+      s"""$ordersChangesCte, ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY o_orderkey ORDER BY _seq DESC) AS rn
+         |  FROM changes),
+         |live AS (SELECT * FROM ranked WHERE rn = 1 AND _op <> 'D')
+         |SELECT CAST(date_trunc('month', o_orderdate) AS VARCHAR)
+         |    AS ord_month,
+         |  count(*) AS n_live,
+         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS uniq_cust
          |FROM live GROUP BY 1""".stripMargin,
     "envelope_lww" -> lwwOracleSql,
     "cdc_changed_cols" ->
@@ -4343,6 +4467,7 @@ object SparkEntry {
     "corpus_clean_v3" -> corpusCleanV3Oracle,
     "corpus_clean_v4" -> corpusCleanV4Oracle,
     "corpus_clean_v5" -> corpusCleanV5Oracle,
+    "corpus_clean_v6" -> corpusCleanV6Oracle,
     "pack_budget" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -5964,6 +6089,42 @@ object SparkEntry {
        |${dsirStageSql("dclean")}
        |${mixPackTailSql("dsel")}""".stripMargin
 
+  /** SemDeDup stage over `fromCte`'s docs: the dedup_semantic centroid
+    * chain reused verbatim (clusters trained on the FULL embedding
+    * space via the kept-chain's `e`), pair space restricted to the
+    * surviving docs' vectors; a doc without an embedding passes
+    * through. Ends at `sclean`. MATERIALIZED on sbase/sav is
+    * load-bearing, same rationale as [[dsirStageSql]]'s dtb — each is
+    * referenced more than once and a plain CTE would inline (and
+    * re-evaluate) the entire upstream pipeline per reference. */
+  private def semanticStageSql(fromCte: String): String =
+    s""", sbase AS MATERIALIZED (SELECT doc_id FROM $fromCte)
+       |$ivfLloydCtes
+       |$cbuckCte
+       |, sav AS MATERIALIZED (
+       |  SELECT c.vec_id, c.bucket, e.v
+       |  FROM cbuck c JOIN e USING (vec_id)
+       |  JOIN sbase f ON f.doc_id = c.vec_id)
+       |, semdup AS (
+       |  SELECT b.vec_id FROM sav a JOIN sav b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE round(${cosineSql("a.v", "b.v")}, 4) >= 0.45
+       |  GROUP BY 1)
+       |, sclean AS (
+       |  SELECT doc_id FROM sbase
+       |  WHERE doc_id NOT IN (SELECT vec_id FROM semdup))""".stripMargin
+
+  /** v6: the v5 chain with SemDeDup spliced between decontamination
+    * and DSIR — semantic near-dup removal among the surviving docs. */
+  private def corpusCleanV6Oracle: String =
+    s"""$keptPairCtes
+       |$qualityStageCtes
+       |${lmGoodSql("qkept")}
+       |${decontamStageSql("good")}
+       |${semanticStageSql("dclean")}
+       |${dsirStageSql("sclean")}
+       |${mixPackTailSql("dsel")}""".stripMargin
+
   /** DuckDB list of the language-ID stopwords, quoted. */
   private def stopwordsSqlList: String =
     TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
@@ -6324,7 +6485,16 @@ object SparkEntry {
     * 3 unrolled iterations → `cents3` — the SQL twin of
     * [[graft.operators.Similarity.kmeansCentroids]] over the same
     * training set. */
-  private def ivfCentsCtes(eSelect: String): String = {
+  private def ivfCentsCtes(eSelect: String): String =
+    s"""WITH e AS (
+       |  $eSelect)
+       |$ivfLloydCtes""".stripMargin
+
+  /** The Lloyd body alone (assumes an `e (vec_id, v)` CTE already in
+    * scope — e.g. the kept-chain's) — ends at `cents3`. Split out so
+    * the composed-pipeline oracles can splice the centroid chain into a
+    * WITH list that already defines `e`. */
+  private lazy val ivfLloydCtes: String = {
     def assignCte(n: Int, cents: String): String =
       s""", assign$n AS (
          |  SELECT vec_id, cidx FROM (
@@ -6346,23 +6516,26 @@ object SparkEntry {
          |  ON p0.cidx = g.cidx)""".stripMargin
     val lloyd = (1 to 3).map(n => assignCte(n, s"cents${n - 1}") + "\n" +
       centsCte(n)).mkString("\n")
-    s"""WITH e AS (
-       |  $eSelect)
-       |, samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048)
+    s""", samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 2048)
        |, cents0 AS (SELECT rn - 1 AS cidx, v AS p FROM (
        |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM samp)
        |  WHERE rn <= 16)
        |$lloyd""".stripMargin
   }
 
-  private def ivfCbuckCtes: String =
-    s"""${ivfCentsCtes(
-        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")}
-       |, cbuck AS (
+  /** Full-corpus cluster assignment over `cents3` — the `cbuck` CTE
+    * fragment shared by [[ivfCbuckCtes]] and [[semanticStageSql]]. */
+  private lazy val cbuckCte: String =
+    s""", cbuck AS (
        |  SELECT vec_id, cidx AS bucket FROM (
        |    SELECT e.vec_id, c.cidx, row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosineSql("e.v", "c.p")} DESC, c.cidx DESC) AS rn
        |    FROM e, cents3 c) WHERE rn = 1)""".stripMargin
+
+  private def ivfCbuckCtes: String =
+    s"""${ivfCentsCtes(
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")}
+       |$cbuckCte""".stripMargin
 
   private def annIvfOracle: String =
     s"""$ivfCbuckCtes

@@ -532,16 +532,27 @@ object Similarity {
     * exactness claim is "exactly the clustered policy", which the oracle
     * replays centroid-for-centroid.
     *
-    * @return one row per vector: (vec_id, bucket, dup_of, is_dup)
+    * `among` (optional) restricts the PAIR SPACE to the given ids (one
+    * column named `vec_id`) while the centroids still train on the full
+    * `corpus` — the "cluster once, dedup each curation round" posture a
+    * composed pipeline wants: a later stage dedups its survivor set
+    * against itself, not against documents earlier stages already
+    * dropped, and the cluster geometry stays the shared, gated one.
+    *
+    * @return one row per (restricted) vector:
+    *         (vec_id, bucket, dup_of, is_dup)
     */
   def semanticDupes(corpus: DataFrame, threshold: Double, dim: Int = 64,
       nlist: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding", roundTo: Int = 4,
-      native: Boolean = false): DataFrame = {
+      native: Boolean = false, among: Option[DataFrame] = None)
+      : DataFrame = {
     val cents = kmeansCentroids(corpus, dim, nlist, idCol = idCol,
       vecCol = vecCol)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val assigned = corpus
+    val scoped = among.fold(corpus)(ids =>
+      corpus.join(ids, corpus(idCol) === ids("vec_id"), "left_semi"))
+    val assigned = scoped
       .select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .repartition(par)

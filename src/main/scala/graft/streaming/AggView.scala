@@ -112,6 +112,10 @@ object AggView {
       viewBuckets: Int, serve: DataFrame => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
     requireIntegral(batch.schema, spec)
+    // fail-stop on mid-stream schema evolution (pin lives with the key
+    // state — one per view instance); see BucketedState.requireSameSchema
+    BucketedState.requireSameSchema(spark, keyStateDir, batch.schema,
+      new org.apache.hadoop.fs.Path(viewDir).getName)
     val keys = batch.select(spec.keyCols.map(col): _*).distinct()
     // pre-batch state of the batch's keys, tombstones included —
     // version-bounded so a crash-replay recomputes identical deltas,

@@ -70,6 +70,44 @@ object BucketedState {
 
   private val Marker = "_GRAFT_OK"
   private val BucketTag = "_gb" // staging partition column
+  private val SchemaPin = "_GRAFT_VIEW_SCHEMA"
+
+  /** Fail-stop schema pin for the stateful VIEWS (AggView/MinMaxView):
+    * the first batch writes the change-stream schema DDL to
+    * `<dir>/_GRAFT_VIEW_SCHEMA`; every later batch — including after a
+    * restart — requires an exact match. Unlike the envelope pipeline
+    * (whose versioned state absorbs added/dropped columns on read,
+    * SchemaEvolutionSpec), an incrementally-maintained aggregate CANNOT
+    * absorb a mid-stream schema change: the projection/delta state was
+    * built under the old column set, so folding new-schema batches onto
+    * it silently mixes incompatible images. The defined behavior is the
+    * reference's fail-stop posture (river/sync.go refreshes TableInfo
+    * and replays; a view has no such replay) — stop with a clear
+    * rebuild instruction. Idempotent under crash-replay: the pin's
+    * content is a pure function of the stream schema. */
+  def requireSameSchema(spark: SparkSession, dir: String,
+      schema: StructType, what: String): Unit = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, SchemaPin)
+    val ddl = schema.toDDL
+    if (!f.exists(p)) {
+      f.mkdirs(new Path(dir))
+      val out = f.create(p, true)
+      try out.write(ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else {
+      val in = f.open(p)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (stored != ddl) throw new IllegalStateException(
+        s"$what: change-stream schema evolved mid-stream — the view's " +
+          s"state was built under [$stored] but this batch carries " +
+          s"[$ddl]. Incrementally-maintained view state cannot absorb " +
+          "a schema change; rebuild the view from a fresh snapshot " +
+          "(drop its store and checkpoint directories and replay).")
+    }
+  }
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

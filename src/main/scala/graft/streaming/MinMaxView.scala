@@ -146,6 +146,10 @@ object MinMaxView {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pending = scala.collection.mutable.ArrayBuffer.empty[Future[Unit]]
     val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // fail-stop on mid-stream schema evolution (pin lives with the key
+    // state — one per view instance); see BucketedState.requireSameSchema
+    BucketedState.requireSameSchema(spark, keyStateDir, batch.schema,
+      new org.apache.hadoop.fs.Path(viewDir).getName)
     try {
       val keys = batch.select(spec.keyCols.map(col): _*).distinct()
       // pre-batch images of the batch's keys (version-bounded: a crash

@@ -210,6 +210,26 @@ class SimilaritySpec extends AnyFunSuite {
       (2L, None, 0), (3L, Some(0L), 1)))
   }
 
+  test("semanticDupes among: pair space restricted to the given ids; " +
+      "a keeper outside the restriction no longer causes a drop") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(1f, 0.01f)),  // near-dup of 0
+      (2L, Array(0f, 1f)),     // orthogonal: unique
+      (3L, Array(1f, 0.02f))   // near-dup of 0 AND 1
+    ).toDF("vec_id", "embedding")
+    // restrict to {1, 2, 3}: vector 0 is out of scope, so 1 becomes a
+    // keeper and 3's keeper is now 1 (not the excluded 0); ids outside
+    // the restriction don't appear at all
+    val among = Seq(1L, 2L, 3L).toDF("vec_id")
+    val got = Similarity
+      .semanticDupes(vecs, threshold = 0.9, dim = 2, nlist = 1,
+        among = Some(among))
+      .select($"vec_id", $"dup_of", $"is_dup")
+      .as[(Long, Option[Long], Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, None, 0), (2L, None, 0), (3L, Some(1L), 1)))
+  }
+
   test("semanticDupes with nlist=1 equals the unclustered quadratic policy") {
     // one cluster -> every pair is in scope, so the verdict must match
     // the policy derived from exact cosinePairs on the same corpus

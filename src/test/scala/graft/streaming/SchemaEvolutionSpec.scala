@@ -115,4 +115,58 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .as[(Int, String)].collect().toSet
     assert(got == Set((1, "a"), (2, "b")))
   }
+
+  // --- stateful VIEWS: the defined contract for mid-stream evolution
+  // is FAIL-STOP with a rebuild instruction (incrementally-maintained
+  // aggregate state cannot absorb a schema change the way the
+  // envelope's versioned state above does) — and a same-schema restart
+  // must keep working.
+
+  test("AggView: mid-stream ADD COLUMN fail-stops with a rebuild error; " +
+      "same-schema batches keep folding") {
+    val work = Files.createTempDirectory("graft_evo_agg_").toString
+    val spec = AggView.Spec(Seq("k"), Seq("g"), Seq("m"))
+    val b0 = Seq((1, "g1", 10L, "I", 1L)).toDF("k", "g", "m", "_op", "_seq")
+    AggView.applyBatch(b0, 0L, s"$work/state", s"$work/view", spec,
+      stateBuckets = 4, viewBuckets = 4)
+    // same schema: fine (the restart path)
+    val b1 = Seq((2, "g1", 5L, "I", 2L)).toDF("k", "g", "m", "_op", "_seq")
+    AggView.applyBatch(b1, 1L, s"$work/state", s"$work/view", spec,
+      stateBuckets = 4, viewBuckets = 4)
+    // ALTER TABLE ADD COLUMN extra: the view must fail-stop, not fold
+    val b2 = Seq((3, "g1", 1L, "x", "I", 3L))
+      .toDF("k", "g", "m", "extra", "_op", "_seq")
+    val e = intercept[IllegalStateException] {
+      AggView.applyBatch(b2, 2L, s"$work/state", s"$work/view", spec,
+        stateBuckets = 4, viewBuckets = 4)
+    }
+    assert(e.getMessage.contains("schema evolved mid-stream"))
+    assert(e.getMessage.contains("rebuild"))
+    // the failed batch left the view untouched
+    val got = AggView.currentView(spark, s"$work/view", b0.schema, spec,
+      viewBuckets = 4).as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("g1", 2L, 15L)))
+  }
+
+  test("MinMaxView: mid-stream schema change fail-stops; the pin " +
+      "survives a restart") {
+    val work = Files.createTempDirectory("graft_evo_mm_").toString
+    val spec = MinMaxView.Spec(Seq("k"), Seq("g"), Seq("v"))
+    val b0 = Seq((1, "g1", 10L, "I", 1L)).toDF("k", "g", "v", "_op", "_seq")
+    MinMaxView.applyBatch(b0, 0L, s"$work/state", s"$work/proj",
+      s"$work/view", spec, stateBuckets = 4, projBuckets = 4,
+      viewBuckets = 4)
+    // a column TYPE change is a schema change too
+    val b1 = Seq((2, "g1", "wide", "I", 2L))
+      .toDF("k", "g", "v", "_op", "_seq")
+    val e = intercept[IllegalStateException] {
+      MinMaxView.applyBatch(b1, 1L, s"$work/state", s"$work/proj",
+        s"$work/view", spec, stateBuckets = 4, projBuckets = 4,
+        viewBuckets = 4)
+    }
+    assert(e.getMessage.contains("schema evolved mid-stream"))
+    val got = MinMaxView.currentView(spark, s"$work/view", b0.schema, spec,
+      viewBuckets = 4).as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("g1", 1L, 10L, 10L)))
+  }
 }
