@@ -404,6 +404,46 @@ object BenchScale {
       "dc_cross_cells" -> cRow.getLong(1)))
   }
 
+  /** The seven-stage corpus_clean_v6 pipeline (v5 + SemDeDup spliced
+    * before DSIR) at ×N. Same gating posture as v5: the spliced
+    * DECONTAM stage carries the exact structural claims (zero
+    * cross-copy inverted-index cells, cells ~N); the SEMANTIC stage is
+    * the dedup_semantic operator reused verbatim on a survivor-
+    * RESTRICTED (strictly smaller) pair space, whose nlist-∝-corpus
+    * scale path is gated by dedup_semantic's own ×N candidates gate —
+    * here its full-table verdict count rides as reported evidence
+    * (cluster geometry retrains on the blown corpus, so per-copy
+    * verdicts legitimately redraw). */
+  private def runCorpusCleanV6(s: SparkSession, dir: String): OpResult = {
+    var bins = 0L
+    val r = timed {
+      val row = SparkEntry.queries("corpus_clean_v6")(s, dir)
+        .agg(count(lit(1)), max("bin")).head()
+      bins = row.getLong(1) + 1
+      row.getLong(0)
+    }(Map("bins" -> bins))
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+    val bench = docs
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id"), 10) === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val cells = Decontam.overlapPairs(docs, bench, "doc_id", "text",
+      "bench_id", "text", n = 5)
+    val copyOf = (c: org.apache.spark.sql.Column) =>
+      call_function("div", c, lit(100000000L))
+    val cRow = cells.agg(count(lit(1)),
+      coalesce(sum((copyOf(col("doc_id")) =!= copyOf(col("bench_id")))
+        .cast("long")), lit(0L))).head()
+    val semPairs = graft.operators.Similarity.semanticDupes(
+      s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.45,
+      native = true)
+      .filter(col("is_dup") === 1).count()
+    r.copy(evidence = r.evidence ++ Map(
+      "dc_cells" -> cRow.getLong(0),
+      "dc_cross_cells" -> cRow.getLong(1),
+      "sem_pairs" -> semPairs))
+  }
+
   /** Streaming as-of enrich: the blown-up click feed replayed as four
     * micro-batches against the static purchase history. Input
     * materialization is prep (untimed); the timed span is the streaming
@@ -1699,6 +1739,64 @@ object BenchScale {
       "touched_proj_buckets" -> touchedProj.toLong))
   }
 
+  /** Exact distinct-count view maintenance against a ×1 vs ×N store —
+    * the distinctCols generalization of [[runMinMaxView]] on the same
+    * projection machinery: groups are `event_id div 64` (copies form
+    * NEW groups of identical membership), so the fixed 64-key probe's
+    * recomputed view rows and their uniq mass must be IDENTICAL at ×1
+    * and ×N while state_rows grows exactly ×N and the recompute stays
+    * confined to the probe's group spread in projection buckets. */
+  private def runDistinctView(s: SparkSession, dir: String,
+      scale: Int): OpResult = {
+    val work = newTempDir("graft_scale_dview_")
+    val stateBuckets = 64 * scale
+    val projBuckets = 64 * scale
+    val viewBuckets = 16 * scale
+    val spec = streaming.MinMaxView.Spec(Seq("k"), Seq("g"),
+      valueCols = Nil, distinctCols = Seq("v"))
+    val seed = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id").as("k"), (col("event_id") / 64)
+        .cast("long").as("g"),
+        // value = id mod 7: every full group holds the same 7 distinct
+        // values at every scale, and the probe's +7000 bump moves its
+        // keys into fresh values deterministically
+        (col("event_id") % 7).cast("long").as("v"),
+        lit("I").as("_op"), lit(1L).as("_seq"))
+    streaming.MinMaxView.applyBatch(seed, 0L, s"$work/state",
+      s"$work/proj", s"$work/view", spec, stateBuckets, projBuckets,
+      viewBuckets)
+    val stateRows = seed.count()
+    val probeKeys = seed.select(col("k")).orderBy(col("k")).limit(64)
+      .collect().map(_.getLong(0)).toSeq
+    val probe = seed
+      .filter(col("k").isin(probeKeys.map(Long.box): _*))
+      .select(col("k"), col("g"), (col("v") + 7000L).as("v"),
+        lit("U").as("_op"), lit(2L).as("_seq"))
+      .coalesce(1).localCheckpoint(eager = true)
+    val probeGroups = probe.select(col("g")).distinct().count()
+    val r = timed {
+      streaming.MinMaxView.applyBatch(probe, 1L, s"$work/state",
+        s"$work/proj", s"$work/view", spec, stateBuckets, projBuckets,
+        viewBuckets)
+      0L
+    }(Map.empty)
+    val touched = probe.select(col("g")).distinct()
+    val view = streaming.MinMaxView.currentView(s, s"$work/view",
+      seed.schema, spec, viewBuckets)
+      .join(touched, Seq("g"), "left_semi")
+    val vRow = view.agg(count(lit(1)),
+      coalesce(sum(col("n_live") + col("uniq_v")), lit(0L))).head()
+    val touchedProj = (0 until projBuckets).count { b =>
+      new java.io.File(s"$work/proj/bucket=$b/v=1").exists()
+    }
+    probe.unpersist()
+    OpResult(r.secs, Map("out_rows" -> vRow.getLong(0),
+      "uniq_sum" -> vRow.getLong(1), "state_rows" -> stateRows,
+      "batch_keys" -> probeKeys.size.toLong,
+      "probe_groups" -> probeGroups,
+      "touched_proj_buckets" -> touchedProj.toLong))
+  }
+
   /** Streaming SCD2 maintenance against a ×1 vs ×N history: a FIXED
     * 64-key update batch reads, re-links and rewrites only its own
     * keys' histories (bucket-pruned; buckets ∝ data so bucket volume
@@ -2257,6 +2355,7 @@ object BenchScale {
       "stream_asof" -> (d => runStreamAsof(spark, d)),
       "corpus_clean" -> (d => runCorpusClean(spark, d)),
       "corpus_clean_v5" -> (d => runCorpusCleanV5(spark, d)),
+      "corpus_clean_v6" -> (d => runCorpusCleanV6(spark, d)),
       "ann_lsh" -> (d => runAnn(spark, d, "lsh")),
       "ann_ivf" -> (d => runAnn(spark, d, "ivf")),
       "ann_quantized" -> (d => runAnn(spark, d, "quantized")),
@@ -2304,6 +2403,8 @@ object BenchScale {
       "agg_view" -> (d => runAggView(spark, d,
         if (d.endsWith("x1")) 1 else n)),
       "minmax_view" -> (d => runMinMaxView(spark, d,
+        if (d.endsWith("x1")) 1 else n)),
+      "distinct_view" -> (d => runDistinctView(spark, d,
         if (d.endsWith("x1")) 1 else n)),
       "stream_scd2" -> (d => runStreamScd(spark, d,
         if (d.endsWith("x1")) 1 else n)),
@@ -2632,6 +2733,14 @@ object BenchScale {
           atN.evidence("dc_cross_cells") == 0L &&
             atN.evidence("dc_cells") <=
               (at1.evidence("dc_cells") * n * 2.0).toLong
+        case "corpus_clean_v6" =>
+          // same structural gate as v5 (the spliced decontam stage's
+          // exact claims); sem_pairs and out_rows ride as reported
+          // evidence — see the runner doc for why the semantic stage's
+          // scale claim lives in dedup_semantic's own gate
+          atN.evidence("dc_cross_cells") == 0L &&
+            atN.evidence("dc_cells") <=
+              (at1.evidence("dc_cells") * n * 2.0).toLong
         case "fuzzy_short" =>
           // duplicate-heavy short bucket: matches (fixed right side,
           // left name counts replicate ×N) grow exactly ×N; EVERY
@@ -2724,6 +2833,18 @@ object BenchScale {
           // time itself is gated by the exponent
           atN.evidence("out_rows") == at1.evidence("out_rows") &&
             atN.evidence("minmax_sum") == at1.evidence("minmax_sum") &&
+            atN.evidence("state_rows") == at1.evidence("state_rows") * n &&
+            atN.evidence("batch_keys") == at1.evidence("batch_keys") &&
+            atN.evidence("touched_proj_buckets") <=
+              atN.evidence("probe_groups")
+        case "distinct_view" =>
+          // O(touched groups) exact distinct-count maintenance: same
+          // corpus-invariant group-membership argument as minmax_view —
+          // recomputed view rows and uniq mass IDENTICAL against the
+          // ×1 and ×N stores, recompute confined to the probe's group
+          // spread; probe time gated by the exponent
+          atN.evidence("out_rows") == at1.evidence("out_rows") &&
+            atN.evidence("uniq_sum") == at1.evidence("uniq_sum") &&
             atN.evidence("state_rows") == at1.evidence("state_rows") * n &&
             atN.evidence("batch_keys") == at1.evidence("batch_keys") &&
             atN.evidence("touched_proj_buckets") <=
