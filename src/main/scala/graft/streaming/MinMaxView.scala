@@ -105,13 +105,19 @@ object MinMaxView {
         StructField(SeqCol, LongType)))
 
   /** The view's aggregate list over live projection rows — shared by
-    * the per-batch touched-group recompute and [[minMaxForGroups]]. */
+    * the per-batch touched-group recompute and [[minMaxForGroups]].
+    * Distinct counts use `size(collect_set(v))`, not `count_distinct`:
+    * same exact null-excluding semantics, but one partial/final
+    * aggregate pair like min/max instead of count_distinct's
+    * Expand + second exchange — two fewer stages per recompute. The
+    * per-group set is bounded by the touched groups' live rows, which
+    * this recompute already reads in full (the uniqExact state bound). */
   private def aggExprs(spec: Spec) =
     spec.valueCols.flatMap(v => Seq(
       min(col(v)).as(spec.minCol(v)),
       max(col(v)).as(spec.maxCol(v)))) ++
       spec.distinctCols.map(v =>
-        count_distinct(col(v)).as(spec.uniqCol(v)))
+        size(collect_set(col(v))).cast(LongType).as(spec.uniqCol(v)))
 
   /** Null columns of an emptied group's tombstone row. */
   private def tombAggCols(schema: StructType, spec: Spec) =
