@@ -2253,6 +2253,7 @@ object SparkEntry {
       .select("doc_id", "lang", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var goodDocs: DataFrame = null
+    var decon: DataFrame = null
     var sem: DataFrame = null
     try {
       val good = operators.LangModel.score(
@@ -2272,8 +2273,12 @@ object SparkEntry {
         bench, "doc_id", "text", "bench_id", "text",
         n = 5, minMatched = 5L, minOverlap = 0.5)
         .filter(col("contaminated") === 0).select("doc_id")
-      val decon = goodDocs.join(surviving, Seq("doc_id"))
+      // two consumers (the semantic stage's `among` probe and the
+      // survivor join below) — pinned so the decontam shingle scan +
+      // inverted-index join runs once
+      decon = goodDocs.join(surviving, Seq("doc_id"))
         .select("doc_id", "lang", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // semantic near-dup drop among the decontaminated survivors:
       // pair space restricted to their vectors, centroids shared with
       // the gated dedup_semantic chain; left_anti keeps the docs that
@@ -2305,6 +2310,7 @@ object SparkEntry {
       kept.unpersist(false)
       base.unpersist(false)
       if (goodDocs != null) goodDocs.unpersist(false)
+      if (decon != null) decon.unpersist(false)
       if (sem != null) sem.unpersist(false)
     }
   }
