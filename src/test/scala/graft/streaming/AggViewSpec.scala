@@ -74,6 +74,28 @@ class AggViewSpec extends AnyFunSuite {
     assert(after == direct(feed))
   }
 
+  test("a failing serve joins the in-flight commits; an in-process " +
+      "retry of the same batchId converges to the correct view") {
+    val work = tmp()
+    def batch(rows: Seq[(Long, String, Long, String, Long)]): DataFrame =
+      rows.toDF("o_orderkey", "ord_month", "cents", "_op", "_seq")
+    val b0 = batch(Seq((1L, "g", 10L, "I", 1L), (2L, "g", 20L, "I", 2L)))
+    AggView.applyBatch(b0, 0L, s"$work/state", s"$work/view", spec,
+      stateBuckets = 4, viewBuckets = 4)
+    val b1 = batch(Seq((1L, "g", 5L, "U", 3L)))
+    val boom = intercept[RuntimeException] {
+      AggView.applyBatch(b1, 1L, s"$work/state", s"$work/view", spec,
+        stateBuckets = 4, viewBuckets = 4,
+        serve = _ => throw new RuntimeException("push"))
+    }
+    assert(boom.getMessage == "push")
+    AggView.applyBatch(b1, 1L, s"$work/state", s"$work/view", spec,
+      stateBuckets = 4, viewBuckets = 4)
+    val got = AggView.currentView(spark, s"$work/view", b0.schema, spec,
+      viewBuckets = 4).as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("g", 2L, 25L)))
+  }
+
   test("a group whose live count reaches zero leaves the view") {
     val work = tmp()
     def ev(k: Int, g: String, m: Long, op: String, seq: Long) =

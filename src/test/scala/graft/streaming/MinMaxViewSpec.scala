@@ -235,6 +235,34 @@ class MinMaxViewSpec extends AnyFunSuite {
     assert(rows(replayS(tmp(), 4)) == direct)
   }
 
+  test("a failing serve joins the in-flight commits; an in-process " +
+      "retry of the same batchId converges to the correct view") {
+    val work = tmp()
+    def batch(rows: Seq[(Long, String, Long, String, Long)]): DataFrame =
+      rows.toDF("o_orderkey", "ord_month", "cents", "_op", "_seq")
+    val b0 = batch(Seq((1L, "g", 10L, "I", 1L), (2L, "g", 20L, "I", 2L)))
+    MinMaxView.applyBatch(b0, 0L, s"$work/state", s"$work/proj",
+      s"$work/view", spec, stateBuckets = 4, projBuckets = 4,
+      viewBuckets = 4)
+    val b1 = batch(Seq((1L, "g", 5L, "U", 3L)))
+    // the push dies mid-batch: commits may already be in flight — the
+    // failure path must join them before propagating, so the retry
+    // below never races an orphaned merge on its own staging dirs
+    val boom = intercept[RuntimeException] {
+      MinMaxView.applyBatch(b1, 1L, s"$work/state", s"$work/proj",
+        s"$work/view", spec, stateBuckets = 4, projBuckets = 4,
+        viewBuckets = 4, serve = _ => throw new RuntimeException("push"))
+    }
+    assert(boom.getMessage == "push")
+    // retry of the SAME batchId (what foreachBatch does after a crash)
+    MinMaxView.applyBatch(b1, 1L, s"$work/state", s"$work/proj",
+      s"$work/view", spec, stateBuckets = 4, projBuckets = 4,
+      viewBuckets = 4)
+    val got = MinMaxView.currentView(spark, s"$work/view", b0.schema, spec,
+      viewBuckets = 4).as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("g", 2L, 5L, 20L)))
+  }
+
   test("minMaxForGroups (recompute-on-read) agrees with the view") {
     val work = tmp()
     val feed = prepared(TestSpark.Sf0001)
