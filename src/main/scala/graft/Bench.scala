@@ -351,7 +351,17 @@ object Bench {
     val slowest = clean.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1e4) / 1e4 }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","value_clean":$totalClean,"n_queries":${okResults.size},"sf":"$sfDir","contaminated":$contaminated,"rescue_passes":$rescues,"failed_count":${failed.size},"failed":${jCap(failed)},"floor_deltas":$ds,"floor_resets_applied":${jCap(appliedNow)},"floor_resets_pending":${jCap((pendingKeys -- appliedNow).toSeq.sorted)},"quiet_host":$quietHost,"canary_worst_ratio":${math.rint(canaryWorst * 100) / 100},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"slowest_clean":$slowest,"record_written":$recordWritten,"record_file":"$recordFile"}"""
+    // floor_deltas capped like the other lists: a heavily contaminated
+    // run (many queries over floor) must not push the compact line past
+    // the driver's ~2000-char stdout tail — the worst 15 ratios ride
+    // here with the total count; the full map is in BENCH_local.json
+    val dsCompact = deltas.sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // JSON string escape for interpolated paths (backslash/quote-safe)
+    def jStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","value_clean":$totalClean,"n_queries":${okResults.size},"sf":"$sfDir","contaminated":$contaminated,"rescue_passes":$rescues,"failed_count":${failed.size},"failed":${jCap(failed)},"floor_deltas":$dsCompact,"floor_delta_count":${deltas.size},"floor_resets_applied":${jCap(appliedNow)},"floor_resets_pending":${jCap((pendingKeys -- appliedNow).toSeq.sorted)},"quiet_host":$quietHost,"canary_worst_ratio":${math.rint(canaryWorst * 100) / 100},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"slowest_clean":$slowest,"record_written":$recordWritten,"record_file":${jStr(recordFile.toString)}}"""
     // stdout line for the driver/humans LAST, then immediate exit: no
     // thread gets a timeslice to log behind the record
     QuietExit.emitAndExit(spark, Some(compact))

@@ -829,6 +829,46 @@ object SparkEntry {
       .withColumn("ord_month", col("ord_month").cast("string"))
   }
 
+  /** [[cdcAggView]] through a MID-STREAM ADD COLUMN — the reference's
+    * keep-running DDL posture (river/river.go:166-180 refreshes
+    * TableInfo on ALTER and keeps syncing) applied to the maintained
+    * view: the even-key half of the feed replays under the original
+    * schema, then the odd-key half arrives WIDER (a nullable `note`
+    * payload column the view never folds) on the same checkpoint and
+    * state. The schema pin absorbs the widening
+    * ([[graft.streaming.BucketedState.requireSameSchema]]); pre-DDL
+    * state reads the new column as null. Oracle: identical to
+    * cdc_agg_view — the DDL must be invisible to what the view
+    * serves. */
+  private def cdcAggEvolve(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val work = scratchDir("graft_aggevo_")
+    val spec = streaming.AggView.Spec(keyCols = ChangeFeed.keyCols,
+      groupCols = Seq("ord_month"), measureCols = Seq("cents"))
+    val prepared = ChangeFeed.full(s, dir).select(
+      col("o_orderkey"),
+      trunc(col("o_orderdate"), "month").as("ord_month"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("_op"), col("_seq"))
+    val phase1 = prepared.filter(col("o_orderkey") % 2 === 0)
+    phase1.coalesce(1).write.mode("overwrite").parquet(s"$work/changes")
+    streaming.AggView.replayToCompletion(s, s"$work/changes",
+      phase1.schema, s"$work/state", s"$work/view", s"$work/ckpt",
+      spec, stateBuckets = 16, viewBuckets = 8,
+      maintenance = streaming.CdcStream.Maintenance(gcEvery = 1))
+    // ALTER TABLE ADD COLUMN note — the rest of the feed arrives wider
+    // (sparsely populated; `when` without otherwise keeps it nullable)
+    val phase2 = prepared.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("note", when(col("o_orderkey") % 3 === 0,
+        concat(lit("n"), col("o_orderkey").cast("string"))))
+    phase2.coalesce(1).write.mode("append").parquet(s"$work/changes")
+    streaming.AggView.replayToCompletion(s, s"$work/changes",
+      phase2.schema, s"$work/state", s"$work/view", s"$work/ckpt",
+      spec, stateBuckets = 16, viewBuckets = 8,
+      maintenance = streaming.CdcStream.Maintenance(gcEvery = 1))
+      .withColumn("ord_month", col("ord_month").cast("string"))
+  }
+
   /** PMI co-occurrence mining over per-user event-type baskets: one
     * distinct + one group-by-user shuffle, pair space bounded by the
     * event-type vocabulary squared — never by row count. */
@@ -3054,6 +3094,7 @@ object SparkEntry {
     "cdc_agg_view" -> (cdcAggView _),
     "cdc_agg_minmax" -> (cdcAggMinmax _),
     "cdc_agg_distinct" -> (cdcAggDistinct _),
+    "cdc_agg_evolve" -> (cdcAggEvolve _),
     "envelope_lww" -> (envelopeLww _),
     "route_filter" -> (routeFilter _),
     "type_enum" -> (typeEnum _),
@@ -3407,6 +3448,20 @@ object SparkEntry {
          |    AS min_cents,
          |  CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
          |    AS max_cents
+         |FROM live GROUP BY 1""".stripMargin,
+    // the DDL mid-stream must be invisible to the served view — same
+    // final-state oracle as cdc_agg_view
+    "cdc_agg_evolve" ->
+      s"""$ordersChangesCte, ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY o_orderkey ORDER BY _seq DESC) AS rn
+         |  FROM changes),
+         |live AS (SELECT * FROM ranked WHERE rn = 1 AND _op <> 'D')
+         |SELECT CAST(date_trunc('month', o_orderdate) AS VARCHAR)
+         |    AS ord_month,
+         |  count(*) AS cnt,
+         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_cents
          |FROM live GROUP BY 1""".stripMargin,
     "cdc_agg_distinct" ->
       s"""$ordersChangesCte, ranked AS (

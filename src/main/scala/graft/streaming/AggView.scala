@@ -112,10 +112,14 @@ object AggView {
       viewBuckets: Int, serve: DataFrame => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
     requireIntegral(batch.schema, spec)
-    // fail-stop on mid-stream schema evolution (pin lives with the key
-    // state — one per view instance); see BucketedState.requireSameSchema
+    // schema-evolution contract (pin lives with the key state — one per
+    // view instance): an ADDITIVE nullable payload column is absorbed
+    // (the view never folds it; pre-batch state reads it as null), any
+    // key/group/measure or type change fail-stops — see
+    // BucketedState.requireSameSchema
     BucketedState.requireSameSchema(spark, keyStateDir, batch.schema,
-      new org.apache.hadoop.fs.Path(viewDir).getName)
+      new org.apache.hadoop.fs.Path(viewDir).getName,
+      reservedCols = spec.keyCols ++ spec.groupCols ++ spec.measureCols)
     val keys = batch.select(spec.keyCols.map(col): _*).distinct()
     // pre-batch state of the batch's keys, tombstones included —
     // version-bounded so a crash-replay recomputes identical deltas,

@@ -58,54 +58,117 @@ object BucketedState {
     * (propagating commit failures); this is the failure-path
     * counterpart. */
   private[streaming] def joinQuietly(
-      fs: scala.concurrent.Future[_]*): Unit =
+      fs: scala.concurrent.Future[_]*): Unit = {
+    // An interrupt mid-join (stream/task cancellation) must not abandon
+    // the REMAINING futures: re-setting the flag inside the loop would
+    // make every later Await.ready throw immediately, letting in-flight
+    // commits outlive the batch attempt — the exact orphaned-merge race
+    // this helper exists to prevent. Record the interrupt (clearing the
+    // flag), keep joining until every future is done, re-interrupt last.
+    var interrupted = Thread.interrupted()
     fs.foreach { f =>
-      try scala.concurrent.Await.ready(f,
-        scala.concurrent.duration.Duration.Inf)
-      catch {
-        case _: InterruptedException => Thread.currentThread().interrupt()
-        case _: Throwable => ()
+      var joined = false
+      while (!joined) {
+        try {
+          scala.concurrent.Await.ready(f,
+            scala.concurrent.duration.Duration.Inf)
+          joined = true
+        } catch {
+          case _: InterruptedException => interrupted = true
+          case _: Throwable => joined = true
+        }
       }
     }
+    if (interrupted) Thread.currentThread().interrupt()
+  }
 
   private val Marker = "_GRAFT_OK"
   private val BucketTag = "_gb" // staging partition column
   private val SchemaPin = "_GRAFT_VIEW_SCHEMA"
 
-  /** Fail-stop schema pin for the stateful VIEWS (AggView/MinMaxView):
-    * the first batch writes the change-stream schema DDL to
-    * `<dir>/_GRAFT_VIEW_SCHEMA`; every later batch — including after a
-    * restart — requires an exact match. Unlike the envelope pipeline
-    * (whose versioned state absorbs added/dropped columns on read,
-    * SchemaEvolutionSpec), an incrementally-maintained aggregate CANNOT
-    * absorb a mid-stream schema change: the projection/delta state was
-    * built under the old column set, so folding new-schema batches onto
-    * it silently mixes incompatible images. The defined behavior is the
-    * reference's fail-stop posture (river/sync.go refreshes TableInfo
-    * and replays; a view has no such replay) — stop with a clear
-    * rebuild instruction. Idempotent under crash-replay: the pin's
-    * content is a pure function of the stream schema. */
+  /** Schema-evolution contract for the stateful VIEWS
+    * (AggView/MinMaxView/DedupIndex): the first batch writes the
+    * change-stream schema DDL to `<dir>/_GRAFT_VIEW_SCHEMA`; every
+    * later batch — including after a restart — must either match it
+    * exactly or be an ADDITIVE widening:
+    *
+    *   - every pinned field still present with the identical data type,
+    *   - every new field nullable AND not one of `reservedCols` (the
+    *     view's key/group/measure/value columns — a column the view
+    *     actually folds cannot appear mid-stream, its historical state
+    *     would be silently wrong).
+    *
+    * An accepted widening is absorbed exactly like the envelope
+    * pipeline's versioned state (SchemaEvolutionSpec): pre-batch state
+    * parquet is read under the wider schema, so old rows carry null for
+    * the new column, and the pin advances to the widened DDL
+    * (atomically) so a later TYPE change of that column still
+    * fail-stops. This is the reference's keep-running DDL posture
+    * (river/river.go:166-180 refreshes TableInfo on ALTER and keeps
+    * syncing) applied to the one case a maintained aggregate CAN
+    * absorb — a payload column it never folds.
+    *
+    * Everything else — dropped column, type change, a new column that
+    * is reserved or non-nullable — fail-stops with a rebuild
+    * instruction: the projection/delta state was built under the old
+    * column set, and folding such batches onto it would silently mix
+    * incompatible images (the fail-stop half of the reference's
+    * posture; a view has no TableInfo replay). Idempotent under
+    * crash-replay: the pin's content is a pure function of the schema
+    * progression. */
   def requireSameSchema(spark: SparkSession, dir: String,
-      schema: StructType, what: String): Unit = {
+      schema: StructType, what: String,
+      reservedCols: Seq[String] = Nil): Unit = {
     val f = fs(spark, dir)
     val p = new Path(dir, SchemaPin)
     val ddl = schema.toDDL
-    if (!f.exists(p)) {
+    // Atomic pin write: create-then-write is two steps, and a crash
+    // between them leaves an empty pin that would fail-stop every later
+    // batch even with the original schema. Stage to a temp name and
+    // rename into place (atomic on HDFS/local FS); an empty pin read
+    // back (pre-fix leftover) is treated as absent and rewritten.
+    def writePin(): Unit = {
       f.mkdirs(new Path(dir))
-      val out = f.create(p, true)
+      val tmp = new Path(dir, s"$SchemaPin.tmp")
+      val out = f.create(tmp, true)
       try out.write(ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-    } else {
+      f.delete(p, false)
+      f.rename(tmp, p)
+      ()
+    }
+    def additiveWidening(stored: StructType): Boolean = {
+      val byName = schema.fields.map(fd => fd.name -> fd).toMap
+      val kept = stored.fields.forall(old =>
+        byName.get(old.name).exists(_.dataType == old.dataType))
+      // `added` may be empty: a pure reorder / nullability relaxation
+      // is absorbed too — every state read and union here is name-based
+      val storedNames = stored.fieldNames.toSet
+      val added = schema.fields.filterNot(fd => storedNames(fd.name))
+      kept && added.forall(fd =>
+        fd.nullable && !reservedCols.contains(fd.name))
+    }
+    if (!f.exists(p)) writePin()
+    else {
       val in = f.open(p)
       val stored =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      if (stored != ddl) throw new IllegalStateException(
-        s"$what: change-stream schema evolved mid-stream — the view's " +
-          s"state was built under [$stored] but this batch carries " +
-          s"[$ddl]. Incrementally-maintained view state cannot absorb " +
-          "a schema change; rebuild the view from a fresh snapshot " +
-          "(drop its store and checkpoint directories and replay).")
+      if (stored.isEmpty) writePin()
+      else if (stored != ddl) {
+        val storedSchema =
+          try Some(StructType.fromDDL(stored)) catch {
+            case _: Exception => None
+          }
+        if (storedSchema.exists(additiveWidening)) writePin()
+        else throw new IllegalStateException(
+          s"$what: change-stream schema evolved mid-stream — the view's " +
+            s"state was built under [$stored] but this batch carries " +
+            s"[$ddl]. Only an additive nullable non-key, non-aggregated " +
+            "column can be absorbed; for this change the state is " +
+            "incompatible — rebuild the view from a fresh snapshot " +
+            "(drop its store and checkpoint directories and replay).")
+      }
     }
   }
 

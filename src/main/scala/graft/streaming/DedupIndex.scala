@@ -87,6 +87,15 @@ object DedupIndex {
     require(cfg.k % cfg.bands == 0,
       s"k=${cfg.k} not divisible by bands=${cfg.bands}")
     val spark = changes.sparkSession
+    // same schema-evolution contract as the sibling views
+    // (AggView/MinMaxView): an ADDITIVE nullable payload column on the
+    // feed is absorbed (the index folds only doc_id/text), any change
+    // to the folded columns or a drop/type change fail-stops with the
+    // rebuild instruction — see BucketedState.requireSameSchema. Pin
+    // lives at the store root, one per index instance.
+    BucketedState.requireSameSchema(spark, storeDir, changes.schema,
+      new org.apache.hadoop.fs.Path(storeDir).getName,
+      reservedCols = Seq("doc_id", "text", OpCol, SeqCol))
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // in-flight sub-store commits, joined on a failing batch so no
     // commit outlives its batch attempt (a retry of the same batchId

@@ -152,10 +152,14 @@ object MinMaxView {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pending = scala.collection.mutable.ArrayBuffer.empty[Future[Unit]]
     val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // fail-stop on mid-stream schema evolution (pin lives with the key
-    // state — one per view instance); see BucketedState.requireSameSchema
+    // schema-evolution contract (pin lives with the key state — one per
+    // view instance): an ADDITIVE nullable payload column is absorbed
+    // (the projection never carries it; pre-batch state reads it as
+    // null), any key/group/value/distinct or type change fail-stops —
+    // see BucketedState.requireSameSchema
     BucketedState.requireSameSchema(spark, keyStateDir, batch.schema,
-      new org.apache.hadoop.fs.Path(viewDir).getName)
+      new org.apache.hadoop.fs.Path(viewDir).getName,
+      reservedCols = spec.projCols)
     try {
       val keys = batch.select(spec.keyCols.map(col): _*).distinct()
       // pre-batch images of the batch's keys (version-bounded: a crash

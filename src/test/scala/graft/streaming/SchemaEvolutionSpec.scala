@@ -116,14 +116,18 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(got == Set((1, "a"), (2, "b")))
   }
 
-  // --- stateful VIEWS: the defined contract for mid-stream evolution
-  // is FAIL-STOP with a rebuild instruction (incrementally-maintained
-  // aggregate state cannot absorb a schema change the way the
-  // envelope's versioned state above does) — and a same-schema restart
-  // must keep working.
+  // --- stateful VIEWS: the mid-stream evolution contract is the
+  // reference's keep-running DDL posture (river/river.go:166-180) for
+  // the one change a maintained aggregate CAN absorb — an ADDITIVE
+  // nullable payload column the view never folds (pre-batch state reads
+  // it as null) — and FAIL-STOP with a rebuild instruction for
+  // everything else (key/group/measure change, drop, type change):
+  // incrementally-maintained state cannot absorb those the way the
+  // envelope's versioned state above does. A same-schema restart must
+  // keep working.
 
-  test("AggView: mid-stream ADD COLUMN fail-stops with a rebuild error; " +
-      "same-schema batches keep folding") {
+  test("AggView: mid-stream ADD COLUMN (nullable, non-aggregated) is " +
+      "absorbed; a later DROP of it fail-stops") {
     val work = Files.createTempDirectory("graft_evo_agg_").toString
     val spec = AggView.Spec(Seq("k"), Seq("g"), Seq("m"))
     val b0 = Seq((1, "g1", 10L, "I", 1L)).toDF("k", "g", "m", "_op", "_seq")
@@ -133,30 +137,61 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val b1 = Seq((2, "g1", 5L, "I", 2L)).toDF("k", "g", "m", "_op", "_seq")
     AggView.applyBatch(b1, 1L, s"$work/state", s"$work/view", spec,
       stateBuckets = 4, viewBuckets = 4)
-    // ALTER TABLE ADD COLUMN extra: the view must fail-stop, not fold
-    val b2 = Seq((3, "g1", 1L, "x", "I", 3L))
+    // ALTER TABLE ADD COLUMN extra: absorbed — the fold continues and
+    // the batch's rows (including an update of a pre-DDL key, whose
+    // pre-batch state reads extra as null) land correctly
+    val b2 = Seq((3, "g1", 1L, Some("x"), "I", 3L),
+        (1, "g1", 20L, None: Option[String], "U", 4L))
       .toDF("k", "g", "m", "extra", "_op", "_seq")
+    AggView.applyBatch(b2, 2L, s"$work/state", s"$work/view", spec,
+      stateBuckets = 4, viewBuckets = 4)
+    val got = AggView.currentView(spark, s"$work/view", b2.schema, spec,
+      viewBuckets = 4).as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("g1", 3L, 26L)))
+    // DROP COLUMN (back to the narrow schema) is NOT additive: the pin
+    // advanced to the widened schema — fail-stop with the rebuild error
+    val b3 = Seq((4, "g1", 2L, "I", 5L)).toDF("k", "g", "m", "_op", "_seq")
     val e = intercept[IllegalStateException] {
-      AggView.applyBatch(b2, 2L, s"$work/state", s"$work/view", spec,
+      AggView.applyBatch(b3, 3L, s"$work/state", s"$work/view", spec,
         stateBuckets = 4, viewBuckets = 4)
     }
     assert(e.getMessage.contains("schema evolved mid-stream"))
     assert(e.getMessage.contains("rebuild"))
     // the failed batch left the view untouched
-    val got = AggView.currentView(spark, s"$work/view", b0.schema, spec,
+    val after = AggView.currentView(spark, s"$work/view", b2.schema, spec,
       viewBuckets = 4).as[(String, Long, Long)].collect().toSet
-    assert(got == Set(("g1", 2L, 15L)))
+    assert(after == got)
   }
 
-  test("MinMaxView: mid-stream schema change fail-stops; the pin " +
-      "survives a restart") {
+  test("AggView: a new NON-NULLABLE or measure-named column fail-stops") {
+    val work = Files.createTempDirectory("graft_evo_agg2_").toString
+    val spec = AggView.Spec(Seq("k"), Seq("g"), Seq("m"))
+    val b0 = Seq((1, "g1", 10L, "I", 1L)).toDF("k", "g", "m", "_op", "_seq")
+    AggView.applyBatch(b0, 0L, s"$work/state", s"$work/view", spec,
+      stateBuckets = 4, viewBuckets = 4)
+    // non-nullable added column: not absorbable (old state has no value
+    // for it and null is not legal) — fail-stop
+    val hard = b0.sparkSession.createDataFrame(
+      Seq((2, "g1", 5L, 7L, "I", 2L))
+        .toDF("k", "g", "m", "extra", "_op", "_seq").rdd,
+      StructType(b0.schema.fields.patch(3,
+        Seq(StructField("extra", org.apache.spark.sql.types.LongType,
+          nullable = false)), 0)))
+    intercept[IllegalStateException] {
+      AggView.applyBatch(hard, 1L, s"$work/state", s"$work/view", spec,
+        stateBuckets = 4, viewBuckets = 4)
+    }
+  }
+
+  test("MinMaxView: mid-stream TYPE change fail-stops (pin survives a " +
+      "restart); an additive nullable column is absorbed") {
     val work = Files.createTempDirectory("graft_evo_mm_").toString
     val spec = MinMaxView.Spec(Seq("k"), Seq("g"), Seq("v"))
     val b0 = Seq((1, "g1", 10L, "I", 1L)).toDF("k", "g", "v", "_op", "_seq")
     MinMaxView.applyBatch(b0, 0L, s"$work/state", s"$work/proj",
       s"$work/view", spec, stateBuckets = 4, projBuckets = 4,
       viewBuckets = 4)
-    // a column TYPE change is a schema change too
+    // a column TYPE change is never absorbable
     val b1 = Seq((2, "g1", "wide", "I", 2L))
       .toDF("k", "g", "v", "_op", "_seq")
     val e = intercept[IllegalStateException] {
@@ -168,5 +203,45 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val got = MinMaxView.currentView(spark, s"$work/view", b0.schema, spec,
       viewBuckets = 4).as[(String, Long, Long, Long)].collect().toSet
     assert(got == Set(("g1", 1L, 10L, 10L)))
+    // additive nullable payload column: absorbed, recompute correct
+    val b2 = Seq((2, "g1", 3L, Some("x"), "I", 2L))
+      .toDF("k", "g", "v", "extra", "_op", "_seq")
+    MinMaxView.applyBatch(b2, 1L, s"$work/state", s"$work/proj",
+      s"$work/view", spec, stateBuckets = 4, projBuckets = 4,
+      viewBuckets = 4)
+    val got2 = MinMaxView.currentView(spark, s"$work/view", b2.schema,
+      spec, viewBuckets = 4).as[(String, Long, Long, Long)].collect().toSet
+    assert(got2 == Set(("g1", 2L, 3L, 10L)))
+  }
+
+  test("DedupIndex: mid-stream feed evolution — additive column " +
+      "absorbed, folded-column change fail-stops with the rebuild error") {
+    val work = Files.createTempDirectory("graft_evo_dd_").toString
+    val cfg = DedupIndex.Config(sigBuckets = 4, bandBuckets = 4,
+      pairBuckets = 4)
+    val text = "the quick brown fox jumps over the lazy dog again"
+    val b0 = Seq(("I", 1L, 1L, text), ("I", 2L, 2L, text))
+      .toDF("_op", "_seq", "doc_id", "text")
+    DedupIndex.applyBatch(b0, s"$work/store", 0L, cfg)
+    assert(DedupIndex.currentPairs(spark, s"$work/store", cfg)
+      .count() == 1L)
+    // ADD COLUMN lang (nullable, not folded): absorbed — the index
+    // keeps maintaining
+    val b1 = Seq(("I", 3L, 3L, text, Some("en")))
+      .toDF("_op", "_seq", "doc_id", "text", "lang")
+    DedupIndex.applyBatch(b1, s"$work/store", 1L, cfg)
+    assert(DedupIndex.currentPairs(spark, s"$work/store", cfg)
+      .count() == 3L)
+    // doc_id TYPE change (long → int): the folded key column changed —
+    // fail-stop, store untouched
+    val b2 = Seq(("I", 4L, 4, text, "en"))
+      .toDF("_op", "_seq", "doc_id", "text", "lang")
+    val e = intercept[IllegalStateException] {
+      DedupIndex.applyBatch(b2, s"$work/store", 2L, cfg)
+    }
+    assert(e.getMessage.contains("schema evolved mid-stream"))
+    assert(e.getMessage.contains("rebuild"))
+    assert(DedupIndex.currentPairs(spark, s"$work/store", cfg)
+      .count() == 3L)
   }
 }
