@@ -38,6 +38,39 @@ object CdcMerge {
       .drop("_rn")
   }
 
+  /** Per-key OLD and NEW images in ONE aggregate over
+    * pre-batch-state ∪ batch — the fused form of "latestByKey collapse,
+    * then compare old vs new" that the incrementally-maintained views
+    * (AggView/MinMaxView) run per micro-batch. Output: one row per key
+    * in `batch` with two structs of `imageCols :+ _op`:
+    *
+    *   - `_new` — the max-`_seq` row overall, exactly the
+    *     [[latestByKey]] winner (a stored-vs-redelivered tie carries
+    *     identical images; the batch row is preferred for determinism);
+    *   - `_old` — the max-`_seq` row of the STATE side alone, null for
+    *     a never-seen key.
+    *
+    * One exchange (the groupBy) replaces the window collapse plus the
+    * old-vs-new join/anti-join the unfused form pays — the views derive
+    * their ±delta / retire-assert events scan-locally from the two
+    * structs. `state` must be the pre-batch images of exactly the
+    * batch's keys ([[graft.streaming.BucketedState.stateForKeys]] with
+    * `beforeBatch`), tombstones included, so replay determinism is the
+    * caller's version-bounded read. */
+  def oldNewImages(state: DataFrame, batch: DataFrame,
+      keyCols: Seq[String], imageCols: Seq[String]): DataFrame = {
+    val img = struct((imageCols.map(col) :+ col(OpCol)): _*)
+    val ord = struct(col(SeqCol),
+      when(col("_from_state"), lit(0)).otherwise(lit(1)).as("_pref"))
+    state.withColumn("_from_state", lit(true))
+      .unionByName(batch.withColumn("_from_state", lit(false)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        max_by(img, ord).as("_new"),
+        max_by(when(col("_from_state"), img),
+          when(col("_from_state"), ord)).as("_old"))
+  }
+
   /** Drop change ops per the mutation-ignore flags (reference `-update` /
     * `-delete` CLI flags, default true = drop; clickhouse/client.go:240-243,
     * 252-254, 273-275 — insert-only is the reference's default posture). */

@@ -120,7 +120,13 @@ object AggView {
     BucketedState.requireSameSchema(spark, keyStateDir, batch.schema,
       new org.apache.hadoop.fs.Path(viewDir).getName,
       reservedCols = spec.keyCols ++ spec.groupCols ++ spec.measureCols)
-    val keys = batch.select(spec.keyCols.map(col): _*).distinct()
+    // the batch feeds several consumers (key listing + broadcast,
+    // key-state merge, the image fold) — pin it once instead of
+    // re-scanning the change-log parquet per consumer
+    val b = batch.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val keys = b.select(spec.keyCols.map(col): _*).distinct()
     // pre-batch state of the batch's keys, tombstones included —
     // version-bounded so a crash-replay recomputes identical deltas,
     // and byte-identical however often the delta evaluates even after
@@ -128,18 +134,27 @@ object AggView {
     val oldState: DataFrame = BucketedState.stateForKeys(spark,
       keyStateDir, batch.schema, stateBuckets, spec.keyCols, keys,
       beforeBatch = Some(batchId))
-    val newState =
-      CdcMerge.latestByKey(oldState.unionByName(batch), spec.keyCols)
-    def contrib(df: DataFrame, sign: Int): DataFrame =
-      df.filter(col(OpCol) =!= OpDelete)
-        .select(spec.groupCols.map(col)
-          :+ lit(sign.toLong).as("_w")
-          :+ struct(spec.measureCols.map(m =>
-            coalesce(col(m).cast(LongType), lit(0L)).as(m)): _*)
-            .as("_m"): _*)
+    // per-key old/new images in ONE aggregate (the r14 fusion,
+    // [[CdcMerge.oldNewImages]] — replaces the window collapse + two
+    // contribution passes); the ±1-weighted contributions then fall
+    // out scan-locally: −1 for a live old image, +1 for a live new one
+    val both = CdcMerge.oldNewImages(oldState, b, spec.keyCols,
+      spec.groupCols ++ spec.measureCols)
+    def sideContrib(side: String, sign: Int) =
+      when(col(s"$side.$OpCol") =!= OpDelete,
+        struct(spec.groupCols.map(g => col(s"$side.$g").as(g))
+          ++ Seq(lit(sign.toLong).as("_w"),
+            struct(spec.measureCols.map(m =>
+              coalesce(col(s"$side.$m").cast(LongType), lit(0L)).as(m)): _*)
+              .as("_m")): _*))
     // ±1-weighted group deltas: ONE aggregate over at most
-    // 2×|batch-touched rows|
-    val delta = contrib(oldState, -1).unionByName(contrib(newState, 1))
+    // 2×|batch keys| contribution rows (a null `_old` struct yields a
+    // null condition → no contribution, same for a tombstone image)
+    val delta = both
+      .select(explode(filter(
+        array(sideContrib("_old", -1), sideContrib("_new", 1)),
+        e => e.isNotNull)).as("_c"))
+      .select(col("_c.*"))
       .groupBy(spec.groupCols.map(col): _*)
       .agg(sum(col("_w")).as("_d_cnt"),
         spec.measureCols.map(m =>
@@ -150,7 +165,7 @@ object AggView {
         .foldLeft(col("_d_cnt") =!= 0L)(_ || _))
       // three consumers (touched-group listing, the fold join, and the
       // view merge's own input evaluation) — and each delta evaluation
-      // re-reads the old-state buckets and re-runs the collapse window,
+      // re-reads the old-state buckets and re-runs the image fold,
       // so the pin pays for itself immediately
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // key-state merge CONCURRENT with the view fold below: nothing
@@ -159,7 +174,7 @@ object AggView {
     // v=batchId versions are invisible to them however the two
     // interleave (the BucketedState.commitPool argument)
     val keyCommit = scala.concurrent.Future {
-      BucketedState.mergeBatch(batch, batchId, keyStateDir, spec.keyCols,
+      BucketedState.mergeBatch(b, batchId, keyStateDir, spec.keyCols,
         stateBuckets)
     }(BucketedState.commitPool)
     try {
@@ -219,6 +234,7 @@ object AggView {
         BucketedState.joinQuietly(keyCommit)
         throw t
     } finally delta.unpersist(false)
+    } finally b.unpersist(false)
   }
 
   /** Start the maintenance stream over a file change log (same source

@@ -119,13 +119,23 @@ object MinMaxView {
       spec.distinctCols.map(v =>
         size(collect_set(col(v))).cast(LongType).as(spec.uniqCol(v)))
 
-  /** Null columns of an emptied group's tombstone row. */
-  private def tombAggCols(schema: StructType, spec: Spec) =
+  /** [[aggExprs]] over a frame that still CARRIES its tombstones
+    * (latest rows per identity, D included): live rows are selected
+    * per-expression via `when`, so the recompute and the
+    * emptied-group detection ride ONE aggregate — a group whose latest
+    * rows are all D aggregates to `_rc = 0` with all-null min/max, and
+    * becomes the view tombstone without the separate anti-join probe
+    * the pre-r14 shape paid per batch. */
+  private val RawCnt = "_rc"
+  private def fusedAggExprs(spec: Spec) = {
+    val live = col(OpCol) =!= OpDelete
     spec.valueCols.flatMap(v => Seq(
-      lit(null).cast(schema(v).dataType).as(spec.minCol(v)),
-      lit(null).cast(schema(v).dataType).as(spec.maxCol(v)))) ++
+      min(when(live, col(v))).as(spec.minCol(v)),
+      max(when(live, col(v))).as(spec.maxCol(v)))) ++
       spec.distinctCols.map(v =>
-        lit(null).cast(LongType).as(spec.uniqCol(v)))
+        size(collect_set(when(live, col(v)))).cast(LongType)
+          .as(spec.uniqCol(v)))
+  }
 
   /** One micro-batch: merge into key state, maintain the projection,
     * recompute min/max (and distinct counts) for the touched groups.
@@ -161,43 +171,52 @@ object MinMaxView {
       new org.apache.hadoop.fs.Path(viewDir).getName,
       reservedCols = spec.projCols)
     try {
-      val keys = batch.select(spec.keyCols.map(col): _*).distinct()
+      // the batch feeds several consumers (key listing + broadcast,
+      // key-state merge, the image fold) — pin it once instead of
+      // re-scanning the change-log parquet per consumer
+      val b = batch.persist(mem)
+      pins += b
+      val keys = b.select(spec.keyCols.map(col): _*).distinct()
       // pre-batch images of the batch's keys (version-bounded: a crash
       // replay recomputes byte-identical events)
       val oldState = BucketedState.stateForKeys(spark, keyStateDir,
         batch.schema, stateBuckets, spec.keyCols, keys,
         beforeBatch = Some(batchId))
-      val newState =
-        CdcMerge.latestByKey(oldState.unionByName(batch), spec.keyCols)
       pending += Future {
-        BucketedState.mergeBatch(batch, batchId, keyStateDir,
+        BucketedState.mergeBatch(b, batchId, keyStateDir,
           spec.keyCols, stateBuckets)
       }(BucketedState.commitPool)
-      // projection events: U for each new live image; D for each old
-      // live (group, key) identity absent from the new live set —
-      // covers deletes AND group moves (D@old-group + U@new-group).
-      // Null-safe identity match: a group column may legitimately hold
-      // null (e.g. trunc() of a null date), and a null-unsafe anti-join
-      // would re-retire such a live row every batch, emitting same-_seq
-      // U and D events whose LWW tie-break is nondeterministic.
-      def liveImages(df: DataFrame): DataFrame =
-        df.filter(col(OpCol) =!= OpDelete)
-          .select(spec.projCols.map(col): _*)
-      val newLive = liveImages(newState)
       val projIdent = spec.groupCols ++ spec.keyCols
-      val retired = liveImages(oldState).alias("__o")
-        .join(newLive.select(projIdent.map(col): _*).alias("__n"),
-          projIdent.map(c => col(s"__o.$c") <=> col(s"__n.$c"))
-            .reduce(_ && _),
-          "left_anti")
-        .select(spec.projCols.map(col): _*)
-      val projEvents = newLive
-        .withColumn(OpCol, lit(OpUpdate))
-        .unionByName(retired.withColumn(OpCol, lit(OpDelete)))
+      // Per-key OLD and NEW live images in ONE aggregate
+      // ([[CdcMerge.oldNewImages]]) — the r14 fusion of the previous
+      // window collapse + identity anti-join (two exchanges + a
+      // broadcast build) into a single exchange. Projection events
+      // then fall out scan-locally: U for a live new image; D for a
+      // live old image whose (group, key) identity the new state no
+      // longer holds — i.e. the key died or its group moved (null-safe
+      // group compare: a group column may legitimately hold null, and
+      // a null-unsafe compare would re-retire such a live row every
+      // batch).
+      val both = CdcMerge.oldNewImages(oldState, b, spec.keyCols,
+        spec.projCols)
+      val groupMoved = spec.groupCols
+        .map(g => !(col(s"_new.$g") <=> col(s"_old.$g")))
+        .reduce(_ || _)
+      val uEvent = when(col(s"_new.$OpCol") =!= OpDelete,
+        struct(spec.projCols.map(c => col(s"_new.$c").as(c))
+          :+ lit(OpUpdate).as(OpCol): _*))
+      val dEvent = when(col("_old").isNotNull &&
+          col(s"_old.$OpCol") =!= OpDelete &&
+          (col(s"_new.$OpCol") === OpDelete || groupMoved),
+        struct(spec.projCols.map(c => col(s"_old.$c").as(c))
+          :+ lit(OpDelete).as(OpCol): _*))
+      val projEvents = both
+        .select(explode(filter(array(uEvent, dEvent), e => e.isNotNull))
+          .as("_e"))
+        .select(col("_e.*"))
         .withColumn(SeqCol, lit(batchId))
         // three consumers: touched-bucket listing inside mergeBatch,
-        // the touched-group listing, and the in-memory recompute fold —
-        // and the frame embeds a window collapse per read
+        // the touched-group listing, and the in-memory recompute fold
         .persist(mem)
       pins += projEvents
       // the recompute below folds the post-batch state IN MEMORY
@@ -211,32 +230,33 @@ object MinMaxView {
       }(BucketedState.commitPool)
       val touched = projEvents.select(spec.groupCols.map(col): _*)
         .distinct()
-      // post-batch live rows of ONLY the touched groups: pre-batch
-      // projection rows of their buckets (version-bounded) merged with
-      // the batch's own events — bit-identical to reading the store
-      // back after the commit, minus the dependency
+      // post-batch LATEST rows (tombstones included) of ONLY the
+      // touched groups: pre-batch projection rows of their buckets
+      // (version-bounded) merged with the batch's own events —
+      // bit-identical to reading the store back after the commit,
+      // minus the dependency. One aggregate over them computes the
+      // live count, min/max and distinct AND detects emptied groups
+      // (`_rc` = 0 → tombstone, all-null aggregates) — the r14 fusion
+      // of the previous separate emptied anti-join probe.
       val preProj = BucketedState.stateForKeys(spark, projDir,
         projSchema(batch.schema, spec), projBuckets, projIdent, touched,
         beforeBatch = Some(batchId), bucketCols = spec.groupCols)
-      val live = CdcMerge.latestByKey(
+      val latest = CdcMerge.latestByKey(
         preProj.unionByName(projEvents), projIdent)
-        .filter(col(OpCol) =!= OpDelete)
-        .drop(OpCol, SeqCol)
-      val agg = live.groupBy(spec.groupCols.map(col): _*)
-        .agg(count(lit(1)).as(CntCol), aggExprs(spec): _*)
-      // touched groups with zero surviving rows → tombstone the view
-      // row (null-safe probe, same argument as `retired`)
-      val emptied = touched.alias("__t")
-        .join(agg.select(spec.groupCols.map(col): _*).alias("__a"),
-          spec.groupCols.map(g => col(s"__t.$g") <=> col(s"__a.$g"))
-            .reduce(_ && _),
-          "left_anti")
-        .select(spec.groupCols.map(col)
-          ++ Seq(lit(null).cast(LongType).as(CntCol))
-          ++ tombAggCols(batch.schema, spec): _*)
-      val events = agg.withColumn(OpCol, lit(OpUpdate))
-        .unionByName(emptied.withColumn(OpCol, lit(OpDelete)))
-        .withColumn(SeqCol, lit(batchId))
+      val agg = latest.groupBy(spec.groupCols.map(col): _*)
+        .agg(count(when(col(OpCol) =!= OpDelete, lit(1))).as(RawCnt),
+          fusedAggExprs(spec): _*)
+      val alive = col(RawCnt) > 0L
+      val events = agg.select(
+        (spec.groupCols.map(col)
+          ++ Seq(when(alive, col(RawCnt)).as(CntCol))
+          ++ spec.valueCols.flatMap(v =>
+            Seq(col(spec.minCol(v)), col(spec.maxCol(v))))
+          ++ spec.distinctCols.map(v =>
+            when(alive, col(spec.uniqCol(v))).as(spec.uniqCol(v)))
+          ++ Seq(
+            when(alive, lit(OpUpdate)).otherwise(lit(OpDelete)).as(OpCol),
+            lit(batchId).as(SeqCol))): _*)
         // consumers: the view merge's touched listing + write, and
         // `serve` — pinned so the touched-group recompute runs once
         .persist(mem)
