@@ -2282,61 +2282,71 @@ object SparkEntry {
     * pair join — never all-pairs; at 100 TB `nlist` scales with the
     * corpus to keep clusters machine-sized. */
   private def corpusCleanV6(s: SparkSession, dir: String): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = t(s, dir, "documents")
-    val kept = dedupKeptIds(s, dir, docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = dedupKeptIds(s, dir, docs).persist(mem)
     val clean = docs.join(kept, Seq("doc_id"))
+    // ONE persisted text frame for the whole pipeline; every stage
+    // after it carries a survivor ID SET (tiny, persisted) and joins
+    // back into this cache — the r14 shape. The pre-r14 chain
+    // materialized three near-identical (doc_id, lang, text) caches
+    // (goodDocs/decon/sem), paying a full text copy + serialization
+    // at every stage frontier.
     val base = clean.join(CorpusStats.filterByDomainQuantile(
         clean.select("doc_id", "source", "text"), "doc_id", "source",
         TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
         .select("doc_id"), Seq("doc_id"))
       .select("doc_id", "lang", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var goodDocs: DataFrame = null
-    var decon: DataFrame = null
-    var sem: DataFrame = null
+      .persist(mem)
+    var goodIds: DataFrame = null
+    var deconIds: DataFrame = null
+    var semIds: DataFrame = null
     try {
-      val good = operators.LangModel.score(
+      // fan out ONLY ahead of the two CPU-heavy scans (LM below,
+      // decontam next): the testdata corpus is a single parquet split,
+      // so these per-row scans would otherwise run one-task — while
+      // everywhere else at this scale fewer tasks win (measured: a
+      // blanket fan-out at the cache frontier LOST ~3s to per-stage
+      // scheduling across the pipeline's ~170 jobs)
+      goodIds = operators.LangModel.score(
         base.select("doc_id", "text")
           .repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text")
         .filter(col("lm_score") >= -3.40).select("doc_id")
-      goodDocs = base.join(good, Seq("doc_id"))
-        .select("doc_id", "lang", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(mem)
       val bench = docs
         .filter(Sampling.hashBucket(col("doc_id"), 10) === 0)
         .select(col("doc_id").as("bench_id"), col("text"))
-      val surviving = operators.Decontam.flag(
-        goodDocs.select("doc_id", "text")
+      // decontam runs over the LM survivors' text (cache ⋈ id set);
+      // its survivors are by construction ⊂ goodIds, so the id set IS
+      // the decontaminated survivor set — no text re-join needed
+      deconIds = operators.Decontam.flag(
+        base.join(goodIds, Seq("doc_id"))
+          .select("doc_id", "text")
           .repartition(s.sparkContext.defaultParallelism),
         bench, "doc_id", "text", "bench_id", "text",
         n = 5, minMatched = 5L, minOverlap = 0.5)
         .filter(col("contaminated") === 0).select("doc_id")
-      // two consumers (the semantic stage's `among` probe and the
-      // survivor join below) — pinned so the decontam shingle scan +
-      // inverted-index join runs once
-      decon = goodDocs.join(surviving, Seq("doc_id"))
-        .select("doc_id", "lang", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(mem)
       // semantic near-dup drop among the decontaminated survivors:
       // pair space restricted to their vectors, centroids shared with
       // the gated dedup_semantic chain; left_anti keeps the docs that
       // have no embedding at all
       val semDrop = Similarity.semanticDupes(
         t(s, dir, "embeddings"), threshold = 0.45, native = true,
-        among = Some(decon.select(col("doc_id").as("vec_id"))))
+        among = Some(deconIds.select(col("doc_id").as("vec_id"))))
         .filter(col("is_dup") === 1)
         .select(col("vec_id").as("doc_id"))
-      sem = decon.join(semDrop, Seq("doc_id"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      semIds = deconIds.join(semDrop, Seq("doc_id"), "left_anti")
+        .persist(mem)
+      val sem = base.join(semIds, Seq("doc_id"))
       val sel = Dsir.select(sem,
         sem.filter(col("lang") === "en"), "doc_id", "text",
         buckets = 256, minMeanMicroNats = -25000L).select("doc_id")
       val mixed = Sampling.temperatureSampleByHash(
         sem.join(sel, Seq("doc_id")).select("doc_id", "lang"),
         "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
-      val toks = sem.join(mixed.select("doc_id"), Seq("doc_id"))
+      val toks = base.join(mixed.select("doc_id"), Seq("doc_id"))
         .select(col("doc_id"),
           TextFunctions.bpeTokenCount(col("text")).cast("long")
             .as("n_tok"))
@@ -2349,9 +2359,9 @@ object SparkEntry {
     } finally {
       kept.unpersist(false)
       base.unpersist(false)
-      if (goodDocs != null) goodDocs.unpersist(false)
-      if (decon != null) decon.unpersist(false)
-      if (sem != null) sem.unpersist(false)
+      if (goodIds != null) goodIds.unpersist(false)
+      if (deconIds != null) deconIds.unpersist(false)
+      if (semIds != null) semIds.unpersist(false)
     }
   }
 
