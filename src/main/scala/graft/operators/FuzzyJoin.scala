@@ -80,6 +80,13 @@ object FuzzyJoin {
       // built over both sides, defensive otherwise) ranks rarest
       .join(dfreq, Seq("g", "occ"), "left")
       .na.fill(1L, Seq("_df"))
+      // explicit hash layout on the window key: it satisfies the
+      // window's required distribution (no second exchange) and, being
+      // user-specified, AQE does not coalesce it — without this the
+      // per-id sort of the full gram table lands on ONE post-shuffle
+      // partition (advisory-size coalescing) and runs serial
+      .repartition(grams.sparkSession.sparkContext.defaultParallelism,
+        col(s"${side}_id"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k * q + 1)
       .select(col(s"${side}_id"), col("g"), col("occ"))
@@ -100,8 +107,14 @@ object FuzzyJoin {
     // the candidate join — left lazy, the O(L²)-per-string gram
     // expression would re-evaluate at every consumer. At corpus scale
     // you materialize the (id, gram) table once for the same reason.
-    val lg = allGrams(left, leftId, leftStr, q, "l").localCheckpoint(true)
-    val rg = allGrams(right, rightId, rightStr, q, "r")
+    // fan the inputs out before the gram explode: the occurrence-
+    // numbered gramSet expression is O(L²) per string — real per-row
+    // CPU that would otherwise run on however few splits the input
+    // arrives in (one, for the testdata parquet)
+    val dp = left.sparkSession.sparkContext.defaultParallelism
+    val lg = allGrams(left.repartition(dp), leftId, leftStr, q, "l")
+      .localCheckpoint(true)
+    val rg = allGrams(right.repartition(dp), rightId, rightStr, q, "r")
       .localCheckpoint(true)
     // corpus-wide (gram, occ) document frequency over BOTH sides — the
     // global prefix order. Gram-keyed aggregate, output bounded by the
@@ -113,7 +126,14 @@ object FuzzyJoin {
       .localCheckpoint(true)
     val lp = posting(lg, "l", k, q, dfreq).localCheckpoint(true)
     val rp = posting(rg, "r", k, q, dfreq).localCheckpoint(true)
-    val gramCands = lp.join(rp, Seq("g", "occ"))
+    // explicit hash layout on the join key: the posting tables are
+    // tiny in BYTES (k·q+1 rows per string), so AQE's advisory-size
+    // coalescing would run this join on ONE partition — but its cost
+    // is the per-gram candidate blowup (hot posting lists), real CPU
+    // that needs the fan-out. User-specified partitioning both
+    // satisfies the join requirement and is exempt from coalescing.
+    val gramCands = lp.repartition(dp, col("g"), col("occ"))
+      .join(rp.repartition(dp, col("g"), col("occ")), Seq("g", "occ"))
       .select(col("l_id"), col("r_id")).distinct()
 
     // short bucket: the prefix lemma's proof needs ONE side to hold
