@@ -332,7 +332,6 @@ object MinMaxView {
       jdbcOptions: Map[String, String] = Map.empty,
       maintenance: CdcStream.Maintenance = CdcStream.Maintenance())
       : StreamingQuery = {
-    import graft.sources.JdbcSink
     var reader = spark.readStream.schema(changeSchema)
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n))
@@ -342,32 +341,9 @@ object MinMaxView {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, keyStateDir, projDir, viewDir, spec,
-          stateBuckets, projBuckets, viewBuckets, serve = events => {
-            if (!JdbcSink.tableExists(jdbcUrl, jdbcTable, jdbcOptions)) {
-              // bootstrap must not read the view store — its commit is
-              // in flight concurrently with serve and a mid-promotion
-              // read could mix bucket versions. The post-batch view is
-              // folded in memory instead: pre-batch state (version-
-              // bounded) ∪ this batch's events, the same LWW collapse
-              // the merge applies.
-              val post = CdcMerge.latestByKey(
-                BucketedState.currentState(spark, viewDir,
-                  viewSchema(batch.schema, spec), viewBuckets,
-                  beforeBatch = Some(batchId))
-                  .unionByName(events),
-                spec.groupCols)
-                .filter(col(OpCol) =!= OpDelete)
-                .drop(OpCol, SeqCol)
-              JdbcSink.replace(post, jdbcUrl, jdbcTable,
-                options = jdbcOptions)
-            } else {
-              val keys = events.select(spec.groupCols.map(col): _*)
-              val live = events.filter(col(OpCol) =!= OpDelete)
-                .select(spec.outputCols.map(col): _*)
-              JdbcSink.upsertKeys(keys, live, spec.groupCols, jdbcUrl,
-                jdbcTable, options = jdbcOptions)
-            }
-          })
+          stateBuckets, projBuckets, viewBuckets,
+          serve = jdbcServe(spark, viewDir, spec, jdbcUrl, jdbcTable,
+            jdbcOptions, viewBuckets, batch.schema, batchId))
         maintenance.run(spark, keyStateDir, batchId, batch.schema,
           spec.keyCols, Some(stateBuckets))
         maintenance.run(spark, projDir, batchId,
@@ -380,6 +356,43 @@ object MinMaxView {
       }
       .trigger(trigger)
       .start()
+  }
+
+  /** [[startToJdbc]]'s per-batch push, as a standalone serve function:
+    * bring the JDBC table to agreement on exactly this batch's touched
+    * groups (delete-then-insert, an emptied group is deleted) or
+    * bootstrap a missing table with a full replace. Package-visible so
+    * the serving spec can re-invoke the EXACT production push for a
+    * crash-replayed batchId and prove it idempotent. */
+  private[streaming] def jdbcServe(spark: SparkSession, viewDir: String,
+      spec: Spec, jdbcUrl: String, jdbcTable: String,
+      jdbcOptions: Map[String, String], viewBuckets: Int,
+      changeSchema: StructType, batchId: Long)
+      (events: DataFrame): Unit = {
+    import graft.sources.JdbcSink
+    if (!JdbcSink.tableExists(jdbcUrl, jdbcTable, jdbcOptions)) {
+      // bootstrap must not read the view store — its commit is
+      // in flight concurrently with serve and a mid-promotion
+      // read could mix bucket versions. The post-batch view is
+      // folded in memory instead: pre-batch state (version-
+      // bounded) ∪ this batch's events, the same LWW collapse
+      // the merge applies.
+      val post = CdcMerge.latestByKey(
+        BucketedState.currentState(spark, viewDir,
+          viewSchema(changeSchema, spec), viewBuckets,
+          beforeBatch = Some(batchId))
+          .unionByName(events),
+        spec.groupCols)
+        .filter(col(OpCol) =!= OpDelete)
+        .drop(OpCol, SeqCol)
+      JdbcSink.replace(post, jdbcUrl, jdbcTable, options = jdbcOptions)
+    } else {
+      val keys = events.select(spec.groupCols.map(col): _*)
+      val live = events.filter(col(OpCol) =!= OpDelete)
+        .select(spec.outputCols.map(col): _*)
+      JdbcSink.upsertKeys(keys, live, spec.groupCols, jdbcUrl,
+        jdbcTable, options = jdbcOptions)
+    }
   }
 
   /** The maintained table: `groupCols, n_live, min_*, max_*`. */

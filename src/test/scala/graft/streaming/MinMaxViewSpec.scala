@@ -155,6 +155,57 @@ class MinMaxViewSpec extends AnyFunSuite {
     assert(rows(got) == Seq("[2,1,6,6]", "[3,1,7,7]")) // group 1 gone
   }
 
+  test("startToJdbc serves a distinctCols (uniqExact-style) view " +
+      "end-to-end; the per-batch push is idempotent on crash-replay") {
+    val work = tmp()
+    val driverOpt =
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    System.setProperty("derby.system.home", work)
+    val url = s"jdbc:derby:$work/uqdb;create=true"
+    val s = MinMaxView.Spec(Seq("k"), Seq("g"), valueCols = Seq("v"),
+      distinctCols = Seq("v"))
+    val b0 = Seq((1, 1L, 10L, "I", 1L), (2, 1L, 10L, "I", 2L),
+      (3, 1L, 20L, "I", 3L), (4, 2L, 7L, "I", 4L))
+      .toDF("k", "g", "v", "_op", "_seq")
+    // batch 1: group 1 loses a v=10 holder and its v=20 holder
+    // (uniq 2 -> 1 — the retraction an HLL cannot do), group 2 empties
+    // (the serve must DELETE its row)
+    val b1 = Seq((2, 1L, 0L, "D", 10L), (3, 1L, 0L, "D", 11L),
+      (4, 2L, 0L, "D", 12L))
+      .toDF("k", "g", "v", "_op", "_seq")
+    b0.coalesce(1).write.parquet(s"$work/changes")
+    b1.coalesce(1).write.mode("append").parquet(s"$work/changes")
+    val q = MinMaxView.startToJdbc(spark, s"$work/changes", b0.schema,
+      s"$work/state", s"$work/proj", s"$work/view", s"$work/ckpt", s,
+      url, "uniq_live", stateBuckets = 4, projBuckets = 4,
+      viewBuckets = 4, maxFilesPerTrigger = Some(1),
+      jdbcOptions = driverOpt)
+    q.awaitTermination()
+    def served(): Seq[String] = rows(graft.sources.SnapshotSource
+      .jdbc(spark, url, "uniq_live", options = driverOpt))
+    val first = served()
+    assert(first == Seq("[1,1,10,10,1]")) // g, n_live, min, max, uniq
+    // crash-replay: foreachBatch re-delivers the LAST batch after a
+    // crash before checkpoint commit. Re-run batch 1 through the same
+    // applyBatch + the production jdbcServe push — the served table
+    // must come out byte-identical (delete-then-insert per touched
+    // group, and the group-2 delete re-deletes an absent row).
+    MinMaxView.applyBatch(
+      spark.read.schema(b1.schema)
+        .parquet(s"$work/changes").filter(col("_seq") >= 10L),
+      1L, s"$work/state", s"$work/proj", s"$work/view", s,
+      stateBuckets = 4, projBuckets = 4, viewBuckets = 4,
+      serve = MinMaxView.jdbcServe(spark, s"$work/view", s, url,
+        "uniq_live", driverOpt, 4, b0.schema, 1L))
+    assert(served() == first)
+    // and the served table agrees with the maintained view store
+    val want = MinMaxView.currentView(spark, s"$work/view", b0.schema, s,
+      viewBuckets = 4)
+    assert(rows(graft.sources.SnapshotSource
+      .jdbc(spark, url, "uniq_live", options = driverOpt)
+      .select(want.columns.map(col): _*)) == rows(want))
+  }
+
   test("a null group is a real group: untouched null-group rows survive " +
       "a later batch (null-safe retired/emptied/probe joins)") {
     val work = tmp()
