@@ -1323,49 +1323,55 @@ object SparkEntry {
     * side of [[streamInterval]]: unmatched clicks are released with a
     * null purchase id only once the watermark proves no purchase can
     * still land in their 24 h window. Outer emission happens in the
-    * batch AFTER the watermark passes, so the feed is three
-    * AvailableNow runs over one checkpoint: the real events, then two
-    * far-future sentinel runs under a reserved user — run k evicts
-    * with the watermark run k−1 established, and after the second
-    * sentinel every real click has provably emitted exactly once.
-    * The final output must equal the BATCH left interval join. */
+    * batch AFTER the watermark passes, so the feed is two ORDERED
+    * micro-batches in ONE AvailableNow run: the real events, then a
+    * far-future sentinel file under a reserved user (the file source's
+    * oldest-first order plus `maxFilesPerTrigger = 1` keeps them
+    * separate batches). The sentinel batch commits a watermark past
+    * every real click's window, and the engine's watermark-required
+    * no-data batch (`noDataMicroBatches`, on by default — AvailableNow
+    * will not terminate while a stateful operator still owes
+    * watermark-driven eviction) then drains the outer rows, so every
+    * real click has provably emitted exactly once. (Until r14 this was
+    * three separate AvailableNow runs over one checkpoint — the same
+    * watermark progression, but paying the stream startup +
+    * state-store lifecycle three times.) The final output must equal
+    * the BATCH left interval join. */
   private def streamIntervalLeft(s: SparkSession, dir: String): DataFrame =
       // 4, not the streaming default 8: this query pays the stateful-
-      // join state-store lifecycle (2 sides × partitions) THREE times
-      // (real + two sentinel runs), so halving the partition count
-      // nearly halves the fixed cost at gate SF; at production SF the
-      // knob scales with the cluster like every other shuffle width
+      // join state-store lifecycle (2 sides × partitions) per batch,
+      // so halving the partition count nearly halves the fixed cost at
+      // gate SF; at production SF the knob scales with the cluster
+      // like every other shuffle width
       withShufflePartitions(s, 4) {
     val work = scratchDir("graft_sintl_")
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
       col("event_type"), col("ts"))
     val mxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
     val in = s"$work/in"
-    def run(): Unit = {
-      def side(tpe: String) = s.readStream.schema(ev.schema)
-        .parquet(in)
-        .where(col("event_type") === tpe)
-        .drop("event_type")
-      val joined = streaming.StreamJoins.streamStreamInterval(
-        side("click"), side("purchase"),
-        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-        within = "24 hours", delay = "0 seconds",
-        joinType = "leftOuter")
-        .select(col("l.user_id").as("user_id"),
-          col("l.event_id").as("click_id"),
-          col("r.event_id").as("purchase_id"))
-      val q = joined.writeStream
-        .option("checkpointLocation", s"$work/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(s"$work/out")
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    // one file per intended micro-batch (the multi-file real feed is
+    // streamInterval's scenario; here the subject is watermark-driven
+    // OUTER emission, which needs the sentinels in their own ordered
+    // batches)
+    // The file source replays oldest-mtime-first; pin each write
+    // group's mtime explicitly (recent — within maxFileAge — and
+    // strictly increasing across groups) so the batch order never
+    // depends on filesystem timestamp granularity.
+    def partFiles(): Set[java.io.File] =
+      new java.io.File(in).listFiles() match {
+        case null => Set.empty
+        case fs => fs.filter(_.getName.startsWith("part-")).toSet
+      }
+    val t0 = System.currentTimeMillis() - 180000L
+    var pinned = Set.empty[java.io.File]
+    def pinNewFiles(t: Long): Unit = {
+      val fresh = partFiles() -- pinned
+      fresh.foreach(_.setLastModified(t))
+      pinned ++= fresh
     }
-    ev.repartition(2).write.mode("append").parquet(in)
-    run()
-    (1 to 2).foreach { k =>
+    ev.coalesce(1).write.parquet(in)
+    pinNewFiles(t0)
+    (1 to 1).foreach { k =>
       val tsv = timestamp_micros(lit(mxUs + k * 60L * 86400 * 1000000))
       val one = ev.limit(1)
       one.select(lit(-(2L * k)).as("event_id"), lit(-1L).as("user_id"),
@@ -1374,8 +1380,28 @@ object SparkEntry {
           lit(-1L).as("user_id"), lit("purchase").as("event_type"),
           tsv.as("ts")))
         .coalesce(1).write.mode("append").parquet(in)
-      run()
+      pinNewFiles(t0 + k * 60000L)
     }
+    def side(tpe: String) = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .where(col("event_type") === tpe)
+      .drop("event_type")
+    val joined = streaming.StreamJoins.streamStreamInterval(
+      side("click"), side("purchase"),
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      within = "24 hours", delay = "0 seconds",
+      joinType = "leftOuter")
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("click_id"),
+        col("r.event_id").as("purchase_id"))
+    val q = joined.writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$work/out")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id",
         org.apache.spark.sql.types.LongType),

@@ -226,24 +226,40 @@ object BucketedState {
     } else spark.read.schema(stateSchema).parquet(paths: _*)
   }
 
-  /** Merge one micro-batch; rewrites only the buckets the batch touches. */
+  /** Merge one micro-batch; rewrites only the buckets the batch touches.
+    *
+    * `touchedHint`: the touched-bucket ids when the CALLER already knows
+    * them (every maintained view computes its batch's key/group set
+    * anyway, and the buckets of a computed event frame are a pure
+    * function of that set). With the hint the effective frame is
+    * evaluated exactly ONCE — inside the staged write — instead of
+    * twice (a listing pass to learn the buckets, then the write), which
+    * for a COMPUTED batch (StreamScd's repacked histories, AggView's
+    * delta fold) halves the per-batch plan executions. CONTRACT: the
+    * hint must cover every bucket the effective frame's rows hash to —
+    * a staged bucket outside the hint would never be promoted (silent
+    * row loss); a hinted bucket with no rows merely rewrites itself.
+    * Rows here are keyed work derived from batch keys, so the caller's
+    * key/group bucket set is exactly right. */
   def mergeBatch(batch: DataFrame, batchId: Long, targetDir: String,
       keyCols: Seq[String], nBuckets: Int, ignoreUpdates: Boolean = false,
       ignoreDeletes: Boolean = false,
       tombstoneHorizon: Option[Long] = None,
-      bucketCols: Seq[String] = Nil): Unit = {
+      bucketCols: Seq[String] = Nil,
+      touchedHint: Option[Seq[Int]] = None): Unit = {
     val bCols = effBucketCols(keyCols, bucketCols)
     val spark = batch.sparkSession
-    // pinned: evaluated twice (touched-bucket listing + merged write).
-    // For a file-backed batch the pin merely saves a re-scan; for a
-    // COMPUTED batch (AggView's delta fold, StreamScd's repacked
-    // histories) it halves the per-batch work
-    val effective = CdcMerge.filterOps(batch, ignoreUpdates, ignoreDeletes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered = CdcMerge.filterOps(batch, ignoreUpdates, ignoreDeletes)
+    // without a hint the frame is evaluated twice (touched-bucket
+    // listing + merged write) — pinned so the second pass reads cache
+    val effective =
+      if (touchedHint.isEmpty)
+        filtered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else filtered
     try {
-    val touched = effective
+    val touched = touchedHint.map(_.sorted.toArray).getOrElse(effective
       .select(bucketExpr(bCols, nBuckets).as(BucketTag))
-      .distinct().collect().map(_.getInt(0)).sorted
+      .distinct().collect().map(_.getInt(0)).sorted)
     if (touched.isEmpty) return
     val state = readBuckets(spark, targetDir, effective.schema,
       touched.toSeq, beforeBatch = Some(batchId))
@@ -265,12 +281,11 @@ object BucketedState {
       f.mkdirs(dstDir)
       if (f.exists(dst)) f.delete(dst, true) // crash-replay leftover
       if (f.exists(src)) f.rename(src, dst)
-      else f.mkdirs(dst) // touched but merged-empty (cannot happen with
-      // tombstones retained; kept for safety)
+      else f.mkdirs(dst) // hinted/touched but merged-empty
       f.create(new Path(dst, Marker)).close()
     }
     f.delete(new Path(staging), true)
-    } finally effective.unpersist(false)
+    } finally if (touchedHint.isEmpty) effective.unpersist(false)
   }
 
   /** Drop per-bucket versions older than the newest `keep`
@@ -418,10 +433,19 @@ object BucketedState {
     * bounds the version per bucket so a crash-replay of batch N reads
     * the identical pre-batch state — the lookup [[AggView]]'s delta
     * maintenance replays idempotently on top of. */
+  /** Touched-bucket ids of a keys frame (bounded collect, ≤ nBuckets
+    * ints) — public so a caller can run the listing ONCE and share it
+    * between [[stateForKeys]] and [[mergeBatch]]'s `touchedHint`. */
+  def touchedBuckets(keys: DataFrame, bucketingCols: Seq[String],
+      nBuckets: Int): Seq[Int] =
+    keys.select(bucketExpr(bucketingCols, nBuckets).as(BucketTag))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
   def stateForKeys(spark: SparkSession, targetDir: String,
       stateSchema: StructType, nBuckets: Int, keyCols: Seq[String],
       keys: DataFrame, beforeBatch: Option[Long] = None,
-      bucketCols: Seq[String] = Nil): DataFrame = {
+      bucketCols: Seq[String] = Nil,
+      touchedHint: Option[Seq[Int]] = None): DataFrame = {
     // for a bucketCols state the keys frame may carry ONLY the bucket
     // columns (a secondary-key lookup: "every row whose bucketCols
     // match"); the semi-join is on whatever columns the frame has
@@ -429,9 +453,8 @@ object BucketedState {
     require(bCols.forall(keys.columns.contains),
       s"stateForKeys: keys frame ${keys.columns.toSeq} must carry the " +
         s"bucketing columns $bCols")
-    val touched = keys
-      .select(bucketExpr(bCols, nBuckets).as(BucketTag))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val touched = touchedHint.getOrElse(
+      touchedBuckets(keys, bCols, nBuckets))
     // null-safe probe: a key/bucket column may legitimately hold null
     // (e.g. a view grouped on a derivable-null expression). `hash(null)`
     // is a real bucket, so the row is IN the store — a null-unsafe

@@ -75,8 +75,15 @@ object StreamScd {
     val payloadCols = batch.columns.toSeq
       .filterNot(c => c == OpCol || c == SeqCol || keyCols.contains(c))
     val keys = batch.select(keyCols.map(col): _*).distinct()
+    // one bucket listing for the whole batch: the packed output below
+    // holds exactly the batch keys' histories, so its touched buckets
+    // ARE the keys' buckets — shared with mergeBatch as the hint, the
+    // repack chain then executes exactly once (inside the staged write)
+    // instead of once more for mergeBatch's own listing pass
+    val touched = BucketedState.touchedBuckets(keys, keyCols, nBuckets)
     val old = BucketedState.stateForKeys(spark, histDir, schema, nBuckets,
-      keyCols, keys, beforeBatch = Some(batchId))
+      keyCols, keys, beforeBatch = Some(batchId),
+      touchedHint = Some(touched))
       .filter(col(OpCol) =!= OpDelete)
     val oldEvents = old
       .select(keyCols.map(col) :+ explode(col(HistCol)).as("_h"): _*)
@@ -104,7 +111,8 @@ object StreamScd {
           +: payloadCols.map(col): _*))).as(HistCol))
       .withColumn(OpCol, lit(OpUpdate))
       .withColumn(SeqCol, lit(batchId))
-    BucketedState.mergeBatch(packed, batchId, histDir, keyCols, nBuckets)
+    BucketedState.mergeBatch(packed, batchId, histDir, keyCols, nBuckets,
+      touchedHint = Some(touched))
   }
 
   /** Start the maintenance stream over a file change log (same source
