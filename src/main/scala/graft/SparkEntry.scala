@@ -2056,7 +2056,11 @@ object SparkEntry {
     * same operator its standalone query gates. */
   private def corpusClean(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val kept = dedupKeptIds(s, dir, docs)
+    // eager checkpoint: truncates the dedup machinery's lineage so the
+    // packing/split executions don't re-analyze it (see corpusCleanV6's
+    // frontier note — profiled, the deep-lineage planning cost rivals
+    // the jobs themselves)
+    val kept = dedupKeptIds(s, dir, docs).localCheckpoint(true)
     val toks = docs.join(kept, Seq("doc_id"))
       .select(col("doc_id"),
         TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tok"))
@@ -2085,39 +2089,35 @@ object SparkEntry {
     * broadcast. */
   private def corpusCleanV2(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val kept = dedupKeptIds(s, dir, docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager-checkpoint frontiers, not persists — truncates lineage so
+    // downstream executions don't re-analyze the whole chain (see
+    // corpusCleanV6's frontier note)
+    val kept = dedupKeptIds(s, dir, docs).localCheckpoint(true)
     // three consumers (LM score, mixture input, token count) — without
-    // the pin each re-scans documents and re-runs the kept join
+    // the frontier each re-scans documents and re-runs the kept join
     val clean = docs.join(kept, Seq("doc_id"))
       .select("doc_id", "lang", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // quality filter: bigram LM trained on the deduped corpus; docs
-      // without a single bigram carry no score and drop with the bad
-      val good = operators.LangModel.score(
-        clean.select("doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism),
-        "doc_id", "text")
-        .filter(col("lm_score") >= -3.40).select("doc_id")
-      val mixed = Sampling.temperatureSampleByHash(
-        clean.join(good, Seq("doc_id")).select("doc_id", "lang"),
-        "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
-      val toks = clean.join(mixed.select("doc_id"), Seq("doc_id"))
-        .select(col("doc_id"),
-          TextFunctions.bpeTokenCount(col("text")).cast("long")
-            .as("n_tok"))
-      val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
-        budget = 2048L)
-      Sampling.hashSplit(packed, "doc_id",
-          Seq("train" -> 8, "eval" -> 1, "test" -> 1))
-        .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
-        // force the full chain before the pins release under it
-        .localCheckpoint(true)
-    } finally {
-      kept.unpersist(false)
-      clean.unpersist(false)
-    }
+      .localCheckpoint(true)
+    // quality filter: bigram LM trained on the deduped corpus; docs
+    // without a single bigram carry no score and drop with the bad
+    val good = operators.LangModel.score(
+      clean.select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text")
+      .filter(col("lm_score") >= -3.40).select("doc_id")
+    val mixed = Sampling.temperatureSampleByHash(
+      clean.join(good, Seq("doc_id")).select("doc_id", "lang"),
+      "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
+    val toks = clean.join(mixed.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long")
+          .as("n_tok"))
+    val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
+      budget = 2048L)
+    Sampling.hashSplit(packed, "doc_id",
+        Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+      .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+      .localCheckpoint(true)
   }
 
   /** [[corpusCleanV2]] with the round-10 per-domain RELATIVE quality
@@ -2131,40 +2131,37 @@ object SparkEntry {
     * kept-set and LM CTEs of the v2 chain. */
   private def corpusCleanV3(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val kept = dedupKeptIds(s, dir, docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager-checkpoint frontiers, not persists — truncates lineage so
+    // downstream executions don't re-analyze the whole chain (see
+    // corpusCleanV6's frontier note)
+    val kept = dedupKeptIds(s, dir, docs).localCheckpoint(true)
     val clean = docs.join(kept, Seq("doc_id"))
     // three consumers (LM score, mixture input, token count) — without
-    // the pin each re-runs the KMV domain filter AND the kept join
+    // the frontier each re-runs the KMV domain filter AND the kept join
     val base = clean.join(CorpusStats.filterByDomainQuantile(
         clean.select("doc_id", "source", "text"), "doc_id", "source",
         TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
         .select("doc_id"), Seq("doc_id"))
       .select("doc_id", "lang", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val good = operators.LangModel.score(
-        base.select("doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism),
-        "doc_id", "text")
-        .filter(col("lm_score") >= -3.40).select("doc_id")
-      val mixed = Sampling.temperatureSampleByHash(
-        base.join(good, Seq("doc_id")).select("doc_id", "lang"),
-        "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
-      val toks = base.join(mixed.select("doc_id"), Seq("doc_id"))
-        .select(col("doc_id"),
-          TextFunctions.bpeTokenCount(col("text")).cast("long")
-            .as("n_tok"))
-      val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
-        budget = 2048L)
-      Sampling.hashSplit(packed, "doc_id",
-          Seq("train" -> 8, "eval" -> 1, "test" -> 1))
-        .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
-        .localCheckpoint(true)
-    } finally {
-      kept.unpersist(false)
-      base.unpersist(false)
-    }
+      .localCheckpoint(true)
+    val good = operators.LangModel.score(
+      base.select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text")
+      .filter(col("lm_score") >= -3.40).select("doc_id")
+    val mixed = Sampling.temperatureSampleByHash(
+      base.join(good, Seq("doc_id")).select("doc_id", "lang"),
+      "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
+    val toks = base.join(mixed.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long")
+          .as("n_tok"))
+    val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
+      budget = 2048L)
+    Sampling.hashSplit(packed, "doc_id",
+        Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+      .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+      .localCheckpoint(true)
   }
 
   /** The v3 pipeline with DSIR target-likeness selection spliced
@@ -2176,54 +2173,47 @@ object SparkEntry {
     * and released once the final frame is checkpointed. */
   private def corpusCleanV4(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val kept = dedupKeptIds(s, dir, docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager-checkpoint frontiers, not persists — truncates lineage so
+    // downstream executions don't re-analyze the whole chain (see
+    // corpusCleanV6's frontier note)
+    val kept = dedupKeptIds(s, dir, docs).localCheckpoint(true)
     val clean = docs.join(kept, Seq("doc_id"))
-    // two consumers (LM score, survivor build) — pinned so the KMV
-    // domain filter and the kept join run once
+    // two consumers (LM score, survivor build) — checkpointed so the
+    // KMV domain filter and the kept join run once
     val base = clean.join(CorpusStats.filterByDomainQuantile(
         clean.select("doc_id", "source", "text"), "doc_id", "source",
         TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
         .select("doc_id"), Seq("doc_id"))
       .select("doc_id", "lang", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var goodDocs: DataFrame = null
-    try {
-      val good = operators.LangModel.score(
-        base.select("doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism),
-        "doc_id", "text")
-        .filter(col("lm_score") >= -3.40).select("doc_id")
-      goodDocs = base.join(good, Seq("doc_id"))
-        .select("doc_id", "lang", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // −25000 µnats/token ≈ the survivor-set median: keep the
-      // more-target-like half (mean ≥ 0 is degenerate HERE — the LM
-      // filter already homogenized the set, leaving ~2% positives)
-      val sel = Dsir.select(goodDocs,
-        goodDocs.filter(col("lang") === "en"), "doc_id", "text",
-        buckets = 256, minMeanMicroNats = -25000L).select("doc_id")
-      val mixed = Sampling.temperatureSampleByHash(
-        goodDocs.join(sel, Seq("doc_id")).select("doc_id", "lang"),
-        "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
-      // mixture survivors ⊆ goodDocs, which is already pinned with its
-      // text — joining back to `base` would re-derive the whole
-      // domain-filter chain for rows goodDocs is holding anyway
-      val toks = goodDocs.join(mixed.select("doc_id"), Seq("doc_id"))
-        .select(col("doc_id"),
-          TextFunctions.bpeTokenCount(col("text")).cast("long")
-            .as("n_tok"))
-      val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
-        budget = 2048L)
-      Sampling.hashSplit(packed, "doc_id",
-          Seq("train" -> 8, "eval" -> 1, "test" -> 1))
-        .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
-        .localCheckpoint(true)
-    } finally {
-      kept.unpersist(false)
-      base.unpersist(false)
-      if (goodDocs != null) goodDocs.unpersist(false)
-    }
+      .localCheckpoint(true)
+    // the LM-survivor id set (the v6 shape: id sets join back into the
+    // one text frontier instead of materializing another text frame)
+    val goodIds = operators.LangModel.score(
+      base.select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text")
+      .filter(col("lm_score") >= -3.40).select("doc_id")
+      .localCheckpoint(true)
+    val goodDocs = base.join(goodIds, Seq("doc_id"))
+    // −25000 µnats/token ≈ the survivor-set median: keep the
+    // more-target-like half (mean ≥ 0 is degenerate HERE — the LM
+    // filter already homogenized the set, leaving ~2% positives)
+    val sel = Dsir.select(goodDocs,
+      goodDocs.filter(col("lang") === "en"), "doc_id", "text",
+      buckets = 256, minMeanMicroNats = -25000L).select("doc_id")
+    val mixed = Sampling.temperatureSampleByHash(
+      goodDocs.join(sel, Seq("doc_id")).select("doc_id", "lang"),
+      "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
+    val toks = base.join(mixed.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long")
+          .as("n_tok"))
+    val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
+      budget = 2048L)
+    Sampling.hashSplit(packed, "doc_id",
+        Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+      .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+      .localCheckpoint(true)
   }
 
   /** The v4 pipeline with benchmark DECONTAMINATION spliced between
@@ -2237,62 +2227,52 @@ object SparkEntry {
     * never all-pairs; at 100 TB the bench side is tiny and broadcasts. */
   private def corpusCleanV5(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val kept = dedupKeptIds(s, dir, docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager-checkpoint frontiers + survivor ID SETS joining back into
+    // one text frame — the v6 shape (see corpusCleanV6's frontier note)
+    val kept = dedupKeptIds(s, dir, docs).localCheckpoint(true)
     val clean = docs.join(kept, Seq("doc_id"))
     val base = clean.join(CorpusStats.filterByDomainQuantile(
         clean.select("doc_id", "source", "text"), "doc_id", "source",
         TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
         .select("doc_id"), Seq("doc_id"))
       .select("doc_id", "lang", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var goodDocs: DataFrame = null
-    var decon: DataFrame = null
-    try {
-      val good = operators.LangModel.score(
-        base.select("doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism),
-        "doc_id", "text")
-        .filter(col("lm_score") >= -3.40).select("doc_id")
-      goodDocs = base.join(good, Seq("doc_id"))
-        .select("doc_id", "lang", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // decontamination: bench = the full corpus's bucket-0 slice
-      // (decontam_ngram's benchmark), flag over the LM survivors only
-      val bench = docs
-        .filter(Sampling.hashBucket(col("doc_id"), 10) === 0)
-        .select(col("doc_id").as("bench_id"), col("text"))
-      val surviving = operators.Decontam.flag(
-        goodDocs.select("doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism),
-        bench, "doc_id", "text", "bench_id", "text",
-        n = 5, minMatched = 5L, minOverlap = 0.5)
-        .filter(col("contaminated") === 0).select("doc_id")
-      decon = goodDocs.join(surviving, Seq("doc_id"))
-        .select("doc_id", "lang", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sel = Dsir.select(decon,
-        decon.filter(col("lang") === "en"), "doc_id", "text",
-        buckets = 256, minMeanMicroNats = -25000L).select("doc_id")
-      val mixed = Sampling.temperatureSampleByHash(
-        decon.join(sel, Seq("doc_id")).select("doc_id", "lang"),
-        "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
-      val toks = decon.join(mixed.select("doc_id"), Seq("doc_id"))
-        .select(col("doc_id"),
-          TextFunctions.bpeTokenCount(col("text")).cast("long")
-            .as("n_tok"))
-      val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
-        budget = 2048L)
-      Sampling.hashSplit(packed, "doc_id",
-          Seq("train" -> 8, "eval" -> 1, "test" -> 1))
-        .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
-        .localCheckpoint(true)
-    } finally {
-      kept.unpersist(false)
-      base.unpersist(false)
-      if (goodDocs != null) goodDocs.unpersist(false)
-      if (decon != null) decon.unpersist(false)
-    }
+      .localCheckpoint(true)
+    val goodIds = operators.LangModel.score(
+      base.select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text")
+      .filter(col("lm_score") >= -3.40).select("doc_id")
+      .localCheckpoint(true)
+    // decontamination: bench = the full corpus's bucket-0 slice
+    // (decontam_ngram's benchmark), flag over the LM survivors only;
+    // its survivors are ⊂ goodIds, so the id set IS the survivor set
+    val bench = docs
+      .filter(Sampling.hashBucket(col("doc_id"), 10) === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val deconIds = operators.Decontam.flag(
+      base.join(goodIds, Seq("doc_id")).select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism),
+      bench, "doc_id", "text", "bench_id", "text",
+      n = 5, minMatched = 5L, minOverlap = 0.5)
+      .filter(col("contaminated") === 0).select("doc_id")
+      .localCheckpoint(true)
+    val decon = base.join(deconIds, Seq("doc_id"))
+    val sel = Dsir.select(decon,
+      decon.filter(col("lang") === "en"), "doc_id", "text",
+      buckets = 256, minMeanMicroNats = -25000L).select("doc_id")
+    val mixed = Sampling.temperatureSampleByHash(
+      decon.join(sel, Seq("doc_id")).select("doc_id", "lang"),
+      "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
+    val toks = base.join(mixed.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long")
+          .as("n_tok"))
+    val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
+      budget = 2048L)
+    Sampling.hashSplit(packed, "doc_id",
+        Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+      .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+      .localCheckpoint(true)
   }
 
   /** The v5 pipeline with SEMANTIC dedup spliced between
@@ -2308,87 +2288,83 @@ object SparkEntry {
     * pair join — never all-pairs; at 100 TB `nlist` scales with the
     * corpus to keep clusters machine-sized. */
   private def corpusCleanV6(s: SparkSession, dir: String): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = t(s, dir, "documents")
-    val kept = dedupKeptIds(s, dir, docs).persist(mem)
+    // Stage frontiers are EAGER LOCAL CHECKPOINTS, not persists: a
+    // persisted frame still drags its whole logical plan into every
+    // downstream analysis (plan-cache matching happens after analysis),
+    // and by the packing stage this pipeline's lineage is nine stages
+    // deep — profiled at sf0.1, the packing/sampling executions spent
+    // 3× more wall in driver planning than in their jobs. A checkpoint
+    // truncates the plan to an RDD leaf; the id-set frontiers are tiny
+    // (survivor ids) and `base` is one (doc_id, lang, text) pass the
+    // pipeline reads repeatedly anyway. Blocks release with the RDDs.
+    val kept = dedupKeptIds(s, dir, docs).localCheckpoint(true)
     val clean = docs.join(kept, Seq("doc_id"))
-    // ONE persisted text frame for the whole pipeline; every stage
-    // after it carries a survivor ID SET (tiny, persisted) and joins
-    // back into this cache — the r14 shape. The pre-r14 chain
-    // materialized three near-identical (doc_id, lang, text) caches
-    // (goodDocs/decon/sem), paying a full text copy + serialization
-    // at every stage frontier.
+    // ONE materialized text frame for the whole pipeline; every stage
+    // after it carries a survivor ID SET and joins back into this
+    // cache — the r14 shape. The pre-r14 chain materialized three
+    // near-identical (doc_id, lang, text) caches (goodDocs/decon/sem),
+    // paying a full text copy + serialization at every stage frontier.
     val base = clean.join(CorpusStats.filterByDomainQuantile(
         clean.select("doc_id", "source", "text"), "doc_id", "source",
         TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
         .select("doc_id"), Seq("doc_id"))
       .select("doc_id", "lang", "text")
-      .persist(mem)
-    var goodIds: DataFrame = null
-    var deconIds: DataFrame = null
-    var semIds: DataFrame = null
-    try {
-      // fan out ONLY ahead of the two CPU-heavy scans (LM below,
-      // decontam next): the testdata corpus is a single parquet split,
-      // so these per-row scans would otherwise run one-task — while
-      // everywhere else at this scale fewer tasks win (measured: a
-      // blanket fan-out at the cache frontier LOST ~3s to per-stage
-      // scheduling across the pipeline's ~170 jobs)
-      goodIds = operators.LangModel.score(
-        base.select("doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism),
-        "doc_id", "text")
-        .filter(col("lm_score") >= -3.40).select("doc_id")
-        .persist(mem)
-      val bench = docs
-        .filter(Sampling.hashBucket(col("doc_id"), 10) === 0)
-        .select(col("doc_id").as("bench_id"), col("text"))
-      // decontam runs over the LM survivors' text (cache ⋈ id set);
-      // its survivors are by construction ⊂ goodIds, so the id set IS
-      // the decontaminated survivor set — no text re-join needed
-      deconIds = operators.Decontam.flag(
-        base.join(goodIds, Seq("doc_id"))
-          .select("doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism),
-        bench, "doc_id", "text", "bench_id", "text",
-        n = 5, minMatched = 5L, minOverlap = 0.5)
-        .filter(col("contaminated") === 0).select("doc_id")
-        .persist(mem)
-      // semantic near-dup drop among the decontaminated survivors:
-      // pair space restricted to their vectors, centroids shared with
-      // the gated dedup_semantic chain; left_anti keeps the docs that
-      // have no embedding at all
-      val semDrop = Similarity.semanticDupes(
-        t(s, dir, "embeddings"), threshold = 0.45, native = true,
-        among = Some(deconIds.select(col("doc_id").as("vec_id"))))
-        .filter(col("is_dup") === 1)
-        .select(col("vec_id").as("doc_id"))
-      semIds = deconIds.join(semDrop, Seq("doc_id"), "left_anti")
-        .persist(mem)
-      val sem = base.join(semIds, Seq("doc_id"))
-      val sel = Dsir.select(sem,
-        sem.filter(col("lang") === "en"), "doc_id", "text",
-        buckets = 256, minMeanMicroNats = -25000L).select("doc_id")
-      val mixed = Sampling.temperatureSampleByHash(
-        sem.join(sel, Seq("doc_id")).select("doc_id", "lang"),
-        "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
-      val toks = base.join(mixed.select("doc_id"), Seq("doc_id"))
-        .select(col("doc_id"),
-          TextFunctions.bpeTokenCount(col("text")).cast("long")
-            .as("n_tok"))
-      val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
-        budget = 2048L)
-      Sampling.hashSplit(packed, "doc_id",
-          Seq("train" -> 8, "eval" -> 1, "test" -> 1))
-        .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
-        .localCheckpoint(true)
-    } finally {
-      kept.unpersist(false)
-      base.unpersist(false)
-      if (goodIds != null) goodIds.unpersist(false)
-      if (deconIds != null) deconIds.unpersist(false)
-      if (semIds != null) semIds.unpersist(false)
-    }
+      .localCheckpoint(true)
+    // fan out ONLY ahead of the two CPU-heavy scans (LM below,
+    // decontam next): the testdata corpus is a single parquet split,
+    // so these per-row scans would otherwise run one-task — while
+    // everywhere else at this scale fewer tasks win (measured: a
+    // blanket fan-out at the cache frontier LOST ~3s to per-stage
+    // scheduling across the pipeline's ~170 jobs)
+    val goodIds = operators.LangModel.score(
+      base.select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text")
+      .filter(col("lm_score") >= -3.40).select("doc_id")
+      .localCheckpoint(true)
+    val bench = docs
+      .filter(Sampling.hashBucket(col("doc_id"), 10) === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    // decontam runs over the LM survivors' text (cache ⋈ id set);
+    // its survivors are by construction ⊂ goodIds, so the id set IS
+    // the decontaminated survivor set — no text re-join needed
+    val deconIds = operators.Decontam.flag(
+      base.join(goodIds, Seq("doc_id"))
+        .select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism),
+      bench, "doc_id", "text", "bench_id", "text",
+      n = 5, minMatched = 5L, minOverlap = 0.5)
+      .filter(col("contaminated") === 0).select("doc_id")
+      .localCheckpoint(true)
+    // semantic near-dup drop among the decontaminated survivors:
+    // pair space restricted to their vectors, centroids shared with
+    // the gated dedup_semantic chain; left_anti keeps the docs that
+    // have no embedding at all
+    val semDrop = Similarity.semanticDupes(
+      t(s, dir, "embeddings"), threshold = 0.45, native = true,
+      among = Some(deconIds.select(col("doc_id").as("vec_id"))))
+      .filter(col("is_dup") === 1)
+      .select(col("vec_id").as("doc_id"))
+    val semIds = deconIds.join(semDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val sem = base.join(semIds, Seq("doc_id"))
+    val sel = Dsir.select(sem,
+      sem.filter(col("lang") === "en"), "doc_id", "text",
+      buckets = 256, minMeanMicroNats = -25000L).select("doc_id")
+    val mixed = Sampling.temperatureSampleByHash(
+      sem.join(sel, Seq("doc_id")).select("doc_id", "lang"),
+      "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
+    val toks = base.join(mixed.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long")
+          .as("n_tok"))
+    val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
+      budget = 2048L)
+    Sampling.hashSplit(packed, "doc_id",
+        Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+      .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+      .localCheckpoint(true)
   }
 
   /** Token-budget packing of the corpus into contiguous training bins
