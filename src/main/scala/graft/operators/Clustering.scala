@@ -55,13 +55,19 @@ object Clustering {
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
+    // carried across rounds: round k's `next` checksum IS round k+1's
+    // `edges` checksum — recomputing it would double the per-round
+    // fingerprint jobs
+    var edgesSum = checksum(edges)
     while (!converged && rounds < MaxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      if (checksum(next) == checksum(edges)) {
+      val nextSum = checksum(next)
+      if (nextSum == edgesSum) {
         converged = next.exceptAll(edges).isEmpty
       }
       edges.unpersist()
       edges = next
+      edgesSum = nextSum
       rounds += 1
     }
     if (!converged)

@@ -127,13 +127,17 @@ object AggView {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val keys = b.select(spec.keyCols.map(col): _*).distinct()
+    // one key-bucket listing, shared with the key-state merge below as
+    // its touchedHint (the merge writes exactly the batch keys' buckets)
+    val keyBuckets = BucketedState.touchedBuckets(keys, spec.keyCols,
+      stateBuckets)
     // pre-batch state of the batch's keys, tombstones included —
     // version-bounded so a crash-replay recomputes identical deltas,
     // and byte-identical however often the delta evaluates even after
     // the merge below lands new versions
     val oldState: DataFrame = BucketedState.stateForKeys(spark,
       keyStateDir, batch.schema, stateBuckets, spec.keyCols, keys,
-      beforeBatch = Some(batchId))
+      beforeBatch = Some(batchId), touchedHint = Some(keyBuckets))
     // per-key old/new images in ONE aggregate (the r14 fusion,
     // [[CdcMerge.oldNewImages]] — replaces the window collapse + two
     // contribution passes); the ±1-weighted contributions then fall
@@ -175,16 +179,21 @@ object AggView {
     // interleave (the BucketedState.commitPool argument)
     val keyCommit = scala.concurrent.Future {
       BucketedState.mergeBatch(b, batchId, keyStateDir, spec.keyCols,
-        stateBuckets)
+        stateBuckets, touchedHint = Some(keyBuckets))
     }(BucketedState.commitPool)
     try {
     val aggSchema = viewSchema(batch.schema, spec)
     val touched = delta.select(spec.groupCols.map(col): _*)
+    // one group-bucket listing, shared with the view merge below: the
+    // fold emits exactly one event per delta group, so the events'
+    // buckets ARE the touched groups' buckets
+    val groupBuckets = BucketedState.touchedBuckets(touched,
+      spec.groupCols, viewBuckets)
     // current aggregates of ONLY the touched groups; null-safe join
     // because a group column may legitimately hold null
     val aggOld = BucketedState.stateForKeys(spark, viewDir, aggSchema,
       viewBuckets, spec.groupCols, touched,
-      beforeBatch = Some(batchId))
+      beforeBatch = Some(batchId), touchedHint = Some(groupBuckets))
       .filter(col(OpCol) =!= OpDelete)
     val joined = delta.alias("d").join(aggOld.alias("o"),
       spec.groupCols.map(g => col(s"d.$g") <=> col(s"o.$g"))
@@ -210,7 +219,7 @@ object AggView {
       // view in memory), so neither reads the store mid-promotion
       val viewCommit = scala.concurrent.Future {
         BucketedState.mergeBatch(events, batchId, viewDir,
-          spec.groupCols, viewBuckets)
+          spec.groupCols, viewBuckets, touchedHint = Some(groupBuckets))
       }(BucketedState.commitPool)
       try {
         serve(events)

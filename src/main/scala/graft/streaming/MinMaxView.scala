@@ -177,14 +177,20 @@ object MinMaxView {
       val b = batch.persist(mem)
       pins += b
       val keys = b.select(spec.keyCols.map(col): _*).distinct()
+      // ONE bucket listing per store: the key-state merge writes
+      // exactly the batch keys' buckets, so the listing shares with the
+      // pre-batch lookup as mergeBatch's touchedHint (the hinted merge
+      // also skips re-persisting the already-pinned batch)
+      val keyBuckets = BucketedState.touchedBuckets(keys, spec.keyCols,
+        stateBuckets)
       // pre-batch images of the batch's keys (version-bounded: a crash
       // replay recomputes byte-identical events)
       val oldState = BucketedState.stateForKeys(spark, keyStateDir,
         batch.schema, stateBuckets, spec.keyCols, keys,
-        beforeBatch = Some(batchId))
+        beforeBatch = Some(batchId), touchedHint = Some(keyBuckets))
       pending += Future {
         BucketedState.mergeBatch(b, batchId, keyStateDir,
-          spec.keyCols, stateBuckets)
+          spec.keyCols, stateBuckets, touchedHint = Some(keyBuckets))
       }(BucketedState.commitPool)
       val projIdent = spec.groupCols ++ spec.keyCols
       // Per-key OLD and NEW live images in ONE aggregate
@@ -224,12 +230,22 @@ object MinMaxView {
       // collapse the merge applies), so nothing waits on this write
       // landing: the write→read store round-trip leaves the critical
       // path
-      pending += Future {
-        BucketedState.mergeBatch(projEvents, batchId, projDir, projIdent,
-          projBuckets, bucketCols = spec.groupCols)
-      }(BucketedState.commitPool)
       val touched = projEvents.select(spec.groupCols.map(col): _*)
         .distinct()
+      // group-bucket listings shared the same way: projEvents buckets
+      // by group, and its groups ARE `touched` by construction; the
+      // view merge's events likewise emit exactly the touched groups
+      val projBucketIds = BucketedState.touchedBuckets(touched,
+        spec.groupCols, projBuckets)
+      val viewBucketIds =
+        if (viewBuckets == projBuckets) projBucketIds
+        else BucketedState.touchedBuckets(touched, spec.groupCols,
+          viewBuckets)
+      pending += Future {
+        BucketedState.mergeBatch(projEvents, batchId, projDir, projIdent,
+          projBuckets, bucketCols = spec.groupCols,
+          touchedHint = Some(projBucketIds))
+      }(BucketedState.commitPool)
       // post-batch LATEST rows (tombstones included) of ONLY the
       // touched groups: pre-batch projection rows of their buckets
       // (version-bounded) merged with the batch's own events —
@@ -240,7 +256,8 @@ object MinMaxView {
       // of the previous separate emptied anti-join probe.
       val preProj = BucketedState.stateForKeys(spark, projDir,
         projSchema(batch.schema, spec), projBuckets, projIdent, touched,
-        beforeBatch = Some(batchId), bucketCols = spec.groupCols)
+        beforeBatch = Some(batchId), bucketCols = spec.groupCols,
+        touchedHint = Some(projBucketIds))
       val latest = CdcMerge.latestByKey(
         preProj.unionByName(projEvents), projIdent)
       val agg = latest.groupBy(spec.groupCols.map(col): _*)
@@ -263,7 +280,7 @@ object MinMaxView {
       pins += events
       pending += Future {
         BucketedState.mergeBatch(events, batchId, viewDir, spec.groupCols,
-          viewBuckets)
+          viewBuckets, touchedHint = Some(viewBucketIds))
       }(BucketedState.commitPool)
       serve(events)
       // all commits land before the pins release (and before the
