@@ -3180,6 +3180,7 @@ object SparkEntry {
     "graph_pagerank" -> (graphPagerank _),
     "dedup_incremental" -> (dedupIncremental _),
     "cdc_dedup" -> (cdcDedup _),
+    "cdc_corpus_clean" -> (cdcCorpusClean _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "dedup_embed_bucketed" -> (dedupEmbedBucketed _),
@@ -4313,6 +4314,7 @@ object SparkEntry {
     // batch minhash over the whole corpus — that equality IS the gate
     "dedup_incremental" -> minhashPairsOracle,
     "cdc_dedup" -> cdcDedupOracle,
+    "cdc_corpus_clean" -> cdcCorpusCleanOracle,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
@@ -6414,6 +6416,102 @@ object SparkEntry {
        |${minhashCandsCtes.replaceFirst("^WITH ", ", ")
             .replace("FROM documents)", "FROM corpus)")}
        |$verifySql""".stripMargin
+
+  /** The corpus_clean_v2 pipeline maintained UNDER CDC — the
+    * composition the reference's deployment story actually implies: a
+    * mutating source table (the synced MySQL corpus) feeding a
+    * training-data pipeline. Per I/U/D micro-batch two states advance
+    * incrementally, each O(batch): the LWW document state
+    * ([[graft.streaming.BucketedState]], the bucketed at-scale layout)
+    * and the MinHash near-dup pair index
+    * ([[graft.streaming.DedupIndex]] — updates retire + re-pair, the
+    * `cdc_dedup` machinery verbatim). The refresh tail — CC keep-one
+    * over the maintained pairs, corpus-trained LM filter, temperature
+    * mixture, packing, split — then runs over the MAINTAINED states
+    * (the periodic-refresh posture of a production corpus: the
+    * expensive-to-recompute parts are incremental, the model retrain
+    * is a scan of live state). Oracle: the entire v2 chain rebuilt
+    * from scratch over the feed's final LWW corpus — maintained must
+    * equal rebuilt. */
+  private def cdcCorpusClean(s: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(s, 8) {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val store = scratchDir("graft_cdccc_")
+    // the cdc_dedup feed, with lang carried for the mixture stage
+    val b0 = docs.select(lit("I").as("_op"),
+      (col("doc_id") * 10).as("_seq"), col("doc_id"), col("lang"),
+      col("text"))
+    val b1 = docs.filter(col("doc_id") % 5 === 0)
+      .select(lit("U").as("_op"), (col("doc_id") * 10 + 1).as("_seq"),
+        col("doc_id"), col("lang"),
+        concat(col("text"), lit(" graft edit marker graft edit marker"))
+          .as("text"))
+    val b2 = docs.filter(col("doc_id") % 17 === 0)
+      .select(lit("D").as("_op"), (col("doc_id") * 10 + 2).as("_seq"),
+        col("doc_id"), lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("text"))
+    val cfg = streaming.DedupIndex.Config(sigBuckets = 8,
+      bandBuckets = 16, pairBuckets = 8)
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      streaming.BucketedState.mergeBatch(b, i.toLong, s"$store/state",
+        Seq("doc_id"), 8)
+      streaming.DedupIndex.applyBatch(b, s"$store/dedup", i.toLong, cfg)
+    }
+    // refresh over maintained state (eager checkpoints: same frontier
+    // rationale as corpusCleanV6)
+    val live = streaming.BucketedState.currentView(s, s"$store/state",
+        b0.schema, 8)
+      .select("doc_id", "lang", "text").localCheckpoint(true)
+    val pairs = streaming.DedupIndex.currentPairs(s, s"$store/dedup", cfg)
+      .select("a", "b")
+    val kept = Clustering.canonicalize(live.select("doc_id"), pairs,
+      "doc_id").filter(col("keep")).select("doc_id")
+    val clean = live.join(kept, Seq("doc_id")).localCheckpoint(true)
+    val good = operators.LangModel.score(
+      clean.select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text")
+      .filter(col("lm_score") >= -3.40).select("doc_id")
+    val mixed = Sampling.temperatureSampleByHash(
+      clean.join(good, Seq("doc_id")).select("doc_id", "lang"),
+      "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
+    val toks = clean.join(mixed.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tok"))
+    val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
+      budget = 2048L)
+    Sampling.hashSplit(packed, "doc_id",
+        Seq("train" -> 8, "eval" -> 1, "test" -> 1))
+      .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+      .localCheckpoint(true)
+  }
+
+  /** DuckDB replay of cdc_corpus_clean: the final LWW corpus of the
+    * I/U/D feed (the cdc_dedup corpus CTE, plus lang), then the ENTIRE
+    * v2 pipeline rebuilt from scratch over it — minhash pairs, CC
+    * keep-one, LM filter retrained on the kept set, temperature
+    * mixture, packing, split. The incrementally-maintained pipeline
+    * must equal this rebuild exactly. */
+  private def cdcCorpusCleanOracle: String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN text || ' graft edit marker graft edit marker'
+       |      ELSE text END AS text
+       |  FROM documents WHERE doc_id % 17 <> 0)
+       |${minhashCandsCtes.replaceFirst("^WITH ", ", ")
+            .replace("FROM documents)", "FROM corpus)")}
+       |, pairs AS (SELECT a, b FROM (
+       |$verifySql))
+       |$ccGraphCtes
+       |, kept AS (
+       |  SELECT doc_id FROM corpus LEFT JOIN labels ON doc_id = node
+       |  WHERE doc_id = coalesce(cluster_id, doc_id))
+       |${lmMixPackTailSql("kept")
+            .replace("FROM documents JOIN", "FROM corpus JOIN")
+            .replace("FROM documents d2 JOIN", "FROM corpus d2 JOIN")}"""
+      .stripMargin
 
   /** DuckDB replay of [[Graph.pageRank]] over the minhash near-dup
     * graph: the shared pair CTEs, symmetrized edges with out-degree,
