@@ -2198,8 +2198,8 @@ object SparkEntry {
     // −25000 µnats/token ≈ the survivor-set median: keep the
     // more-target-like half (mean ≥ 0 is degenerate HERE — the LM
     // filter already homogenized the set, leaving ~2% positives)
-    val sel = Dsir.select(goodDocs,
-      goodDocs.filter(col("lang") === "en"), "doc_id", "text",
+    val sel = Dsir.selectByFlag(goodDocs,
+      col("lang") === "en", "doc_id", "text",
       buckets = 256, minMeanMicroNats = -25000L).select("doc_id")
     val mixed = Sampling.temperatureSampleByHash(
       goodDocs.join(sel, Seq("doc_id")).select("doc_id", "lang"),
@@ -2257,8 +2257,8 @@ object SparkEntry {
       .filter(col("contaminated") === 0).select("doc_id")
       .localCheckpoint(true)
     val decon = base.join(deconIds, Seq("doc_id"))
-    val sel = Dsir.select(decon,
-      decon.filter(col("lang") === "en"), "doc_id", "text",
+    val sel = Dsir.selectByFlag(decon,
+      col("lang") === "en", "doc_id", "text",
       buckets = 256, minMeanMicroNats = -25000L).select("doc_id")
     val mixed = Sampling.temperatureSampleByHash(
       decon.join(sel, Seq("doc_id")).select("doc_id", "lang"),
@@ -2349,8 +2349,8 @@ object SparkEntry {
     val semIds = deconIds.join(semDrop, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val sem = base.join(semIds, Seq("doc_id"))
-    val sel = Dsir.select(sem,
-      sem.filter(col("lang") === "en"), "doc_id", "text",
+    val sel = Dsir.selectByFlag(sem,
+      col("lang") === "en", "doc_id", "text",
       buckets = 256, minMeanMicroNats = -25000L).select("doc_id")
     val mixed = Sampling.temperatureSampleByHash(
       sem.join(sel, Seq("doc_id")).select("doc_id", "lang"),

@@ -63,8 +63,34 @@ object Dsir {
     def counts(df: DataFrame): Map[Long, Long] =
       bucketCounts(df, textCol, buckets).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val tc = counts(target)
-    val rc = counts(raw)
+    scoresFromCounts(counts(target), counts(raw), buckets)
+  }
+
+  /** [[scoreArray]] for the common in-pipeline shape where the TARGET
+    * is a flagged slice of the raw corpus itself (e.g. "target = the
+    * English docs of the survivor set"): ONE tokenize+aggregate pass
+    * computes both count tables — target counts are a conditional
+    * count inside the same aggregate — halving the corpus scans (and
+    * collects) the two-frame path pays. Bit-identical scores: the
+    * conditional count over `flag` equals the separate count over
+    * `raw.filter(flag)` (null flags count as false, matching filter
+    * semantics). */
+  def scoreArrayByFlag(raw: DataFrame, targetFlag: Column,
+      textCol: String, buckets: Int): Array[Long] = {
+    val rows = raw
+      .select(targetFlag.as("_f"),
+        explode(TextFunctions.tokens(col(textCol))).as("_t"))
+      .groupBy(bucket(col("_t"), buckets).as("bucket"))
+      .agg(count(lit(1)).as("rc"),
+        count(when(col("_f"), lit(1))).as("tc"))
+      .collect()
+    scoresFromCounts(
+      rows.map(r => r.getLong(0) -> r.getLong(2)).toMap,
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap, buckets)
+  }
+
+  private def scoresFromCounts(tc: Map[Long, Long], rc: Map[Long, Long],
+      buckets: Int): Array[Long] = {
     val tt = tc.values.sum.toDouble + buckets
     val tr = rc.values.sum.toDouble + buckets
     Array.tabulate(buckets) { b =>
@@ -109,6 +135,18 @@ object Dsir {
       textCol: String, buckets: Int = 256,
       minMeanMicroNats: Long = 0L): DataFrame = {
     val scored = score(raw, target, idCol, textCol, buckets)
+    scored.filter(col("n_tokens") > 0 &&
+      floor(col("dsir_weight").cast("double") / col("n_tokens"))
+        .cast("long") >= lit(minMeanMicroNats))
+  }
+
+  /** [[select]] with the target expressed as a flag over the raw
+    * corpus ([[scoreArrayByFlag]]'s one-pass model training). */
+  def selectByFlag(raw: DataFrame, targetFlag: Column, idCol: String,
+      textCol: String, buckets: Int = 256,
+      minMeanMicroNats: Long = 0L): DataFrame = {
+    val scored = scoreDocs(raw, idCol, textCol,
+      scoreArrayByFlag(raw, targetFlag, textCol, buckets), buckets)
     scored.filter(col("n_tokens") > 0 &&
       floor(col("dsir_weight").cast("double") / col("n_tokens"))
         .cast("long") >= lit(minMeanMicroNats))
