@@ -107,6 +107,11 @@ object DedupIndex {
       Seq("doc_id")).persist(mem)
     try {
       val arrivedKeys = arrived.select("doc_id").distinct()
+      // one doc-bucket listing for the whole batch: shared by the
+      // pre-batch sigs lookup and the sigs merge below (sigRows' docs
+      // are a subset of the arrived docs, so this set covers them)
+      val sigBucketIds = BucketedState.touchedBuckets(arrivedKeys,
+        Seq("doc_id"), cfg.sigBuckets)
       // pre-batch state of the touched docs WITH meta: a batch event at
       // or below the stored sequence is a late duplicate — dropped here,
       // so out-of-order redelivery can never regress bands/pairs (whose
@@ -114,7 +119,7 @@ object DedupIndex {
       // text win)
       val oldState = BucketedState.stateForKeys(spark, s"$storeDir/sigs",
           sigSchema, cfg.sigBuckets, Seq("doc_id"), arrivedKeys,
-          beforeBatch = Some(batchId))
+          beforeBatch = Some(batchId), touchedHint = Some(sigBucketIds))
         .persist(mem)
       try {
       val collapsed = arrived
@@ -158,7 +163,8 @@ object DedupIndex {
         import scala.concurrent.{Await, Future}
         val sigsCommit = Future {
           BucketedState.mergeBatch(sigRows, batchId, s"$storeDir/sigs",
-            Seq("doc_id"), cfg.sigBuckets)
+            Seq("doc_id"), cfg.sigBuckets,
+            touchedHint = Some(sigBucketIds))
         }(commitPool)
         pending += sigsCommit
 
@@ -166,19 +172,35 @@ object DedupIndex {
         // new versions do not re-establish, assert the new entries
         val newBands = bandKeys(newSigs, cfg).persist(mem)
         try {
-          val retire = bandKeys(oldSigs, cfg)
+          // eager checkpoint: consumed by the retire anti-join, its
+          // bucket listing, and the merge write — the minhash_sig
+          // recompute per consumer would triple the per-row CPU
+          val oldBands = bandKeys(oldSigs, cfg).localCheckpoint(true)
+          val retire = oldBands
             .join(newBands, Seq("band", "key", "doc_id"), "left_anti")
             .select(col("band"), col("key"), col("doc_id"),
               lit(OpDelete).as(OpCol), lit(batchId * 2).as(SeqCol))
           val assertB = newBands
             .select(col("band"), col("key"), col("doc_id"),
               lit(OpUpdate).as(OpCol), lit(batchId * 2 + 1).as(SeqCol))
+          // band-bucket universe of this batch's retire ∪ assert rows:
+          // retire ⊆ the old versions' band keys, assert = the new
+          // versions' — two bounded listings over the pinned band
+          // frames, shared with candidate discovery below (which probes
+          // exactly the NEW band keys' buckets) and passed to the merge
+          // as its touchedHint
+          val newBandBuckets = BucketedState.touchedBuckets(
+            newBands, Seq("band", "key"), cfg.bandBuckets)
+          val oldBandBuckets = BucketedState.touchedBuckets(
+            oldBands, Seq("band", "key"), cfg.bandBuckets)
           // concurrent with discovery: discovery reads the PRE-batch
           // band buckets (beforeBatch = batchId), never this write
           val bandsCommit = Future {
             BucketedState.mergeBatch(retire.unionByName(assertB), batchId,
               s"$storeDir/bands", Seq("band", "key", "doc_id"),
-              cfg.bandBuckets, bucketCols = Seq("band", "key"))
+              cfg.bandBuckets, bucketCols = Seq("band", "key"),
+              touchedHint =
+                Some((newBandBuckets ++ oldBandBuckets).distinct))
           }(commitPool)
           pending += bandsCommit
 
@@ -191,12 +213,8 @@ object DedupIndex {
               org.apache.spark.sql.types.StructType.fromDDL(
                 "a long, b long, jaccard double"))
           } else {
-            val touched = newBands
-              .select(BucketedState.bucketFor(
-                Seq(col("band"), col("key")), cfg.bandBuckets).as("b"))
-              .distinct().collect().map(_.getInt(0)).toSeq
             val storeBands = BucketedState.readBuckets(spark,
-                s"$storeDir/bands", bandSchema, touched,
+                s"$storeDir/bands", bandSchema, newBandBuckets,
                 beforeBatch = Some(batchId))
               .filter(col(OpCol) =!= OpDelete).drop(OpCol, SeqCol)
               .join(broadcast(keys), Seq("doc_id"), "left_anti")
