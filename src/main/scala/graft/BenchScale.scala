@@ -1890,6 +1890,92 @@ object BenchScale {
       "batch_keys" -> probeIds.size.toLong))
   }
 
+  /** cdc_corpus_clean at scale: the maintained-corpus pipeline — the
+    * full I/U/D feed advances the LWW doc state and the dedup index,
+    * then the refresh tail (CC keep-one → LM filter → mixture →
+    * packing → split) runs over the maintained states. Gated
+    * invariants under the alphabet-rotation blow-up: the maintained
+    * live-row count equals the feed's direct LWW arithmetic (an
+    * internal-consistency identity, checked at BOTH scales), verified
+    * cross-copy pairs are ZERO (rotation drives cross-copy jaccard to
+    * 0 and the index verifies exactly), and CC rounds stay O(log n).
+    * Banded recall and the per-copy LM retrain are fresh hash draws
+    * per rotated copy, so pair/kept/out-row counts ride as reported
+    * evidence — the wall-clock exponent carries the cost claim. */
+  private def runCdcCorpusClean(s: SparkSession, dir: String,
+      scale: Int): OpResult = {
+    import graft.functions.TextFunctions
+    import graft.operators.{Clustering, LangModel, Packing, Sampling}
+    val work = newTempDir("graft_scale_cdccc_")
+    val cfg = streaming.DedupIndex.Config(sigBuckets = 8 * scale,
+      bandBuckets = 16 * scale, pairBuckets = 8 * scale)
+    val stateBuckets = 8 * scale
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    val b0 = docs.select(lit("I").as("_op"),
+      (col("doc_id") * 10).as("_seq"), col("doc_id"), col("lang"),
+      col("text"))
+    val b1 = docs.filter(col("doc_id") % 5 === 0)
+      .select(lit("U").as("_op"), (col("doc_id") * 10 + 1).as("_seq"),
+        col("doc_id"), col("lang"),
+        concat(col("text"), lit(" graft edit marker graft edit marker"))
+          .as("text"))
+    val b2 = docs.filter(col("doc_id") % 17 === 0)
+      .select(lit("D").as("_op"), (col("doc_id") * 10 + 2).as("_seq"),
+        col("doc_id"), lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("text"))
+    val changeSchema = b0.schema
+    val r = timed {
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        streaming.BucketedState.mergeBatch(b, i.toLong, s"$work/state",
+          Seq("doc_id"), stateBuckets)
+        streaming.DedupIndex.applyBatch(b, s"$work/dedup", i.toLong, cfg)
+      }
+      val live = streaming.BucketedState.currentView(s, s"$work/state",
+          changeSchema, stateBuckets)
+        .select("doc_id", "lang", "text").localCheckpoint(true)
+      val pairs = streaming.DedupIndex.currentPairs(s, s"$work/dedup",
+        cfg).select("a", "b")
+      val kept = Clustering.canonicalize(live.select("doc_id"), pairs,
+        "doc_id").filter(col("keep")).select("doc_id")
+      val clean = live.join(kept, Seq("doc_id")).localCheckpoint(true)
+      val good = LangModel.score(
+        clean.select("doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")
+        .filter(col("lm_score") >= -3.40).select("doc_id")
+      val mixed = Sampling.temperatureSampleByHash(
+        clean.join(good, Seq("doc_id")).select("doc_id", "lang"),
+        "doc_id", "lang", alpha = 0.5, targetFrac = 0.3)
+      val toks = clean.join(mixed.select("doc_id"), Seq("doc_id"))
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long")
+            .as("n_tok"))
+      val packed = Packing.packByBudget(toks, "doc_id", "n_tok",
+        budget = 2048L)
+      Sampling.hashSplit(packed, "doc_id",
+          Seq("train" -> 8, "eval" -> 1, "test" -> 1)).count()
+    } {
+      val live = streaming.BucketedState.currentView(s, s"$work/state",
+          changeSchema, stateBuckets)
+      val pairs = streaming.DedupIndex.currentPairs(s, s"$work/dedup",
+        cfg)
+      Map(
+        "live_rows" -> live.count(),
+        "expected_live" -> docs.filter(col("doc_id") % 17 =!= 0).count(),
+        "pairs" -> pairs.count(),
+        // copy index = id / 1e8 (blowUpDocuments' disjoint ranges)
+        "cross_pairs" -> pairs.filter(
+          col("a").divide(lit(100000000L)).cast("long") =!=
+            col("b").divide(lit(100000000L)).cast("long")).count(),
+        "cc_rounds" -> Clustering.lastStats.rounds.toLong)
+    }
+    docs.unpersist()
+    r
+  }
+
   /** Incremental IVF maintenance against a ×1 vs ×N index: a FIXED
     * 64-vector re-embed batch must cost the same against both (key
     * buckets ∝ data, so bucket volume is flat; assignment is a
@@ -2412,6 +2498,8 @@ object BenchScale {
         if (d.endsWith("x1")) 1 else n)),
       "cdc_dedup" -> (d => runCdcDedup(spark, d,
         if (d.endsWith("x1")) 1 else n)),
+      "cdc_corpus_clean" -> (d => runCdcCorpusClean(spark, d,
+        if (d.endsWith("x1")) 1 else n)),
       "ch_collapse" -> (d => runChCollapse(spark, d)),
       "ttl_expire" -> (d => runTtlExpire(spark, d)),
       "dict_encode" -> (d => runDictEncode(spark, d)),
@@ -2459,6 +2547,18 @@ object BenchScale {
         case "dedup_clusters" =>
           atN.evidence("cc_rounds") <= at1.evidence("cc_rounds") + 2 &&
             atN.evidence("cross_copy_pairs") == 0L
+        case "cdc_corpus_clean" =>
+          // maintained state == direct LWW arithmetic at BOTH scales;
+          // verified cross-copy pairs exactly zero (rotation kills
+          // cross jaccard, the index verifies exactly); CC O(log n);
+          // non-degenerate output. Pair/kept counts are reported
+          // evidence only — banded recall and the per-copy LM retrain
+          // are fresh hash draws per rotated copy.
+          at1.evidence("live_rows") == at1.evidence("expected_live") &&
+            atN.evidence("live_rows") == atN.evidence("expected_live") &&
+            atN.evidence("cross_pairs") == 0L &&
+            atN.evidence("cc_rounds") <= at1.evidence("cc_rounds") + 2 &&
+            atN.evidence("out_rows") > 0L
         case "range_join" =>
           atN.evidence("candidates") <=
             (at1.evidence("candidates") * n * 1.5).toLong
