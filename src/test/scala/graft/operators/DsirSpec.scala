@@ -72,6 +72,25 @@ class DsirSpec extends AnyFunSuite {
     assert(sep == Set(1L, 2L, 3L))
   }
 
+  test("one-pass flag training equals the two-frame path bit-for-bit " +
+      "(null flags count as false, matching filter semantics)") {
+    val withNull = docs.withColumn("grp",
+      when($"doc_id" === 6L, lit(null).cast("string"))
+        .otherwise($"grp"))
+    val twoFrame = Dsir.scoreArray(withNull.filter($"grp" === "t"),
+      withNull, "text", buckets = 64)
+    val onePass = Dsir.scoreArrayByFlag(withNull, $"grp" === "t",
+      "text", buckets = 64)
+    assert(onePass.toSeq == twoFrame.toSeq)
+    val selTwo = Dsir.select(withNull, withNull.filter($"grp" === "t"),
+        "doc_id", "text", buckets = 64, minMeanMicroNats = -100000L)
+      .select("doc_id").as[Long].collect().toSet
+    val selFlag = Dsir.selectByFlag(withNull, $"grp" === "t",
+        "doc_id", "text", buckets = 64, minMeanMicroNats = -100000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(selFlag == selTwo)
+  }
+
   test("scoreArray is dense, bounded, and bucket-aligned") {
     val arr = Dsir.scoreArray(target, docs, "text", buckets = 32)
     assert(arr.length == 32)
