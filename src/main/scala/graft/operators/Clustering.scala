@@ -60,6 +60,13 @@ object Clustering {
     // fingerprint jobs
     var edgesSum = checksum(edges)
     while (!converged && rounds < MaxRounds) {
+      // ONE large/small round per materialization. (Measured dead end:
+      // double-stepping two rounds per checkpoint — each star
+      // references its input in several subtrees, so the un-checkpointed
+      // inner round's plan is DUPLICATED multiplicatively into the
+      // outer one and the fused iteration ran 2-3× SLOWER than two
+      // materialized rounds. The checkpoint per round is load-bearing,
+      // not overhead.)
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSum = checksum(next)
       if (nextSum == edgesSum) {
