@@ -1929,9 +1929,22 @@ object BenchScale {
     val changeSchema = b0.schema
     val r = timed {
       Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
-        streaming.BucketedState.mergeBatch(b, i.toLong, s"$work/state",
-          Seq("doc_id"), stateBuckets)
-        streaming.DedupIndex.applyBatch(b, s"$work/dedup", i.toLong, cfg)
+        // doc-state merge concurrent with the index batch — mirrors
+        // the shipped query (SparkEntry.cdcCorpusClean)
+        val stateCommit = scala.concurrent.Future {
+          streaming.BucketedState.mergeBatch(b, i.toLong, s"$work/state",
+            Seq("doc_id"), stateBuckets)
+        }(scala.concurrent.ExecutionContext.global)
+        try streaming.DedupIndex.applyBatch(b, s"$work/dedup", i.toLong,
+          cfg)
+        catch { case t: Throwable =>
+          try scala.concurrent.Await.ready(stateCommit,
+            scala.concurrent.duration.Duration.Inf)
+          catch { case _: Throwable => () }
+          throw t
+        }
+        scala.concurrent.Await.result(stateCommit,
+          scala.concurrent.duration.Duration.Inf)
       }
       val live = streaming.BucketedState.currentView(s, s"$work/state",
           changeSchema, stateBuckets)

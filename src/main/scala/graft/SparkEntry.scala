@@ -6454,9 +6454,27 @@ object SparkEntry {
     val cfg = streaming.DedupIndex.Config(sigBuckets = 8,
       bandBuckets = 16, pairBuckets = 8)
     Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
-      streaming.BucketedState.mergeBatch(b, i.toLong, s"$store/state",
-        Seq("doc_id"), 8)
-      streaming.DedupIndex.applyBatch(b, s"$store/dedup", i.toLong, cfg)
+      // doc-state merge CONCURRENT with the index batch: independent
+      // stores, and the index's own reads are beforeBatch-bounded —
+      // the same commit-overlap argument as the index's three
+      // sub-stores. Joined before the next batch (its pre-batch state
+      // read needs the committed version).
+      val stateCommit = scala.concurrent.Future {
+        streaming.BucketedState.mergeBatch(b, i.toLong, s"$store/state",
+          Seq("doc_id"), 8)
+      }(scala.concurrent.ExecutionContext.global)
+      try streaming.DedupIndex.applyBatch(b, s"$store/dedup", i.toLong,
+        cfg)
+      catch { case t: Throwable =>
+        // join the in-flight state commit before propagating, so a
+        // retry never races an orphaned merge on its staging dir
+        try scala.concurrent.Await.ready(stateCommit,
+          scala.concurrent.duration.Duration.Inf)
+        catch { case _: Throwable => () }
+        throw t
+      }
+      scala.concurrent.Await.result(stateCommit,
+        scala.concurrent.duration.Duration.Inf)
     }
     // refresh over maintained state (eager checkpoints: same frontier
     // rationale as corpusCleanV6)
