@@ -1,5 +1,6 @@
 package graft
 
+import graft.Frontier._
 import graft.config.{Rule, SyncConfig}
 import graft.functions.{Pii, TextFunctions, TypeNorm}
 import graft.operators._
@@ -829,17 +830,20 @@ object SparkEntry {
       .withColumn("ord_month", col("ord_month").cast("string"))
   }
 
-  /** [[cdcAggView]] through a MID-STREAM ADD COLUMN — the reference's
-    * keep-running DDL posture (river/river.go:166-180 refreshes
-    * TableInfo on ALTER and keeps syncing) applied to the maintained
-    * view: the even-key half of the feed replays under the original
-    * schema, then the odd-key half arrives WIDER (a nullable `note`
-    * payload column the view never folds) on the same checkpoint and
-    * state. The schema pin absorbs the widening
-    * ([[graft.streaming.BucketedState.requireSameSchema]]); pre-DDL
-    * state reads the new column as null. Oracle: identical to
-    * cdc_agg_view — the DDL must be invisible to what the view
-    * serves. */
+  /** [[cdcAggView]] through a MID-STREAM ADD COLUMN *and a later DROP
+    * of it* — the reference's keep-running DDL posture
+    * (river/river.go:166-180 refreshes TableInfo on ANY ALTER,
+    * including DROP COLUMN, and keeps syncing) applied to the
+    * maintained view: a third of the feed replays under the original
+    * schema, the next third arrives WIDER (a nullable `note` payload
+    * column the view never folds), and the final third arrives with
+    * `note` DROPPED again — all on the same checkpoint and state. The
+    * schema pin absorbs the widening AND the drop
+    * ([[graft.streaming.BucketedState.resolveSchema]]): pre-DDL state
+    * reads the added column as null, post-drop batches are null-padded
+    * to the pinned width while state keeps the column. Oracle:
+    * identical to cdc_agg_view — both DDLs must be invisible to what
+    * the view serves. */
   private def cdcAggEvolve(s: SparkSession, dir: String): DataFrame =
       withShufflePartitions(s, 8) {
     val work = scratchDir("graft_aggevo_")
@@ -850,20 +854,28 @@ object SparkEntry {
       trunc(col("o_orderdate"), "month").as("ord_month"),
       round(col("o_totalprice") * 100).cast("long").as("cents"),
       col("_op"), col("_seq"))
-    val phase1 = prepared.filter(col("o_orderkey") % 2 === 0)
+    val phase1 = prepared.filter(col("o_orderkey") % 3 === 0)
     phase1.coalesce(1).write.mode("overwrite").parquet(s"$work/changes")
     streaming.AggView.replayToCompletion(s, s"$work/changes",
       phase1.schema, s"$work/state", s"$work/view", s"$work/ckpt",
       spec, stateBuckets = 16, viewBuckets = 8,
       maintenance = streaming.CdcStream.Maintenance(gcEvery = 1))
-    // ALTER TABLE ADD COLUMN note — the rest of the feed arrives wider
+    // ALTER TABLE ADD COLUMN note — the next third arrives wider
     // (sparsely populated; `when` without otherwise keeps it nullable)
-    val phase2 = prepared.filter(col("o_orderkey") % 2 === 1)
-      .withColumn("note", when(col("o_orderkey") % 3 === 0,
+    val phase2 = prepared.filter(col("o_orderkey") % 3 === 1)
+      .withColumn("note", when(col("o_orderkey") % 5 === 0,
         concat(lit("n"), col("o_orderkey").cast("string"))))
     phase2.coalesce(1).write.mode("append").parquet(s"$work/changes")
     streaming.AggView.replayToCompletion(s, s"$work/changes",
       phase2.schema, s"$work/state", s"$work/view", s"$work/ckpt",
+      spec, stateBuckets = 16, viewBuckets = 8,
+      maintenance = streaming.CdcStream.Maintenance(gcEvery = 1))
+    // ALTER TABLE DROP COLUMN note — the final third arrives narrow
+    // again; the pin keeps the column and the fold continues
+    val phase3 = prepared.filter(col("o_orderkey") % 3 === 2)
+    phase3.coalesce(1).write.mode("append").parquet(s"$work/changes")
+    streaming.AggView.replayToCompletion(s, s"$work/changes",
+      phase3.schema, s"$work/state", s"$work/view", s"$work/ckpt",
       spec, stateBuckets = 16, viewBuckets = 8,
       maintenance = streaming.CdcStream.Maintenance(gcEvery = 1))
       .withColumn("ord_month", col("ord_month").cast("string"))
@@ -1127,7 +1139,7 @@ object SparkEntry {
       val sc = round(operators.QualityClassifier.score(fcols, w), 6)
       feats.select(col("doc_id"), sc.as("score"),
           (sc >= thr).cast("int").as("pred"))
-        .localCheckpoint(true)
+        .frontier
     } finally feats.unpersist(false)
   }
 
@@ -1366,22 +1378,29 @@ object SparkEntry {
     var pinned = Set.empty[java.io.File]
     def pinNewFiles(t: Long): Unit = {
       val fresh = partFiles() -- pinned
-      fresh.foreach(_.setLastModified(t))
+      // fail loudly if the mtime pin did not take: a silent fallback to
+      // natural write mtimes can collide under coarse timestamp
+      // granularity — exactly the batch-order nondeterminism this pin
+      // exists to eliminate
+      fresh.foreach(fl => require(fl.setLastModified(t),
+        s"streamIntervalLeft: could not pin mtime of $fl — " +
+          "micro-batch replay order would be nondeterministic"))
       pinned ++= fresh
     }
     ev.coalesce(1).write.parquet(in)
     pinNewFiles(t0)
-    (1 to 1).foreach { k =>
-      val tsv = timestamp_micros(lit(mxUs + k * 60L * 86400 * 1000000))
-      val one = ev.limit(1)
-      one.select(lit(-(2L * k)).as("event_id"), lit(-1L).as("user_id"),
-          lit("click").as("event_type"), tsv.as("ts"))
-        .unionByName(one.select(lit(-(2L * k) - 1).as("event_id"),
-          lit(-1L).as("user_id"), lit("purchase").as("event_type"),
-          tsv.as("ts")))
-        .coalesce(1).write.mode("append").parquet(in)
-      pinNewFiles(t0 + k * 60000L)
-    }
+    // the ONE sentinel batch (a click+purchase pair far past the real
+    // timeline) that drives the final watermark over every real row's
+    // window, releasing the held outer rows in the same AvailableNow run
+    val tsv = timestamp_micros(lit(mxUs + 60L * 86400 * 1000000))
+    val one = ev.limit(1)
+    one.select(lit(-2L).as("event_id"), lit(-1L).as("user_id"),
+        lit("click").as("event_type"), tsv.as("ts"))
+      .unionByName(one.select(lit(-3L).as("event_id"),
+        lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+        tsv.as("ts")))
+      .coalesce(1).write.mode("append").parquet(in)
+    pinNewFiles(t0 + 60000L)
     def side(tpe: String) = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
       .where(col("event_type") === tpe)
@@ -1581,7 +1600,7 @@ object SparkEntry {
     val pages = t(s, dir, "documents")
       .select(col("doc_id"), synthPageCol.as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try Dedup.dedupLines(pages, "doc_id", "text").localCheckpoint(true)
+    try Dedup.dedupLines(pages, "doc_id", "text").frontier
     finally pages.unpersist(false)
   }
 
@@ -1611,7 +1630,7 @@ object SparkEntry {
           col("clean_text"),
           TextFunctions.bpeTokenCount(coalesce(col("clean_text"), lit("")))
             .cast("long").as("n_tok"))
-        .localCheckpoint(true)
+        .frontier
     } finally survivors.unpersist(false)
   }
 
@@ -2060,7 +2079,7 @@ object SparkEntry {
     // packing/split executions don't re-analyze it (see corpusCleanV6's
     // frontier note — profiled, the deep-lineage planning cost rivals
     // the jobs themselves)
-    val kept = dedupKeptIds(s, dir, docs).localCheckpoint(true)
+    val kept = dedupKeptIds(s, dir, docs).frontier
     val toks = docs.join(kept, Seq("doc_id"))
       .select(col("doc_id"),
         TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tok"))
@@ -2092,12 +2111,12 @@ object SparkEntry {
     // eager-checkpoint frontiers, not persists — truncates lineage so
     // downstream executions don't re-analyze the whole chain (see
     // corpusCleanV6's frontier note)
-    val kept = dedupKeptIds(s, dir, docs).localCheckpoint(true)
+    val kept = dedupKeptIds(s, dir, docs).frontier
     // three consumers (LM score, mixture input, token count) — without
     // the frontier each re-scans documents and re-runs the kept join
     val clean = docs.join(kept, Seq("doc_id"))
       .select("doc_id", "lang", "text")
-      .localCheckpoint(true)
+      .frontier
     // quality filter: bigram LM trained on the deduped corpus; docs
     // without a single bigram carry no score and drop with the bad
     val good = operators.LangModel.score(
@@ -2117,7 +2136,7 @@ object SparkEntry {
     Sampling.hashSplit(packed, "doc_id",
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
-      .localCheckpoint(true)
+      .frontier
   }
 
   /** [[corpusCleanV2]] with the round-10 per-domain RELATIVE quality
@@ -2134,7 +2153,7 @@ object SparkEntry {
     // eager-checkpoint frontiers, not persists — truncates lineage so
     // downstream executions don't re-analyze the whole chain (see
     // corpusCleanV6's frontier note)
-    val kept = dedupKeptIds(s, dir, docs).localCheckpoint(true)
+    val kept = dedupKeptIds(s, dir, docs).frontier
     val clean = docs.join(kept, Seq("doc_id"))
     // three consumers (LM score, mixture input, token count) — without
     // the frontier each re-runs the KMV domain filter AND the kept join
@@ -2143,7 +2162,7 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
         .select("doc_id"), Seq("doc_id"))
       .select("doc_id", "lang", "text")
-      .localCheckpoint(true)
+      .frontier
     val good = operators.LangModel.score(
       base.select("doc_id", "text")
         .repartition(s.sparkContext.defaultParallelism),
@@ -2161,7 +2180,7 @@ object SparkEntry {
     Sampling.hashSplit(packed, "doc_id",
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
-      .localCheckpoint(true)
+      .frontier
   }
 
   /** The v3 pipeline with DSIR target-likeness selection spliced
@@ -2176,7 +2195,7 @@ object SparkEntry {
     // eager-checkpoint frontiers, not persists — truncates lineage so
     // downstream executions don't re-analyze the whole chain (see
     // corpusCleanV6's frontier note)
-    val kept = dedupKeptIds(s, dir, docs).localCheckpoint(true)
+    val kept = dedupKeptIds(s, dir, docs).frontier
     val clean = docs.join(kept, Seq("doc_id"))
     // two consumers (LM score, survivor build) — checkpointed so the
     // KMV domain filter and the kept join run once
@@ -2185,7 +2204,7 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
         .select("doc_id"), Seq("doc_id"))
       .select("doc_id", "lang", "text")
-      .localCheckpoint(true)
+      .frontier
     // the LM-survivor id set (the v6 shape: id sets join back into the
     // one text frontier instead of materializing another text frame)
     val goodIds = operators.LangModel.score(
@@ -2193,7 +2212,7 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism),
       "doc_id", "text")
       .filter(col("lm_score") >= -3.40).select("doc_id")
-      .localCheckpoint(true)
+      .frontier
     val goodDocs = base.join(goodIds, Seq("doc_id"))
     // −25000 µnats/token ≈ the survivor-set median: keep the
     // more-target-like half (mean ≥ 0 is degenerate HERE — the LM
@@ -2213,7 +2232,7 @@ object SparkEntry {
     Sampling.hashSplit(packed, "doc_id",
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
-      .localCheckpoint(true)
+      .frontier
   }
 
   /** The v4 pipeline with benchmark DECONTAMINATION spliced between
@@ -2229,20 +2248,20 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     // eager-checkpoint frontiers + survivor ID SETS joining back into
     // one text frame — the v6 shape (see corpusCleanV6's frontier note)
-    val kept = dedupKeptIds(s, dir, docs).localCheckpoint(true)
+    val kept = dedupKeptIds(s, dir, docs).frontier
     val clean = docs.join(kept, Seq("doc_id"))
     val base = clean.join(CorpusStats.filterByDomainQuantile(
         clean.select("doc_id", "source", "text"), "doc_id", "source",
         TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
         .select("doc_id"), Seq("doc_id"))
       .select("doc_id", "lang", "text")
-      .localCheckpoint(true)
+      .frontier
     val goodIds = operators.LangModel.score(
       base.select("doc_id", "text")
         .repartition(s.sparkContext.defaultParallelism),
       "doc_id", "text")
       .filter(col("lm_score") >= -3.40).select("doc_id")
-      .localCheckpoint(true)
+      .frontier
     // decontamination: bench = the full corpus's bucket-0 slice
     // (decontam_ngram's benchmark), flag over the LM survivors only;
     // its survivors are ⊂ goodIds, so the id set IS the survivor set
@@ -2255,7 +2274,7 @@ object SparkEntry {
       bench, "doc_id", "text", "bench_id", "text",
       n = 5, minMatched = 5L, minOverlap = 0.5)
       .filter(col("contaminated") === 0).select("doc_id")
-      .localCheckpoint(true)
+      .frontier
     val decon = base.join(deconIds, Seq("doc_id"))
     val sel = Dsir.selectByFlag(decon,
       col("lang") === "en", "doc_id", "text",
@@ -2272,7 +2291,7 @@ object SparkEntry {
     Sampling.hashSplit(packed, "doc_id",
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
-      .localCheckpoint(true)
+      .frontier
   }
 
   /** The v5 pipeline with SEMANTIC dedup spliced between
@@ -2298,7 +2317,7 @@ object SparkEntry {
     // truncates the plan to an RDD leaf; the id-set frontiers are tiny
     // (survivor ids) and `base` is one (doc_id, lang, text) pass the
     // pipeline reads repeatedly anyway. Blocks release with the RDDs.
-    val kept = dedupKeptIds(s, dir, docs).localCheckpoint(true)
+    val kept = dedupKeptIds(s, dir, docs).frontier
     val clean = docs.join(kept, Seq("doc_id"))
     // ONE materialized text frame for the whole pipeline; every stage
     // after it carries a survivor ID SET and joins back into this
@@ -2310,7 +2329,7 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")), p = 0.3, k = 128)
         .select("doc_id"), Seq("doc_id"))
       .select("doc_id", "lang", "text")
-      .localCheckpoint(true)
+      .frontier
     // fan out ONLY ahead of the two CPU-heavy scans (LM below,
     // decontam next): the testdata corpus is a single parquet split,
     // so these per-row scans would otherwise run one-task — while
@@ -2322,7 +2341,7 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism),
       "doc_id", "text")
       .filter(col("lm_score") >= -3.40).select("doc_id")
-      .localCheckpoint(true)
+      .frontier
     val bench = docs
       .filter(Sampling.hashBucket(col("doc_id"), 10) === 0)
       .select(col("doc_id").as("bench_id"), col("text"))
@@ -2336,7 +2355,7 @@ object SparkEntry {
       bench, "doc_id", "text", "bench_id", "text",
       n = 5, minMatched = 5L, minOverlap = 0.5)
       .filter(col("contaminated") === 0).select("doc_id")
-      .localCheckpoint(true)
+      .frontier
     // semantic near-dup drop among the decontaminated survivors:
     // pair space restricted to their vectors, centroids shared with
     // the gated dedup_semantic chain; left_anti keeps the docs that
@@ -2347,7 +2366,7 @@ object SparkEntry {
       .filter(col("is_dup") === 1)
       .select(col("vec_id").as("doc_id"))
     val semIds = deconIds.join(semDrop, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .frontier
     val sem = base.join(semIds, Seq("doc_id"))
     val sel = Dsir.selectByFlag(sem,
       col("lang") === "en", "doc_id", "text",
@@ -2364,7 +2383,7 @@ object SparkEntry {
     Sampling.hashSplit(packed, "doc_id",
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
-      .localCheckpoint(true)
+      .frontier
   }
 
   /** Token-budget packing of the corpus into contiguous training bins
@@ -6480,12 +6499,12 @@ object SparkEntry {
     // rationale as corpusCleanV6)
     val live = streaming.BucketedState.currentView(s, s"$store/state",
         b0.schema, 8)
-      .select("doc_id", "lang", "text").localCheckpoint(true)
+      .select("doc_id", "lang", "text").frontier
     val pairs = streaming.DedupIndex.currentPairs(s, s"$store/dedup", cfg)
       .select("a", "b")
     val kept = Clustering.canonicalize(live.select("doc_id"), pairs,
       "doc_id").filter(col("keep")).select("doc_id")
-    val clean = live.join(kept, Seq("doc_id")).localCheckpoint(true)
+    val clean = live.join(kept, Seq("doc_id")).frontier
     val good = operators.LangModel.score(
       clean.select("doc_id", "text")
         .repartition(s.sparkContext.defaultParallelism),
@@ -6502,7 +6521,7 @@ object SparkEntry {
     Sampling.hashSplit(packed, "doc_id",
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
-      .localCheckpoint(true)
+      .frontier
   }
 
   /** DuckDB replay of cdc_corpus_clean: the final LWW corpus of the

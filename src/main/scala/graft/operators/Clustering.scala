@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Frontier._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -52,7 +53,7 @@ object Clustering {
     var edges = pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .frontier
     var converged = false
     var rounds = 0
     // carried across rounds: round k's `next` checksum IS round k+1's
@@ -67,7 +68,7 @@ object Clustering {
       // outer one and the fused iteration ran 2-3× SLOWER than two
       // materialized rounds. The checkpoint per round is load-bearing,
       // not overhead.)
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).frontier
       val nextSum = checksum(next)
       if (nextSum == edgesSum) {
         converged = next.exceptAll(edges).isEmpty

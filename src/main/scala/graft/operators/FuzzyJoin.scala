@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Frontier._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -113,9 +114,9 @@ object FuzzyJoin {
     // arrives in (one, for the testdata parquet)
     val dp = left.sparkSession.sparkContext.defaultParallelism
     val lg = allGrams(left.repartition(dp), leftId, leftStr, q, "l")
-      .localCheckpoint(true)
+      .frontier
     val rg = allGrams(right.repartition(dp), rightId, rightStr, q, "r")
-      .localCheckpoint(true)
+      .frontier
     // corpus-wide (gram, occ) document frequency over BOTH sides — the
     // global prefix order. Gram-keyed aggregate, output bounded by the
     // distinct-gram vocabulary, never by row count.
@@ -123,9 +124,9 @@ object FuzzyJoin {
       .unionAll(rg.select(col("g"), col("occ")))
       .groupBy(col("g"), col("occ"))
       .agg(count(lit(1)).as("_df"))
-      .localCheckpoint(true)
-    val lp = posting(lg, "l", k, q, dfreq).localCheckpoint(true)
-    val rp = posting(rg, "r", k, q, dfreq).localCheckpoint(true)
+      .frontier
+    val lp = posting(lg, "l", k, q, dfreq).frontier
+    val rp = posting(rg, "r", k, q, dfreq).frontier
     // explicit hash layout on the join key: the posting tables are
     // tiny in BYTES (k·q+1 rows per string), so AQE's advisory-size
     // coalescing would run this join on ONE partition — but its cost

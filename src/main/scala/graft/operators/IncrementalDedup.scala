@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Frontier._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -188,7 +189,7 @@ object IncrementalDedup {
               // finally unpersists cands — materialize while the
               // candidate frame is still cached
               Dedup.jaccardVerify(cands, sets, cfg.threshold)
-                .localCheckpoint(true)
+                .frontier
             } finally cands.unpersist(false)
           }
 

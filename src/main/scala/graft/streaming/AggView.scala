@@ -107,23 +107,28 @@ object AggView {
     * zero — while they are still pinned, so a downstream push (the
     * JDBC delta in [[startToJdbc]]) costs O(touched groups) with no
     * extra state read. */
+  /** Returns the EFFECTIVE change schema the batch was folded under
+    * (the pin, possibly wider than the batch after an absorbed DROP) —
+    * the schema maintenance passes must read/rewrite the key state
+    * with, or a compaction would silently shed a retained column. */
   def applyBatch(batch: DataFrame, batchId: Long, keyStateDir: String,
       viewDir: String, spec: Spec, stateBuckets: Int,
-      viewBuckets: Int, serve: DataFrame => Unit = _ => ()): Unit = {
+      viewBuckets: Int, serve: DataFrame => Unit = _ => ()): StructType = {
     val spark = batch.sparkSession
-    requireIntegral(batch.schema, spec)
     // schema-evolution contract (pin lives with the key state — one per
     // view instance): an ADDITIVE nullable payload column is absorbed
-    // (the view never folds it; pre-batch state reads it as null), any
-    // key/group/measure or type change fail-stops — see
-    // BucketedState.requireSameSchema
-    BucketedState.requireSameSchema(spark, keyStateDir, batch.schema,
-      new org.apache.hadoop.fs.Path(viewDir).getName,
+    // (the view never folds it; pre-batch state reads it as null), a
+    // DROP of such a column is absorbed by null-padding the batch to
+    // the pinned width (state keeps the column), any key/group/measure
+    // or type change fail-stops — see BucketedState.resolveSchema
+    val effSchema = BucketedState.resolveSchema(spark, keyStateDir,
+      batch.schema, new org.apache.hadoop.fs.Path(viewDir).getName,
       reservedCols = spec.keyCols ++ spec.groupCols ++ spec.measureCols)
+    requireIntegral(effSchema, spec)
     // the batch feeds several consumers (key listing + broadcast,
     // key-state merge, the image fold) — pin it once instead of
     // re-scanning the change-log parquet per consumer
-    val b = batch.persist(
+    val b = BucketedState.conform(batch, effSchema).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val keys = b.select(spec.keyCols.map(col): _*).distinct()
@@ -136,7 +141,7 @@ object AggView {
     // and byte-identical however often the delta evaluates even after
     // the merge below lands new versions
     val oldState: DataFrame = BucketedState.stateForKeys(spark,
-      keyStateDir, batch.schema, stateBuckets, spec.keyCols, keys,
+      keyStateDir, effSchema, stateBuckets, spec.keyCols, keys,
       beforeBatch = Some(batchId), touchedHint = Some(keyBuckets))
     // per-key old/new images in ONE aggregate (the r14 fusion,
     // [[CdcMerge.oldNewImages]] — replaces the window collapse + two
@@ -182,7 +187,7 @@ object AggView {
         stateBuckets, touchedHint = Some(keyBuckets))
     }(BucketedState.commitPool)
     try {
-    val aggSchema = viewSchema(batch.schema, spec)
+    val aggSchema = viewSchema(effSchema, spec)
     val touched = delta.select(spec.groupCols.map(col): _*)
     // one group-bucket listing, shared with the view merge below: the
     // fold emits exactly one event per delta group, so the events'
@@ -238,6 +243,7 @@ object AggView {
     } finally events.unpersist(false)
     scala.concurrent.Await.result(keyCommit,
       scala.concurrent.duration.Duration.Inf)
+    effSchema
     } catch {
       case t: Throwable =>
         BucketedState.joinQuietly(keyCommit)
@@ -263,12 +269,16 @@ object AggView {
     guarded.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, keyStateDir, viewDir, spec,
+        // maintenance reads/rewrites the key state under the EFFECTIVE
+        // schema applyBatch folded with — after an absorbed DROP the
+        // pin is wider than the batch, and compacting under the narrow
+        // batch schema would shed the retained column's values
+        val eff = applyBatch(batch, batchId, keyStateDir, viewDir, spec,
           stateBuckets, viewBuckets)
-        maintenance.run(spark, keyStateDir, batchId, batch.schema,
+        maintenance.run(spark, keyStateDir, batchId, eff,
           spec.keyCols, Some(stateBuckets))
         maintenance.run(spark, viewDir, batchId,
-          viewSchema(batch.schema, spec), spec.groupCols,
+          viewSchema(eff, spec), spec.groupCols,
           Some(viewBuckets))
       }
       .trigger(trigger)
@@ -306,7 +316,7 @@ object AggView {
     guarded.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, keyStateDir, viewDir, spec,
+        val eff = applyBatch(batch, batchId, keyStateDir, viewDir, spec,
           stateBuckets, viewBuckets, serve = events => {
             if (!JdbcSink.tableExists(jdbcUrl, jdbcTable, jdbcOptions)) {
               // bootstrap must not read the view store — its commit is
@@ -332,10 +342,10 @@ object AggView {
                 jdbcTable, options = jdbcOptions)
             }
           })
-        maintenance.run(spark, keyStateDir, batchId, batch.schema,
+        maintenance.run(spark, keyStateDir, batchId, eff,
           spec.keyCols, Some(stateBuckets))
         maintenance.run(spark, viewDir, batchId,
-          viewSchema(batch.schema, spec), spec.groupCols,
+          viewSchema(eff, spec), spec.groupCols,
           Some(viewBuckets))
       }
       .trigger(trigger)

@@ -90,35 +90,39 @@ object BucketedState {
     * (AggView/MinMaxView/DedupIndex): the first batch writes the
     * change-stream schema DDL to `<dir>/_GRAFT_VIEW_SCHEMA`; every
     * later batch — including after a restart — must either match it
-    * exactly or be an ADDITIVE widening:
+    * exactly or be an absorbable DDL step. Returns the EFFECTIVE
+    * schema the batch should be folded under (see [[conform]]):
     *
-    *   - every pinned field still present with the identical data type,
-    *   - every new field nullable AND not one of `reservedCols` (the
+    *   - ADD of a nullable, non-reserved column (reservedCols = the
     *     view's key/group/measure/value columns — a column the view
     *     actually folds cannot appear mid-stream, its historical state
-    *     would be silently wrong).
+    *     would be silently wrong): absorbed; pre-batch state parquet is
+    *     read under the wider schema, so old rows carry null, and the
+    *     pin advances to the widened DDL (atomically) so a later TYPE
+    *     change of that column still fail-stops.
+    *   - DROP of a non-reserved payload column (r15): absorbed the
+    *     other way round — the pin KEEPS the column (state keeps it;
+    *     existing bucket versions still hold its values) and the
+    *     narrower batch is null-padded up to the pinned width by
+    *     [[conform]]. A later re-ADD with the same type simply starts
+    *     populating it again; a re-ADD with a different type still
+    *     fail-stops against the retained pin entry. This closes the
+    *     posture gap vs the reference, which refreshes TableInfo on
+    *     ANY DDL — including DROP COLUMN — and keeps syncing
+    *     (river/sync.go:54-60, river/river.go:166-180).
     *
-    * An accepted widening is absorbed exactly like the envelope
-    * pipeline's versioned state (SchemaEvolutionSpec): pre-batch state
-    * parquet is read under the wider schema, so old rows carry null for
-    * the new column, and the pin advances to the widened DDL
-    * (atomically) so a later TYPE change of that column still
-    * fail-stops. This is the reference's keep-running DDL posture
-    * (river/river.go:166-180 refreshes TableInfo on ALTER and keeps
-    * syncing) applied to the one case a maintained aggregate CAN
-    * absorb — a payload column it never folds.
-    *
-    * Everything else — dropped column, type change, a new column that
-    * is reserved or non-nullable — fail-stops with a rebuild
-    * instruction: the projection/delta state was built under the old
-    * column set, and folding such batches onto it would silently mix
-    * incompatible images (the fail-stop half of the reference's
-    * posture; a view has no TableInfo replay). Idempotent under
-    * crash-replay: the pin's content is a pure function of the schema
-    * progression. */
-  def requireSameSchema(spark: SparkSession, dir: String,
+    * Everything else — a reserved column dropped or type-changed, a
+    * new column that is reserved or non-nullable — fail-stops with a
+    * rebuild instruction: the projection/delta state was built under
+    * the old column set, and folding such batches onto it would
+    * silently mix incompatible images (the fail-stop half of the
+    * reference's posture; a view has no TableInfo replay). Idempotent
+    * under crash-replay: the pin's content is a pure function of the
+    * schema progression (a drop never rewrites it, an add widens it
+    * deterministically). */
+  def resolveSchema(spark: SparkSession, dir: String,
       schema: StructType, what: String,
-      reservedCols: Seq[String] = Nil): Unit = {
+      reservedCols: Seq[String] = Nil): StructType = {
     val f = fs(spark, dir)
     val p = new Path(dir, SchemaPin)
     val ddl = schema.toDDL
@@ -127,50 +131,74 @@ object BucketedState {
     // batch even with the original schema. Stage to a temp name and
     // rename into place (atomic on HDFS/local FS); an empty pin read
     // back (pre-fix leftover) is treated as absent and rewritten.
-    def writePin(): Unit = {
+    def writePin(d: String): Unit = {
       f.mkdirs(new Path(dir))
       val tmp = new Path(dir, s"$SchemaPin.tmp")
       val out = f.create(tmp, true)
-      try out.write(ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       f.delete(p, false)
       f.rename(tmp, p)
       ()
     }
-    def additiveWidening(stored: StructType): Boolean = {
-      val byName = schema.fields.map(fd => fd.name -> fd).toMap
-      val kept = stored.fields.forall(old =>
-        byName.get(old.name).exists(_.dataType == old.dataType))
-      // `added` may be empty: a pure reorder / nullability relaxation
-      // is absorbed too — every state read and union here is name-based
-      val storedNames = stored.fieldNames.toSet
-      val added = schema.fields.filterNot(fd => storedNames(fd.name))
-      kept && added.forall(fd =>
-        fd.nullable && !reservedCols.contains(fd.name))
-    }
-    if (!f.exists(p)) writePin()
+    def fail(stored: String): Nothing = throw new IllegalStateException(
+      s"$what: change-stream schema evolved mid-stream — the view's " +
+        s"state was built under [$stored] but this batch carries " +
+        s"[$ddl]. Only an additive nullable non-key, non-aggregated " +
+        "column (or a DROP of such a column) can be absorbed; for " +
+        "this change the state is incompatible — rebuild the view " +
+        "from a fresh snapshot (drop its store and checkpoint " +
+        "directories and replay).")
+    if (!f.exists(p)) { writePin(ddl); schema }
     else {
       val in = f.open(p)
       val stored =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      if (stored.isEmpty) writePin()
-      else if (stored != ddl) {
+      if (stored.isEmpty) { writePin(ddl); schema }
+      else if (stored == ddl) schema
+      else {
         val storedSchema =
-          try Some(StructType.fromDDL(stored)) catch {
-            case _: Exception => None
+          try StructType.fromDDL(stored) catch {
+            case _: Exception => fail(stored)
           }
-        if (storedSchema.exists(additiveWidening)) writePin()
-        else throw new IllegalStateException(
-          s"$what: change-stream schema evolved mid-stream — the view's " +
-            s"state was built under [$stored] but this batch carries " +
-            s"[$ddl]. Only an additive nullable non-key, non-aggregated " +
-            "column can be absorbed; for this change the state is " +
-            "incompatible — rebuild the view from a fresh snapshot " +
-            "(drop its store and checkpoint directories and replay).")
+        val byName = schema.fields.map(fd => fd.name -> fd).toMap
+        // every pinned field: identical type if present; if absent, a
+        // reserved (folded) column fail-stops, a payload column is an
+        // absorbed DROP (kept in the pin, null-padded by conform)
+        storedSchema.fields.foreach { old =>
+          byName.get(old.name) match {
+            case Some(fd) if fd.dataType == old.dataType => ()
+            case Some(_) => fail(stored)
+            case None if reservedCols.contains(old.name) => fail(stored)
+            case None => ()
+          }
+        }
+        // every new field: nullable and non-reserved, else fail-stop
+        val storedNames = storedSchema.fieldNames.toSet
+        val added = schema.fields.filterNot(fd => storedNames(fd.name))
+        added.foreach(fd =>
+          if (!fd.nullable || reservedCols.contains(fd.name)) fail(stored))
+        val effective = StructType(storedSchema.fields ++ added)
+        if (added.nonEmpty) writePin(effective.toDDL)
+        effective
       }
     }
   }
+
+  /** Project `batch` onto the effective schema [[resolveSchema]]
+    * returned: pinned columns the batch no longer carries (an absorbed
+    * DROP) are null-padded at the pinned type, so every state union
+    * and merge below still sees the full pinned width. A no-op when
+    * the batch already matches. */
+  def conform(batch: DataFrame, effective: StructType): DataFrame =
+    if (batch.schema == effective) batch
+    else {
+      val have = batch.columns.toSet
+      batch.select(effective.fields.map(fd =>
+        if (have(fd.name)) col(fd.name)
+        else lit(null).cast(fd.dataType).as(fd.name)).toSeq: _*)
+    }
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -257,7 +285,12 @@ object BucketedState {
         filtered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else filtered
     try {
-    val touched = touchedHint.map(_.sorted.toArray).getOrElse(effective
+    // distinct: a duplicated hint entry would run the promote loop twice
+    // for that bucket — the second pass would delete the just-promoted
+    // version dir, find no staged src, and replace it with an empty
+    // marker-complete version (silent row loss). The contract only
+    // requires coverage, so normalize here rather than trusting callers.
+    val touched = touchedHint.map(_.distinct.sorted.toArray).getOrElse(effective
       .select(bucketExpr(bCols, nBuckets).as(BucketTag))
       .distinct().collect().map(_.getInt(0)).sorted)
     if (touched.isEmpty) return

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Frontier._
 import graft.model.ChangeEvent.{OpCol, SeqCol, OpDelete, OpUpdate}
 import graft.operators.{CdcMerge, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -89,11 +90,13 @@ object DedupIndex {
     val spark = changes.sparkSession
     // same schema-evolution contract as the sibling views
     // (AggView/MinMaxView): an ADDITIVE nullable payload column on the
-    // feed is absorbed (the index folds only doc_id/text), any change
-    // to the folded columns or a drop/type change fail-stops with the
-    // rebuild instruction — see BucketedState.requireSameSchema. Pin
-    // lives at the store root, one per index instance.
-    BucketedState.requireSameSchema(spark, storeDir, changes.schema,
+    // feed is absorbed, and so is its later DROP (the index folds only
+    // doc_id/text, which the select below projects regardless); any
+    // change to the folded columns or their types fail-stops with the
+    // rebuild instruction — see BucketedState.resolveSchema. Pin
+    // lives at the store root, one per index instance. The effective
+    // schema is not needed further: the fold never touches payload.
+    BucketedState.resolveSchema(spark, storeDir, changes.schema,
       new org.apache.hadoop.fs.Path(storeDir).getName,
       reservedCols = Seq("doc_id", "text", OpCol, SeqCol))
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -175,7 +178,7 @@ object DedupIndex {
           // eager checkpoint: consumed by the retire anti-join, its
           // bucket listing, and the merge write — the minhash_sig
           // recompute per consumer would triple the per-row CPU
-          val oldBands = bandKeys(oldSigs, cfg).localCheckpoint(true)
+          val oldBands = bandKeys(oldSigs, cfg).frontier
           val retire = oldBands
             .join(newBands, Seq("band", "key", "doc_id"), "left_anti")
             .select(col("band"), col("key"), col("doc_id"),
@@ -238,7 +241,7 @@ object DedupIndex {
                 newSigs.select(col("doc_id"), col("hs"), col("n_sh")),
                 cfg.k, cfg.bands, cfg.threshold))
               .distinct()
-              .localCheckpoint(true)
+              .frontier
           }
 
           // ---- pair index: retire EVERY stored pair touching a

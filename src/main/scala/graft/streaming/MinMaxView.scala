@@ -152,10 +152,14 @@ object MinMaxView {
     * failing batch every in-flight commit is joined before the error
     * propagates, so a retry of the same batchId never races an
     * orphaned merge against its own staging directory. */
+  /** Returns the EFFECTIVE change schema the batch was folded under
+    * (the pin, possibly wider than the batch after an absorbed DROP) —
+    * the schema maintenance passes must read/rewrite the key state
+    * with, or a compaction would silently shed a retained column. */
   def applyBatch(batch: DataFrame, batchId: Long, keyStateDir: String,
       projDir: String, viewDir: String, spec: Spec, stateBuckets: Int,
       projBuckets: Int, viewBuckets: Int,
-      serve: DataFrame => Unit = _ => ()): Unit = {
+      serve: DataFrame => Unit = _ => ()): StructType = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     val spark = batch.sparkSession
@@ -165,16 +169,18 @@ object MinMaxView {
     // schema-evolution contract (pin lives with the key state — one per
     // view instance): an ADDITIVE nullable payload column is absorbed
     // (the projection never carries it; pre-batch state reads it as
-    // null), any key/group/value/distinct or type change fail-stops —
-    // see BucketedState.requireSameSchema
-    BucketedState.requireSameSchema(spark, keyStateDir, batch.schema,
-      new org.apache.hadoop.fs.Path(viewDir).getName,
+    // null), a DROP of such a column is absorbed by null-padding the
+    // batch to the pinned width (state keeps the column), any
+    // key/group/value/distinct or type change fail-stops — see
+    // BucketedState.resolveSchema
+    val effSchema = BucketedState.resolveSchema(spark, keyStateDir,
+      batch.schema, new org.apache.hadoop.fs.Path(viewDir).getName,
       reservedCols = spec.projCols)
     try {
       // the batch feeds several consumers (key listing + broadcast,
       // key-state merge, the image fold) — pin it once instead of
       // re-scanning the change-log parquet per consumer
-      val b = batch.persist(mem)
+      val b = BucketedState.conform(batch, effSchema).persist(mem)
       pins += b
       val keys = b.select(spec.keyCols.map(col): _*).distinct()
       // ONE bucket listing per store: the key-state merge writes
@@ -186,7 +192,7 @@ object MinMaxView {
       // pre-batch images of the batch's keys (version-bounded: a crash
       // replay recomputes byte-identical events)
       val oldState = BucketedState.stateForKeys(spark, keyStateDir,
-        batch.schema, stateBuckets, spec.keyCols, keys,
+        effSchema, stateBuckets, spec.keyCols, keys,
         beforeBatch = Some(batchId), touchedHint = Some(keyBuckets))
       pending += Future {
         BucketedState.mergeBatch(b, batchId, keyStateDir,
@@ -255,7 +261,7 @@ object MinMaxView {
       // (`_rc` = 0 → tombstone, all-null aggregates) — the r14 fusion
       // of the previous separate emptied anti-join probe.
       val preProj = BucketedState.stateForKeys(spark, projDir,
-        projSchema(batch.schema, spec), projBuckets, projIdent, touched,
+        projSchema(effSchema, spec), projBuckets, projIdent, touched,
         beforeBatch = Some(batchId), bucketCols = spec.groupCols,
         touchedHint = Some(projBucketIds))
       val latest = CdcMerge.latestByKey(
@@ -286,6 +292,7 @@ object MinMaxView {
       // all commits land before the pins release (and before the
       // caller's checkpoint commit); failures propagate
       pending.foreach(f => Await.result(f, Duration.Inf))
+      effSchema
     } catch {
       case t: Throwable =>
         BucketedState.joinQuietly(pending.toSeq: _*)
@@ -311,16 +318,20 @@ object MinMaxView {
     guarded.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, keyStateDir, projDir, viewDir, spec,
-          stateBuckets, projBuckets, viewBuckets)
-        maintenance.run(spark, keyStateDir, batchId, batch.schema,
+        // key-state maintenance under the EFFECTIVE schema applyBatch
+        // folded with — after an absorbed DROP the pin is wider than
+        // the batch, and compacting under the narrow batch schema
+        // would shed the retained column's values
+        val eff = applyBatch(batch, batchId, keyStateDir, projDir,
+          viewDir, spec, stateBuckets, projBuckets, viewBuckets)
+        maintenance.run(spark, keyStateDir, batchId, eff,
           spec.keyCols, Some(stateBuckets))
         maintenance.run(spark, projDir, batchId,
-          projSchema(batch.schema, spec),
+          projSchema(eff, spec),
           spec.groupCols ++ spec.keyCols, Some(projBuckets),
           bucketCols = spec.groupCols)
         maintenance.run(spark, viewDir, batchId,
-          viewSchema(batch.schema, spec), spec.groupCols,
+          viewSchema(eff, spec), spec.groupCols,
           Some(viewBuckets))
       }
       .trigger(trigger)
@@ -357,18 +368,18 @@ object MinMaxView {
     guarded.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, keyStateDir, projDir, viewDir, spec,
-          stateBuckets, projBuckets, viewBuckets,
+        val eff = applyBatch(batch, batchId, keyStateDir, projDir,
+          viewDir, spec, stateBuckets, projBuckets, viewBuckets,
           serve = jdbcServe(spark, viewDir, spec, jdbcUrl, jdbcTable,
             jdbcOptions, viewBuckets, batch.schema, batchId))
-        maintenance.run(spark, keyStateDir, batchId, batch.schema,
+        maintenance.run(spark, keyStateDir, batchId, eff,
           spec.keyCols, Some(stateBuckets))
         maintenance.run(spark, projDir, batchId,
-          projSchema(batch.schema, spec),
+          projSchema(eff, spec),
           spec.groupCols ++ spec.keyCols, Some(projBuckets),
           bucketCols = spec.groupCols)
         maintenance.run(spark, viewDir, batchId,
-          viewSchema(batch.schema, spec), spec.groupCols,
+          viewSchema(eff, spec), spec.groupCols,
           Some(viewBuckets))
       }
       .trigger(trigger)

@@ -118,16 +118,18 @@ class SchemaEvolutionSpec extends AnyFunSuite {
 
   // --- stateful VIEWS: the mid-stream evolution contract is the
   // reference's keep-running DDL posture (river/river.go:166-180) for
-  // the one change a maintained aggregate CAN absorb — an ADDITIVE
+  // the changes a maintained aggregate CAN absorb — an ADDITIVE
   // nullable payload column the view never folds (pre-batch state reads
-  // it as null) — and FAIL-STOP with a rebuild instruction for
-  // everything else (key/group/measure change, drop, type change):
+  // it as null), and (r15) a DROP of such a column (the pin keeps it;
+  // narrow batches are null-padded, state retains historical values) —
+  // and FAIL-STOP with a rebuild instruction for everything else
+  // (key/group/measure change, reserved-column drop, type change):
   // incrementally-maintained state cannot absorb those the way the
   // envelope's versioned state above does. A same-schema restart must
   // keep working.
 
   test("AggView: mid-stream ADD COLUMN (nullable, non-aggregated) is " +
-      "absorbed; a later DROP of it fail-stops") {
+      "absorbed; a later DROP of it is absorbed too (state keeps it)") {
     val work = Files.createTempDirectory("graft_evo_agg_").toString
     val spec = AggView.Spec(Seq("k"), Seq("g"), Seq("m"))
     val b0 = Seq((1, "g1", 10L, "I", 1L)).toDF("k", "g", "m", "_op", "_seq")
@@ -148,11 +150,29 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val got = AggView.currentView(spark, s"$work/view", b2.schema, spec,
       viewBuckets = 4).as[(String, Long, Long)].collect().toSet
     assert(got == Set(("g1", 3L, 26L)))
-    // DROP COLUMN (back to the narrow schema) is NOT additive: the pin
-    // advanced to the widened schema — fail-stop with the rebuild error
+    // DROP COLUMN (back to the narrow schema) is ALSO absorbed (r15 —
+    // the reference refreshes TableInfo on ANY DDL and keeps syncing,
+    // river/river.go:166-180): the pin KEEPS extra, the narrow batch is
+    // null-padded, the fold continues
     val b3 = Seq((4, "g1", 2L, "I", 5L)).toDF("k", "g", "m", "_op", "_seq")
+    val eff = AggView.applyBatch(b3, 3L, s"$work/state", s"$work/view",
+      spec, stateBuckets = 4, viewBuckets = 4)
+    assert(eff.fieldNames.contains("extra"),
+      "effective schema must retain the dropped payload column")
+    val got2 = AggView.currentView(spark, s"$work/view", b2.schema, spec,
+      viewBuckets = 4).as[(String, Long, Long)].collect().toSet
+    assert(got2 == Set(("g1", 4L, 28L)))
+    // state kept the column: key 3's pre-drop value survives, the
+    // post-drop key reads null
+    val st = BucketedState.currentView(spark, s"$work/state",
+      eff, 4).select("k", "extra")
+      .as[(Int, Option[String])].collect().toMap
+    assert(st(3).contains("x") && st(4).isEmpty)
+    // re-ADD with a DIFFERENT type still fail-stops against the pin
+    val b4 = Seq((5, "g1", 2L, Some(7L), "I", 6L))
+      .toDF("k", "g", "m", "extra", "_op", "_seq")
     val e = intercept[IllegalStateException] {
-      AggView.applyBatch(b3, 3L, s"$work/state", s"$work/view", spec,
+      AggView.applyBatch(b4, 4L, s"$work/state", s"$work/view", spec,
         stateBuckets = 4, viewBuckets = 4)
     }
     assert(e.getMessage.contains("schema evolved mid-stream"))
@@ -160,7 +180,22 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     // the failed batch left the view untouched
     val after = AggView.currentView(spark, s"$work/view", b2.schema, spec,
       viewBuckets = 4).as[(String, Long, Long)].collect().toSet
-    assert(after == got)
+    assert(after == got2)
+  }
+
+  test("AggView: DROP of a MEASURE (folded) column fail-stops") {
+    val work = Files.createTempDirectory("graft_evo_aggd_").toString
+    val spec = AggView.Spec(Seq("k"), Seq("g"), Seq("m"))
+    val b0 = Seq((1, "g1", 10L, "I", 1L)).toDF("k", "g", "m", "_op", "_seq")
+    AggView.applyBatch(b0, 0L, s"$work/state", s"$work/view", spec,
+      stateBuckets = 4, viewBuckets = 4)
+    val b1 = Seq((2, "g1", "I", 2L)).toDF("k", "g", "_op", "_seq")
+    val e = intercept[IllegalStateException] {
+      AggView.applyBatch(b1, 1L, s"$work/state", s"$work/view", spec,
+        stateBuckets = 4, viewBuckets = 4)
+    }
+    assert(e.getMessage.contains("schema evolved mid-stream"))
+    assert(e.getMessage.contains("rebuild"))
   }
 
   test("AggView: a new NON-NULLABLE or measure-named column fail-stops") {
@@ -232,16 +267,22 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     DedupIndex.applyBatch(b1, s"$work/store", 1L, cfg)
     assert(DedupIndex.currentPairs(spark, s"$work/store", cfg)
       .count() == 3L)
+    // DROP COLUMN lang (absorbed, r15): the index keeps maintaining
+    val b1b = Seq(("I", 4L, 4L, text))
+      .toDF("_op", "_seq", "doc_id", "text")
+    DedupIndex.applyBatch(b1b, s"$work/store", 2L, cfg)
+    assert(DedupIndex.currentPairs(spark, s"$work/store", cfg)
+      .count() == 6L)
     // doc_id TYPE change (long → int): the folded key column changed —
     // fail-stop, store untouched
-    val b2 = Seq(("I", 4L, 4, text, "en"))
+    val b2 = Seq(("I", 5L, 5, text, "en"))
       .toDF("_op", "_seq", "doc_id", "text", "lang")
     val e = intercept[IllegalStateException] {
-      DedupIndex.applyBatch(b2, s"$work/store", 2L, cfg)
+      DedupIndex.applyBatch(b2, s"$work/store", 3L, cfg)
     }
     assert(e.getMessage.contains("schema evolved mid-stream"))
     assert(e.getMessage.contains("rebuild"))
     assert(DedupIndex.currentPairs(spark, s"$work/store", cfg)
-      .count() == 3L)
+      .count() == 6L)
   }
 }
