@@ -849,13 +849,21 @@ object SparkEntry {
     val work = scratchDir("graft_aggevo_")
     val spec = streaming.AggView.Spec(keyCols = ChangeFeed.keyCols,
       groupCols = Seq("ord_month"), measureCols = Seq("cents"))
+    // three consumers (one filtered write per phase) — pin the derived
+    // feed instead of re-scanning + re-exploding orders each time
     val prepared = ChangeFeed.full(s, dir).select(
       col("o_orderkey"),
       trunc(col("o_orderdate"), "month").as("ord_month"),
       round(col("o_totalprice") * 100).cast("long").as("cents"),
       col("_op"), col("_seq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // no coalesce(1): phases are separated by stream RUNS (each run
+    // drains all files appended since the last), not by file counts,
+    // and order within a batch is irrelevant under LWW — so each phase
+    // writes with its natural parallelism
     val phase1 = prepared.filter(col("o_orderkey") % 3 === 0)
-    phase1.coalesce(1).write.mode("overwrite").parquet(s"$work/changes")
+    phase1.write.mode("overwrite").parquet(s"$work/changes")
     streaming.AggView.replayToCompletion(s, s"$work/changes",
       phase1.schema, s"$work/state", s"$work/view", s"$work/ckpt",
       spec, stateBuckets = 16, viewBuckets = 8,
@@ -865,7 +873,7 @@ object SparkEntry {
     val phase2 = prepared.filter(col("o_orderkey") % 3 === 1)
       .withColumn("note", when(col("o_orderkey") % 5 === 0,
         concat(lit("n"), col("o_orderkey").cast("string"))))
-    phase2.coalesce(1).write.mode("append").parquet(s"$work/changes")
+    phase2.write.mode("append").parquet(s"$work/changes")
     streaming.AggView.replayToCompletion(s, s"$work/changes",
       phase2.schema, s"$work/state", s"$work/view", s"$work/ckpt",
       spec, stateBuckets = 16, viewBuckets = 8,
@@ -873,12 +881,13 @@ object SparkEntry {
     // ALTER TABLE DROP COLUMN note — the final third arrives narrow
     // again; the pin keeps the column and the fold continues
     val phase3 = prepared.filter(col("o_orderkey") % 3 === 2)
-    phase3.coalesce(1).write.mode("append").parquet(s"$work/changes")
+    phase3.write.mode("append").parquet(s"$work/changes")
     streaming.AggView.replayToCompletion(s, s"$work/changes",
       phase3.schema, s"$work/state", s"$work/view", s"$work/ckpt",
       spec, stateBuckets = 16, viewBuckets = 8,
       maintenance = streaming.CdcStream.Maintenance(gcEvery = 1))
       .withColumn("ord_month", col("ord_month").cast("string"))
+    } finally prepared.unpersist(false)
   }
 
   /** PMI co-occurrence mining over per-user event-type baskets: one
@@ -6472,7 +6481,17 @@ object SparkEntry {
         lit(null).cast("string").as("text"))
     val cfg = streaming.DedupIndex.Config(sigBuckets = 8,
       bandBuckets = 16, pairBuckets = 8)
-    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (raw, i) =>
+      // the batch feeds the probe, the doc-state merge, and the index
+      // fold — pin once instead of re-deriving each from the docs scan
+      val b = raw.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+      // ONE bucket-listing job per batch (r15): the doc state and the
+      // index's sig store both key on doc_id at 8 buckets, so a single
+      // probe serves the state merge's touchedHint AND the index's
+      // sig/pair lookups and merges
+      val probe = streaming.DedupIndex.probeBatch(b, 8)
       // doc-state merge CONCURRENT with the index batch: independent
       // stores, and the index's own reads are beforeBatch-bounded —
       // the same commit-overlap argument as the index's three
@@ -6480,10 +6499,10 @@ object SparkEntry {
       // read needs the committed version).
       val stateCommit = scala.concurrent.Future {
         streaming.BucketedState.mergeBatch(b, i.toLong, s"$store/state",
-          Seq("doc_id"), 8)
+          Seq("doc_id"), 8, touchedHint = Some(probe.docBuckets))
       }(scala.concurrent.ExecutionContext.global)
       try streaming.DedupIndex.applyBatch(b, s"$store/dedup", i.toLong,
-        cfg)
+        cfg, probe = Some(probe))
       catch { case t: Throwable =>
         // join the in-flight state commit before propagating, so a
         // retry never races an orphaned merge on its staging dir
@@ -6494,6 +6513,7 @@ object SparkEntry {
       }
       scala.concurrent.Await.result(stateCommit,
         scala.concurrent.duration.Duration.Inf)
+      } finally b.unpersist(false)
     }
     // refresh over maintained state (eager checkpoints: same frontier
     // rationale as corpusCleanV6)

@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   *
   * The algorithm is alternating large-star / small-star (Kiveris et al.,
   * "Connected Components in MapReduce and Beyond", SoCC'14): each round
-  * is two shuffle stages (a groupBy-min and an equi-join back), and the
-  * edge set provably converges to per-component stars rooted at the
-  * component's minimum node id in O(log n) rounds — not O(diameter) like
-  * naive label propagation, which dies on long chains. This shape runs
-  * each round as bounded equi-joins, so it holds at 100 TB: no
-  * all-pairs step, no driver-side graph, memory per task is one
-  * neighborhood aggregation.
+  * is two per-node aggregates (min + neighbor set, the reconnect edges
+  * exploding out scan-locally) plus one round-end distinct — three
+  * exchanges total — and the edge set provably converges to
+  * per-component stars rooted at the component's minimum node id in
+  * O(log n) rounds — not O(diameter) like naive label propagation,
+  * which dies on long chains. No all-pairs step, no driver-side graph;
+  * memory per task is one node's deduped neighborhood (bounded by the
+  * largest component — see largeStar's note for the extreme-skew
+  * fallback).
   *
   * Lineage is truncated per round with `localCheckpoint` — iterative
   * plans otherwise nest joins `rounds` deep and analysis/recovery cost
@@ -67,8 +69,14 @@ object Clustering {
       // inner round's plan is DUPLICATED multiplicatively into the
       // outer one and the fused iteration ran 2-3× SLOWER than two
       // materialized rounds. The checkpoint per round is load-bearing,
-      // not overhead.)
-      val next = smallStar(largeStar(edges)).frontier
+      // not overhead.) The stars themselves are aggregate-based (r15):
+      // per-node min + neighbor set in ONE groupBy each, no join-back,
+      // and a SINGLE round-end distinct canonicalizes the edge set for
+      // the convergence checksum — 3 exchanges per round where the
+      // join-based stars with per-star distincts paid ~6. Cross-group
+      // duplicate emissions between the stars are harmless: the next
+      // aggregate is duplicate-insensitive (min / collect_set).
+      val next = smallStar(largeStar(edges)).distinct().frontier
       val nextSum = checksum(next)
       if (nextSum == edgesSum) {
         converged = next.exceptAll(edges).isEmpty
@@ -105,30 +113,36 @@ object Clustering {
   }
 
   /** Large-star: every node connects its strictly-larger neighbors to
-    * the minimum of its neighborhood (incl. itself). */
+    * the minimum of its neighborhood (incl. itself) — one aggregate
+    * (min + larger-neighbor set per node), the reconnect falling out
+    * scan-locally from the explode, instead of a groupBy-min JOINED
+    * back to the symmetrized edges (r15: one exchange, was two-plus-
+    * distinct). Memory per group is the node's deduped neighbor set —
+    * bounded by the largest component (a near-dup cluster / entity
+    * block, small by construction); for graphs with million-member
+    * components swap back to the join-based star, which streams. */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy("u")
-      .agg(min(least(col("u"), col("v"))).as("m"))
-    sym.join(mins, "u")
-      .filter(col("v") > col("u"))
-      .select(col("v").as("u"), col("m").as("v"))
+    sym.groupBy("u")
+      .agg(min(least(col("u"), col("v"))).as("m"),
+        collect_set(when(col("v") > col("u"), col("v"))).as("big"))
+      .select(explode(col("big")).as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: every node connects its smaller-or-equal neighbors
-    * (and itself) to the minimum of that set. */
+    * (and itself) to the minimum of that set — same aggregate shape as
+    * [[largeStar]] (`array_union` splices the node itself into the
+    * reconnect set). */
   private def smallStar(edges: DataFrame): DataFrame = {
     val oriented = edges.select(
       greatest(col("u"), col("v")).as("u"),
       least(col("u"), col("v")).as("v"))
-    val mins = oriented.groupBy("u").agg(min("v").as("m"))
-    val joined = oriented.join(mins, "u")
-    joined.select(col("v").as("u"), col("m").as("v"))
-      .union(joined.select(col("u"), col("m").as("v")))
+    oriented.groupBy("u")
+      .agg(min(col("v")).as("m"), collect_set(col("v")).as("vs"))
+      .select(explode(array_union(col("vs"), array(col("u")))).as("u"),
+        col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Order-independent convergence fingerprint of an edge set. Used only

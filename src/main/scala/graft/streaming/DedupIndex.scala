@@ -79,14 +79,43 @@ object DedupIndex {
         col("doc_id"))
   }
 
+  /** One batch's doc-bucket universe plus an upsert flag, from a
+    * SINGLE aggregate job (`group by bucket → any non-delete`): the
+    * bucket ids feed every store keyed by `doc_id` at `nBuckets`
+    * (sigs here; the caller's own doc-state merge in
+    * `cdc_corpus_clean`), and the flag drives the deletes-only
+    * shortcut without a second `isEmpty` action. The flag is an UPPER
+    * bound — computed before the late-duplicate filter, so a batch
+    * whose upserts all turn out stale still takes the full path, which
+    * merely runs empty frames (never the reverse: a false `false` is
+    * impossible since the filtered set only shrinks). */
+  final case class BatchProbe(nBuckets: Int, docBuckets: Seq[Int],
+      mayHaveUpserts: Boolean)
+
+  def probeBatch(changes: DataFrame, nBuckets: Int): BatchProbe = {
+    val rows = changes
+      .groupBy(BucketedState.bucketFor(Seq(col("doc_id")), nBuckets)
+        .as("_b"))
+      .agg(max(col(OpCol) =!= OpDelete).as("_u"))
+      .collect()
+    BatchProbe(nBuckets, rows.map(_.getInt(0)).toSeq.sorted,
+      rows.exists(_.getBoolean(1)))
+  }
+
   /** Apply one micro-batch of document changes
     * (`_op, _seq, doc_id, text`). Multiple events per doc collapse LWW
     * first, so any batch slicing of the same feed converges to the
-    * same state (spec-asserted). */
+    * same state (spec-asserted). `probe`: the batch's [[probeBatch]]
+    * result when the CALLER already ran it (the cdc_corpus_clean shape
+    * shares one listing between this index and its own doc-state
+    * merge); must have been computed at `cfg.sigBuckets`. */
   def applyBatch(changes: DataFrame, storeDir: String, batchId: Long,
-      cfg: Config = Config()): Unit = {
+      cfg: Config = Config(), probe: Option[BatchProbe] = None): Unit = {
     require(cfg.k % cfg.bands == 0,
       s"k=${cfg.k} not divisible by bands=${cfg.bands}")
+    probe.foreach(p => require(p.nBuckets == cfg.sigBuckets,
+      s"probe computed at ${p.nBuckets} buckets, store uses " +
+        s"${cfg.sigBuckets}"))
     val spark = changes.sparkSession
     // same schema-evolution contract as the sibling views
     // (AggView/MinMaxView): an ADDITIVE nullable payload column on the
@@ -110,11 +139,13 @@ object DedupIndex {
       Seq("doc_id")).persist(mem)
     try {
       val arrivedKeys = arrived.select("doc_id").distinct()
-      // one doc-bucket listing for the whole batch: shared by the
-      // pre-batch sigs lookup and the sigs merge below (sigRows' docs
-      // are a subset of the arrived docs, so this set covers them)
-      val sigBucketIds = BucketedState.touchedBuckets(arrivedKeys,
-        Seq("doc_id"), cfg.sigBuckets)
+      // ONE probe job for the whole batch (caller-shared when given):
+      // the doc-bucket universe — used by the pre-batch sigs lookup,
+      // the sigs merge, and (bucket counts matching) the pair-store
+      // probe — plus the deletes-only flag, fused into one aggregate
+      // instead of a listing collect + a separate isEmpty action
+      val bp = probe.getOrElse(probeBatch(arrived, cfg.sigBuckets))
+      val sigBucketIds = bp.docBuckets
       // pre-batch state of the touched docs WITH meta: a batch event at
       // or below the stored sequence is a late duplicate — dropped here,
       // so out-of-order redelivery can never regress bands/pairs (whose
@@ -140,9 +171,10 @@ object DedupIndex {
         .filter(col(OpCol) =!= OpDelete)
         .drop(OpCol, SeqCol)
       val ups = collapsed.filter(col(OpCol) =!= OpDelete)
-      // cheap on the cached batch; a deletes-only batch (common in GDPR
-      // purge runs) skips signing, band asserts, and pair discovery
-      val hasUpserts = !ups.isEmpty
+      // a deletes-only batch (common in GDPR purge runs) skips signing,
+      // band asserts, and pair discovery; the flag rides the probe's
+      // aggregate (upper bound — see BatchProbe) instead of its own job
+      val hasUpserts = bp.mayHaveUpserts
       val newSigs = Dedup.textSignatures(ups, "doc_id", "text", cfg.n)
         .select(col("doc_id"), col("hs"), col("n_sh"))
         .join(ups.select(col("doc_id"), col(SeqCol)), Seq("doc_id"))
@@ -245,13 +277,26 @@ object DedupIndex {
           }
 
           // ---- pair index: retire EVERY stored pair touching a
-          // changed doc (both directions), assert the re-verified set
+          // changed doc (both directions), assert the re-verified set.
+          // The probe's doc-bucket universe covers the lookup when the
+          // pair store shares the sig store's bucket count (both key on
+          // doc ids — the default and the cdc_corpus_clean config), so
+          // the lookup pays no listing job of its own; a superset hint
+          // merely reads a few extra (empty-after-semi-join) buckets.
+          val pairProbeHint =
+            if (cfg.pairBuckets == cfg.sigBuckets) Some(sigBucketIds)
+            else None
           val oldPairRows = BucketedState.stateForKeys(spark,
               s"$storeDir/pairs", pairSchema, cfg.pairBuckets,
               Seq("id", "other"), keys.select(col("doc_id").as("id")),
-              beforeBatch = Some(batchId), bucketCols = Seq("id"))
+              beforeBatch = Some(batchId), bucketCols = Seq("id"),
+              touchedHint = pairProbeHint)
             .filter(col(OpCol) =!= OpDelete)
             .select(col("id"), col("other"))
+            // consumers: both retire directions + the write-bucket
+            // listing below — pin so the pair-store read runs once
+            .persist(mem)
+          try {
           val retireP = oldPairRows
             .unionByName(oldPairRows.select(col("other").as("id"),
               col("id").as("other")))
@@ -265,9 +310,22 @@ object DedupIndex {
               col("a").as("other"), col("jaccard")))
             .select(col("id"), col("other"), col("jaccard"),
               lit(OpUpdate).as(OpCol), lit(batchId * 2 + 1).as(SeqCol))
+          // write-bucket universe of retire ∪ assert in ONE listing job
+          // over the id frames (keys ∪ stored counterparties ∪ new-pair
+          // endpoints), handed to the merge as its touchedHint — the
+          // merge then evaluates the big retire ∪ assert union exactly
+          // once (inside the staged write) instead of persisting it and
+          // running its own listing pass over it
+          val pairBucketIds = BucketedState.touchedBuckets(
+            keys.select(col("doc_id").as("id"))
+              .unionByName(oldPairRows.select(col("other").as("id")))
+              .unionByName(newPairs.select(col("a").as("id")))
+              .unionByName(newPairs.select(col("b").as("id"))),
+            Seq("id"), cfg.pairBuckets)
           BucketedState.mergeBatch(retireP.unionByName(assertP), batchId,
             s"$storeDir/pairs", Seq("id", "other"), cfg.pairBuckets,
-            bucketCols = Seq("id"))
+            bucketCols = Seq("id"), touchedHint = Some(pairBucketIds))
+          } finally oldPairRows.unpersist(false)
           // all three commits must land before the pins release (and
           // before the caller's checkpoint commit)
           Await.result(bandsCommit, scala.concurrent.duration.Duration.Inf)

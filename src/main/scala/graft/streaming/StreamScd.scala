@@ -91,14 +91,22 @@ object StreamScd {
         ++ payloadCols.map(c => col(s"_h.$c").as(c))
         ++ Seq(col(s"_h.$EvOpCol").as(OpCol),
           col("_h.valid_from").as(SeqCol)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol))
     val allEvents = oldEvents
       .unionByName(batch.select(oldEvents.columns.map(col): _*))
       // replay idempotence: a re-delivered batch re-adds events the
-      // history already holds; (key, seq) identifies an event, and
-      // duplicates are byte-identical, so the arbitrary survivor is fine
-      .dropDuplicates(keyCols :+ SeqCol)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol))
+      // history already holds; (key, seq) identifies an event and
+      // duplicates are byte-identical, so keep the first of each run.
+      // The dedup is a lag flag on the SAME key-partitioned,
+      // seq-ordered window the interval link uses below — it rides
+      // that one exchange+sort (filter preserves both, so the lead
+      // window re-uses them) instead of dropDuplicates' own
+      // (key, seq) aggregate shuffle, which did NOT satisfy the
+      // window's key-clustering and forced a second exchange (r15)
+      .withColumn("_dup", lag(col(SeqCol), 1).over(w) === col(SeqCol))
+      .filter(!coalesce(col("_dup"), lit(false)))
+      .drop("_dup")
     val linked = allEvents
       .withColumn("valid_to", lead(col(SeqCol), 1).over(w))
       .withColumn("is_current",

@@ -164,4 +164,30 @@ class DedupIndexSpec extends AnyFunSuite {
     DedupIndex.optimize(spark, store, cfg)
     assert(pairsOf(store) == before)
   }
+
+  test("caller-shared probe == self-probed fold; bucket mismatch rejects") {
+    val a = newStore(); val b = newStore()
+    val b0 = feed((0L to 6L).map(i => ev("I", i * 10, i, docText(i))))
+    val b1 = feed(Seq(ev("U", 101, 1L, docText(3)),
+      ev("D", 102, 5L, null)))
+    DedupIndex.applyBatch(b0, a, 0L, cfg)
+    DedupIndex.applyBatch(b1, a, 1L, cfg)
+    // same fold with the probe computed by the caller (the
+    // cdc_corpus_clean sharing shape) — state must be identical
+    DedupIndex.applyBatch(b0, b, 0L, cfg,
+      probe = Some(DedupIndex.probeBatch(b0, cfg.sigBuckets)))
+    DedupIndex.applyBatch(b1, b, 1L, cfg,
+      probe = Some(DedupIndex.probeBatch(b1, cfg.sigBuckets)))
+    assert(pairsOf(a) == pairsOf(b))
+    assert(DedupIndex.currentSigs(spark, a, cfg).count() ==
+      DedupIndex.currentSigs(spark, b, cfg).count())
+    // the deletes-only flag is honest: a pure-D batch probes false
+    assert(!DedupIndex.probeBatch(
+      feed(Seq(ev("D", 200, 3L, null))), cfg.sigBuckets).mayHaveUpserts)
+    // a probe computed at the wrong bucket count cannot be applied
+    intercept[IllegalArgumentException] {
+      DedupIndex.applyBatch(b1, b, 2L, cfg,
+        probe = Some(DedupIndex.probeBatch(b1, cfg.sigBuckets + 1)))
+    }
+  }
 }
