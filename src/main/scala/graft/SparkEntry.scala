@@ -710,7 +710,7 @@ object SparkEntry {
     * batch LWW, and maintenance must never change what the view
     * serves. */
   private def cdcStreamReplay(s: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withMicroBatchConf(s, 8) {
     val work = scratchDir("graft_stream_")
     ChangeFeed.full(s, dir).repartition(4)
       .write.mode("overwrite").parquet(s"$work/changes")
@@ -728,7 +728,7 @@ object SparkEntry {
     * whole maintenance machinery must be invisible to what the view
     * serves. */
   private def cdcMaintainedReplay(s: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withMicroBatchConf(s, 8) {
     val work = scratchDir("graft_maintq_")
     ChangeFeed.full(s, dir).repartition(4)
       .write.mode("overwrite").parquet(s"$work/changes")
@@ -751,7 +751,7 @@ object SparkEntry {
     * so the incremental arithmetic is exact under any batch boundary —
     * the oracle is a direct aggregate of the LWW final state. */
   private def cdcAggView(s: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withMicroBatchConf(s, 8) {
     val work = scratchDir("graft_aggview_")
     val spec = streaming.AggView.Spec(keyCols = ChangeFeed.keyCols,
       groupCols = Seq("ord_month"), measureCols = Seq("cents"))
@@ -778,7 +778,7 @@ object SparkEntry {
     * group-bucketed live-row projection + touched-group recompute.
     * Oracle = direct min/max over the LWW final state. */
   private def cdcAggMinmax(s: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withMicroBatchConf(s, 8) {
     val work = scratchDir("graft_minmaxview_")
     val spec = streaming.MinMaxView.Spec(keyCols = ChangeFeed.keyCols,
       groupCols = Seq("ord_month"), valueCols = Seq("cents"))
@@ -808,7 +808,7 @@ object SparkEntry {
     * groups. Per-month live-order count + distinct live customers.
     * Oracle = direct count(distinct) over the LWW final state. */
   private def cdcAggDistinct(s: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withMicroBatchConf(s, 8) {
     val work = scratchDir("graft_distview_")
     val spec = streaming.MinMaxView.Spec(keyCols = ChangeFeed.keyCols,
       groupCols = Seq("ord_month"), valueCols = Nil,
@@ -845,7 +845,7 @@ object SparkEntry {
     * identical to cdc_agg_view — both DDLs must be invisible to what
     * the view serves. */
   private def cdcAggEvolve(s: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withMicroBatchConf(s, 8) {
     val work = scratchDir("graft_aggevo_")
     val spec = streaming.AggView.Spec(keyCols = ChangeFeed.keyCols,
       groupCols = Seq("ord_month"), measureCols = Seq("cents"))
@@ -1536,7 +1536,7 @@ object SparkEntry {
     * over the whole corpus: within-batch + cross-store pairs together
     * are exactly the batch pair set. */
   private def dedupIncremental(s: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withMicroBatchConf(s, 8) {
     // 8 shuffle partitions: each ingest runs several small shuffles and
     // bucket-partitioned writes — at local SF the 32-way default mostly
     // buys file-count overhead in the store (same per-job tuning as the
@@ -1559,7 +1559,7 @@ object SparkEntry {
     * over the FINAL LWW corpus — incremental maintenance under I/U/D
     * must land exactly where a from-scratch rebuild lands. */
   private def cdcDedup(s: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withMicroBatchConf(s, 8) {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val store = scratchDir("graft_cdcdedup_")
     val b0 = docs.select(lit("I").as("_op"),
@@ -1682,6 +1682,28 @@ object SparkEntry {
     try body finally s.conf.set(key, old)
   }
 
+  /** [[withShufflePartitions]] plus AQE off — the conf posture for
+    * MICRO-BATCH MAINTENANCE paths (CDC folds, incremental index
+    * batches): per-batch work is bounded by the batch footprint by
+    * construction (touched buckets / touched groups), so AQE's runtime
+    * re-optimization has nothing to coalesce or skew-split, while its
+    * per-shuffle-stage materialization turns every small action into a
+    * chain of separately scheduled jobs — measured 13-30% of these
+    * queries' wall time in driver-side stage scheduling alone (r15
+    * profile: cdc_corpus_clean 201→84 jobs, 15.2→12.8 s; mirrors
+    * Spark's own "AQE disabled for stateful workloads" streaming
+    * posture). Analytics pipelines (corpus_clean_v*, entity_resolution)
+    * KEEP AQE: there its runtime broadcast/coalesce decisions win —
+    * measured, not assumed (AQE off cost corpus_clean_v3 +50%). */
+  private def withMicroBatchConf[T](s: SparkSession, n: Int)(
+      body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val oldAqe = s.conf.get(aqeKey)
+    s.conf.set(aqeKey, "false")
+    try withShufflePartitions(s, n)(body)
+    finally s.conf.set(aqeKey, oldAqe)
+  }
+
   /** Streaming incremental co-occurrence: the event feed split into
     * halves by event parity (pairs must complete ACROSS batches) plus
     * a full duplicate re-delivery of the first half (which must emit
@@ -1784,7 +1806,7 @@ object SparkEntry {
     * the same final vector set arithmetically, and replays
     * assignment → probe → score → rank term for term. */
   private def annIncremental(s: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withMicroBatchConf(s, 8) {
     val work = scratchDir("graft_vecidx_")
     val emb = t(s, dir, "embeddings")
     val conf = streaming.VectorIndex.Conf()
@@ -6462,7 +6484,7 @@ object SparkEntry {
     * from scratch over the feed's final LWW corpus — maintained must
     * equal rebuilt. */
   private def cdcCorpusClean(s: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(s, 8) {
+      withMicroBatchConf(s, 8) {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
     val store = scratchDir("graft_cdccc_")
