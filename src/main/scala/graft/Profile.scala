@@ -35,6 +35,8 @@ object Profile {
         var end: Long = 0L, var stages: Int = 0, var tasks: Int = 0)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
     val order = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+    val stageRows = new java.util.concurrent.CopyOnWriteArrayList[
+      (Int, String, Int, Double, Double)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties)
@@ -53,7 +55,20 @@ object Profile {
         if (j != null) j.end = System.nanoTime()
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
-        // attribute by rough time overlap is messy; count via jobIds later
+        val si = e.stageInfo
+        val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+          yield (a - b) / 1e3).getOrElse(0.0)
+        val cpu = si.taskMetrics.executorRunTime / 1e3
+        // first repo frame in the callsite stack — the real attribution
+        val frame = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("graft.Profile"))
+          .map(_.trim.stripPrefix("at ").takeWhile(_ != ')') + ")")
+          .getOrElse(si.name.takeWhile(_ != '(').trim)
+        // physical-operator scopes of the stage's RDDs (innermost first)
+        val scopes = si.rddInfos
+          .flatMap(_.scope.map(_.name)).distinct.mkString(">")
+        stageRows.add((si.stageId, s"$frame [$scopes]", si.numTasks,
+          wall, cpu))
       }
     })
 
@@ -63,7 +78,7 @@ object Profile {
     spark.catalog.clearCache()
 
     for (name <- names; r <- 1 to runs) {
-      jobs.clear(); order.clear()
+      jobs.clear(); order.clear(); stageRows.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.toRdd.foreachPartition { it =>
@@ -88,6 +103,10 @@ object Profile {
           .sortBy(-_._3)
           .foreach { case (d, n, t) =>
             println(f"  $t%8.3f s  n=$n%3d  ${d.take(100)}") }
+        println("---- top stages (wall / task-cpu) ----")
+        stageRows.asScala.toSeq.sortBy(-_._4).take(25)
+          .foreach { case (id, nm, tk, w, c) =>
+            println(f"  stage $id%4d  wall $w%7.3f  cpu $c%7.3f  tk=$tk%4d  ${nm.take(160)}") }
       }
     }
     QuietExit.emitAndExit(spark, None)

@@ -69,17 +69,26 @@ object Clustering {
       // inner round's plan is DUPLICATED multiplicatively into the
       // outer one and the fused iteration ran 2-3× SLOWER than two
       // materialized rounds. The checkpoint per round is load-bearing,
-      // not overhead.) The stars themselves are aggregate-based (r15):
-      // per-node min + neighbor set in ONE groupBy each, no join-back,
-      // and a SINGLE round-end distinct canonicalizes the edge set for
-      // the convergence checksum — 3 exchanges per round where the
-      // join-based stars with per-star distincts paid ~6. Cross-group
-      // duplicate emissions between the stars are harmless: the next
-      // aggregate is duplicate-insensitive (min / collect_set).
-      val next = smallStar(largeStar(edges)).distinct().frontier
+      // not overhead.) The stars themselves are aggregate-based (r14):
+      // per-node min + neighbor set in ONE groupBy each, no join-back —
+      // and since those aggregates are duplicate-INSENSITIVE (min /
+      // collect_set), the round-end distinct is gone too (r15): the
+      // carried edge set may hold cross-group duplicate emissions
+      // (row count still ≤ E+V per round — rows are generated per
+      // (group, set-element) over deduped sets), the convergence
+      // fingerprint dedups INSIDE its aggregate, and the fixpoint
+      // certificate is exact set equality. 2 exchanges per round where
+      // the join-based stars with per-star distincts paid ~6 and the
+      // r14 shape paid 3.
+      val next = smallStar(largeStar(edges)).frontier
       val nextSum = checksum(next)
       if (nextSum == edgesSum) {
-        converged = next.exceptAll(edges).isEmpty
+        // exact SET-equality certificate, two-sided: `except` dedups
+        // internally, so duplicates in either frame cannot fake (or
+        // break) convergence; a fingerprint collision cannot terminate
+        // the loop early — both directions must come back empty.
+        converged = next.except(edges).isEmpty &&
+          edges.except(next).isEmpty
       }
       edges.unpersist()
       edges = next
@@ -145,11 +154,23 @@ object Clustering {
       .filter(col("u") =!= col("v"))
   }
 
-  /** Order-independent convergence fingerprint of an edge set. Used only
-    * to detect a fixpoint — any engine-internal hash is fine here. */
+  /** Order- AND duplicate-independent convergence fingerprint of an
+    * edge set: distinct count + distinct hash sum over one derived
+    * 64-bit key, so it dedups inside a single two-phase aggregate
+    * instead of requiring a materialized `distinct()` of the frame.
+    * Used only to DETECT a fixpoint (a hash collision merely delays
+    * detection or sends it to the exact certificate, which then fails
+    * and iteration continues) — any engine-internal hash is fine. */
   private def checksum(edges: DataFrame): (Long, Long) = {
-    val r = edges.agg(count(lit(1)).as("n"),
-      coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"))
+    // ONE distinct key (the 32-bit pair hash widened to long) for both
+    // aggregates — a single two-phase distinct aggregate, no Expand —
+    // and the sum of ≤2³¹ distinct int32 values cannot overflow a long
+    // under ANSI arithmetic. 32-bit collisions merely conflate a few
+    // set elements: both aggregates stay deterministic functions of the
+    // edge SET, which is all a fingerprint needs.
+    val h = hash(col("u"), col("v")).cast("long")
+    val r = edges.agg(count_distinct(h).as("n"),
+      coalesce(sum_distinct(h), lit(0L)).as("s"))
       .head()
     (r.getLong(0), r.getLong(1))
   }
