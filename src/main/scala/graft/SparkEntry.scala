@@ -2105,7 +2105,14 @@ object SparkEntry {
     * packing → deterministic split/shard assignment. Every stage is the
     * same operator its standalone query gates. */
   private def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    // pin the corpus text for the query's lifetime: the pipeline reads
+    // documents several times (signatures, kept join, token count) and
+    // the testdata corpus is ONE parquet split, so every re-read is a
+    // serial full-text decode (~0.35 s each, r15 profile); released
+    // after the final frontier below
     val docs = t(s, dir, "documents")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // eager checkpoint: truncates the dedup machinery's lineage so the
     // packing/split executions don't re-analyze it (see corpusCleanV6's
     // frontier note — profiled, the deep-lineage planning cost rivals
@@ -2119,6 +2126,8 @@ object SparkEntry {
     Sampling.hashSplit(packed, "doc_id",
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
+      .frontier
+    } finally docs.unpersist(false)
   }
 
   /** [[corpusClean]] grown to the FULL training-data pipeline a real
@@ -2138,7 +2147,10 @@ object SparkEntry {
     * vocab²-bounded; the mixture rate table is domains-sized and
     * broadcast. */
   private def corpusCleanV2(s: SparkSession, dir: String): DataFrame = {
+    // corpus text pinned for the query's lifetime (see corpusClean)
     val docs = t(s, dir, "documents")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // eager-checkpoint frontiers, not persists — truncates lineage so
     // downstream executions don't re-analyze the whole chain (see
     // corpusCleanV6's frontier note)
@@ -2168,6 +2180,7 @@ object SparkEntry {
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
       .frontier
+    } finally docs.unpersist(false)
   }
 
   /** [[corpusCleanV2]] with the round-10 per-domain RELATIVE quality
@@ -2180,7 +2193,10 @@ object SparkEntry {
     * p = 0.3, and the oracle splices that query's replay between the
     * kept-set and LM CTEs of the v2 chain. */
   private def corpusCleanV3(s: SparkSession, dir: String): DataFrame = {
+    // corpus text pinned for the query's lifetime (see corpusClean)
     val docs = t(s, dir, "documents")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // eager-checkpoint frontiers, not persists — truncates lineage so
     // downstream executions don't re-analyze the whole chain (see
     // corpusCleanV6's frontier note)
@@ -2212,6 +2228,7 @@ object SparkEntry {
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
       .frontier
+    } finally docs.unpersist(false)
   }
 
   /** The v3 pipeline with DSIR target-likeness selection spliced
@@ -2222,7 +2239,10 @@ object SparkEntry {
     * bounded collects read it (three chain re-evaluations otherwise),
     * and released once the final frame is checkpointed. */
   private def corpusCleanV4(s: SparkSession, dir: String): DataFrame = {
+    // corpus text pinned for the query's lifetime (see corpusClean)
     val docs = t(s, dir, "documents")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // eager-checkpoint frontiers, not persists — truncates lineage so
     // downstream executions don't re-analyze the whole chain (see
     // corpusCleanV6's frontier note)
@@ -2264,6 +2284,7 @@ object SparkEntry {
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
       .frontier
+    } finally docs.unpersist(false)
   }
 
   /** The v4 pipeline with benchmark DECONTAMINATION spliced between
@@ -2276,7 +2297,10 @@ object SparkEntry {
     * scan over the LM survivors and an inverted-index equi-join —
     * never all-pairs; at 100 TB the bench side is tiny and broadcasts. */
   private def corpusCleanV5(s: SparkSession, dir: String): DataFrame = {
+    // corpus text pinned for the query's lifetime (see corpusClean)
     val docs = t(s, dir, "documents")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // eager-checkpoint frontiers + survivor ID SETS joining back into
     // one text frame — the v6 shape (see corpusCleanV6's frontier note)
     val kept = dedupKeptIds(s, dir, docs).frontier
@@ -2323,6 +2347,7 @@ object SparkEntry {
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
       .frontier
+    } finally docs.unpersist(false)
   }
 
   /** The v5 pipeline with SEMANTIC dedup spliced between
@@ -2338,7 +2363,10 @@ object SparkEntry {
     * pair join — never all-pairs; at 100 TB `nlist` scales with the
     * corpus to keep clusters machine-sized. */
   private def corpusCleanV6(s: SparkSession, dir: String): DataFrame = {
+    // corpus text pinned for the query's lifetime (see corpusClean)
     val docs = t(s, dir, "documents")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // Stage frontiers are EAGER LOCAL CHECKPOINTS, not persists: a
     // persisted frame still drags its whole logical plan into every
     // downstream analysis (plan-cache matching happens after analysis),
@@ -2415,6 +2443,7 @@ object SparkEntry {
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
       .frontier
+    } finally docs.unpersist(false)
   }
 
   /** Token-budget packing of the corpus into contiguous training bins
@@ -6485,8 +6514,13 @@ object SparkEntry {
     * equal rebuilt. */
   private def cdcCorpusClean(s: SparkSession, dir: String): DataFrame =
       withMicroBatchConf(s, 8) {
+    // corpus text pinned while the three batch feeds derive from it
+    // (each would otherwise re-decode the single-split parquet text);
+    // released after the final frontier below
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val store = scratchDir("graft_cdccc_")
     // the cdc_dedup feed, with lang carried for the mixture stage
     val b0 = docs.select(lit("I").as("_op"),
@@ -6564,6 +6598,7 @@ object SparkEntry {
         Seq("train" -> 8, "eval" -> 1, "test" -> 1))
       .withColumn("shard", Sampling.shardId(col("doc_id"), 16))
       .frontier
+    } finally docs.unpersist(false)
   }
 
   /** DuckDB replay of cdc_corpus_clean: the final LWW corpus of the

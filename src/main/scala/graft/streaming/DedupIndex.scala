@@ -220,22 +220,28 @@ object DedupIndex {
               lit(OpUpdate).as(OpCol), lit(batchId * 2 + 1).as(SeqCol))
           // band-bucket universe of this batch's retire ∪ assert rows:
           // retire ⊆ the old versions' band keys, assert = the new
-          // versions' — two bounded listings over the pinned band
-          // frames, shared with candidate discovery below (which probes
-          // exactly the NEW band keys' buckets) and passed to the merge
-          // as its touchedHint
-          val newBandBuckets = BucketedState.touchedBuckets(
-            newBands, Seq("band", "key"), cfg.bandBuckets)
-          val oldBandBuckets = BucketedState.touchedBuckets(
-            oldBands, Seq("band", "key"), cfg.bandBuckets)
+          // versions' — ONE listing job over the tagged union of the
+          // pinned band frames (r15: was two separate collects), split
+          // back into the NEW set (candidate discovery probes exactly
+          // those buckets) and the union (the merge's touchedHint)
+          val bandBucketRows = newBands.select(
+              BucketedState.bucketFor(Seq(col("band"), col("key")),
+                cfg.bandBuckets).as("_b"), lit(true).as("_new"))
+            .unionByName(oldBands.select(
+              BucketedState.bucketFor(Seq(col("band"), col("key")),
+                cfg.bandBuckets).as("_b"), lit(false).as("_new")))
+            .groupBy(col("_b")).agg(max(col("_new")).as("_anyNew"))
+            .collect()
+          val newBandBuckets = bandBucketRows
+            .filter(_.getBoolean(1)).map(_.getInt(0)).toSeq
+          val allBandBuckets = bandBucketRows.map(_.getInt(0)).toSeq
           // concurrent with discovery: discovery reads the PRE-batch
           // band buckets (beforeBatch = batchId), never this write
           val bandsCommit = Future {
             BucketedState.mergeBatch(retire.unionByName(assertB), batchId,
               s"$storeDir/bands", Seq("band", "key", "doc_id"),
               cfg.bandBuckets, bucketCols = Seq("band", "key"),
-              touchedHint =
-                Some((newBandBuckets ++ oldBandBuckets).distinct))
+              touchedHint = Some(allBandBuckets))
           }(commitPool)
           pending += bandsCommit
 
