@@ -6513,7 +6513,7 @@ object SparkEntry {
     * from scratch over the feed's final LWW corpus — maintained must
     * equal rebuilt. */
   private def cdcCorpusClean(s: SparkSession, dir: String): DataFrame =
-      withMicroBatchConf(s, 8) {
+      withShufflePartitions(s, 8) {
     // corpus text pinned while the three batch feeds derive from it
     // (each would otherwise re-decode the single-split parquet text);
     // released after the final frontier below
@@ -6537,6 +6537,12 @@ object SparkEntry {
         lit(null).cast("string").as("text"))
     val cfg = streaming.DedupIndex.Config(sigBuckets = 8,
       bandBuckets = 16, pairBuckets = 8)
+    // AQE off for the BATCH LOOP only (the micro-batch maintenance
+    // posture — see withMicroBatchConf); the refresh tail below is
+    // analytics-shaped (CC, LM filter, mixture) where AQE's runtime
+    // broadcast/coalesce decisions measured faster, matching the
+    // corpus_clean_v* family it mirrors
+    withMicroBatchConf(s, 8) {
     Seq(b0, b1, b2).zipWithIndex.foreach { case (raw, i) =>
       // the batch feeds the probe, the doc-state merge, and the index
       // fold — pin once instead of re-deriving each from the docs scan
@@ -6570,6 +6576,7 @@ object SparkEntry {
       scala.concurrent.Await.result(stateCommit,
         scala.concurrent.duration.Duration.Inf)
       } finally b.unpersist(false)
+    }
     }
     // refresh over maintained state (eager checkpoints: same frontier
     // rationale as corpusCleanV6)

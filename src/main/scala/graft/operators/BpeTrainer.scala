@@ -89,12 +89,21 @@ object BpeTrainer {
     var words = wordCounts(docs, textCol)
       .select(col("cnt"), encodeSyms(col("word")).as("sym"))
       .persist(lvl)
+    // previous generation, pinned until the CURRENT one materializes:
+    // each round's argmax collect fills `words`' cache (reading the
+    // parent's), so the parent releases right after it — no separate
+    // count() materialization job per iteration (r15: halves the
+    // loop's job count; unpersisting the parent any earlier would
+    // re-run the whole replace chain from the root on a cache miss)
+    var parent: Option[DataFrame] = None
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     try {
       for (i <- 1 to iters) {
         val top = pairFrame(words)
           .orderBy(col("pc").desc, col("x").asc, col("y").asc)
           .limit(1).collect()
+        parent.foreach(_.unpersist(false))
+        parent = None
         if (top.nonEmpty) {
           val (x, y, pc) = (top(0).getAs[String]("x"),
             top(0).getAs[String]("y"), top(0).getAs[Long]("pc"))
@@ -104,12 +113,14 @@ object BpeTrainer {
               replace(col("sym"), lit(s"|$x||$y|"), lit(s"|${x + y}|"))
                 .as("sym"))
             .persist(lvl)
-          next.count() // materialize before dropping the parent
-          words.unpersist(false)
+          parent = Some(words)
           words = next
         }
       }
-    } finally words.unpersist(false)
+    } finally {
+      parent.foreach(_.unpersist(false))
+      words.unpersist(false)
+    }
     out.toSeq
   }
 
