@@ -325,19 +325,28 @@ object Bench {
     // is flagged loudly (stderr doesn't contaminate the parsed stdout
     // record) instead of swallowed: a round must not report success on
     // stdout with the authoritative artifact silently missing or stale.
-    val recordFile =
-      floorPath.toAbsolutePath.getParent.resolve("BENCH_local.json")
+    // Two copies: the legacy fixed name (existing readers) AND a
+    // cpus-suffixed name. A round's scaling probe re-runs the bench at a
+    // lower core count, and with only the fixed name the second run
+    // clobbered the first run's per-query map — r15's PERF record lost
+    // its whole per_query/scaling table to exactly that. The suffixed
+    // file gives every core count its own durable record.
+    val recordDir = floorPath.toAbsolutePath.getParent
+    val recordFile = recordDir.resolve("BENCH_local.json")
+    val recordFileCpus = recordDir.resolve(s"BENCH_local_${cpus}c.json")
     val recordWritten =
       try {
         Files.write(recordFile,
+          (record + "\n").getBytes(StandardCharsets.UTF_8))
+        Files.write(recordFileCpus,
           (record + "\n").getBytes(StandardCharsets.UTF_8))
         true
       } catch {
         case t: Throwable =>
           System.err.println(
-            s"WARNING: failed to write $recordFile: $t — the full " +
-              "per-query record is LOST for this run; only the compact " +
-              "stdout totals survive")
+            s"WARNING: failed to write $recordFile / $recordFileCpus: $t " +
+              "— the full per-query record is LOST for this run; only " +
+              "the compact stdout totals survive")
           false
       }
     // The stdout line is a COMPACT record: the driver keeps only the
@@ -361,7 +370,7 @@ object Bench {
     // JSON string escape for interpolated paths (backslash/quote-safe)
     def jStr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","value_clean":$totalClean,"n_queries":${okResults.size},"sf":"$sfDir","contaminated":$contaminated,"rescue_passes":$rescues,"failed_count":${failed.size},"failed":${jCap(failed)},"floor_deltas":$dsCompact,"floor_delta_count":${deltas.size},"floor_resets_applied":${jCap(appliedNow)},"floor_resets_pending":${jCap((pendingKeys -- appliedNow).toSeq.sorted)},"quiet_host":$quietHost,"canary_worst_ratio":${math.rint(canaryWorst * 100) / 100},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"slowest_clean":$slowest,"record_written":$recordWritten,"record_file":${jStr(recordFile.toString)}}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","value_clean":$totalClean,"n_queries":${okResults.size},"sf":"$sfDir","contaminated":$contaminated,"rescue_passes":$rescues,"failed_count":${failed.size},"failed":${jCap(failed)},"floor_deltas":$dsCompact,"floor_delta_count":${deltas.size},"floor_resets_applied":${jCap(appliedNow)},"floor_resets_pending":${jCap((pendingKeys -- appliedNow).toSeq.sorted)},"quiet_host":$quietHost,"canary_worst_ratio":${math.rint(canaryWorst * 100) / 100},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"slowest_clean":$slowest,"record_written":$recordWritten,"record_file":${jStr(recordFile.toString)},"record_file_cpus":${jStr(recordFileCpus.toString)}}"""
     // stdout line for the driver/humans LAST, then immediate exit: no
     // thread gets a timeslice to log behind the record
     QuietExit.emitAndExit(spark, Some(compact))

@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    require(args.length >= 2,
+      "usage: Profile <sfDir> <query>[,query...] [runs]")
     val names = args(1).split(",").toSeq
     val runs = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -94,7 +94,12 @@ object BpeTrainer {
     // parent's), so the parent releases right after it — no separate
     // count() materialization job per iteration (r15: halves the
     // loop's job count; unpersisting the parent any earlier would
-    // re-run the whole replace chain from the root on a cache miss)
+    // re-run the whole replace chain from the root on a cache miss).
+    // Scale note: this pins TWO full generations of the word table
+    // simultaneously for the life of each round (~2× the old
+    // materialize-then-drop peak); MEMORY_AND_DISK spills the excess,
+    // so at 100 TB the trade is disk residency for one fewer job per
+    // iteration — budget cache accordingly when tuning memory.
     var parent: Option[DataFrame] = None
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     try {

@@ -11,15 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * The algorithm is alternating large-star / small-star (Kiveris et al.,
   * "Connected Components in MapReduce and Beyond", SoCC'14): each round
-  * is two per-node aggregates (min + neighbor set, the reconnect edges
-  * exploding out scan-locally) plus one round-end distinct — three
-  * exchanges total — and the edge set provably converges to
+  * is two per-node star passes — two exchanges total; the carried edge
+  * frames MAY hold cross-group duplicate emissions (the round-end
+  * distinct is gone since r15) — and the edge set provably converges to
   * per-component stars rooted at the component's minimum node id in
   * O(log n) rounds — not O(diameter) like naive label propagation,
-  * which dies on long chains. No all-pairs step, no driver-side graph;
-  * memory per task is one node's deduped neighborhood (bounded by the
-  * largest component — see largeStar's note for the extreme-skew
-  * fallback).
+  * which dies on long chains. No all-pairs step, no driver-side graph.
   *
   * Lineage is truncated per round with `localCheckpoint` — iterative
   * plans otherwise nest joins `rounds` deep and analysis/recovery cost
@@ -41,13 +38,16 @@ object Clustering {
     * min node id of the component — a deterministic labeling, so the
     * result is engine-reproducible regardless of iteration order.
     *
-    * Convergence is detected cheaply by an order-independent checksum,
-    * then *certified exactly* at the fixpoint only: the checksum carries
-    * the exact row count, so counts are provably equal, and a one-sided
-    * `exceptAll(...).isEmpty` then proves set equality. A checksum
-    * collision therefore cannot terminate the loop early with wrong
-    * labels — the certificate fails and iteration continues. Cost: one
-    * extra anti-join at the fixpoint, not per round.
+    * Convergence is detected cheaply by an order- AND duplicate-
+    * independent fingerprint (distinct count + distinct hash sum of a
+    * derived pair key — see [[checksum]]), then *certified exactly* at
+    * the fixpoint only, with a TWO-SIDED `except` (both directions
+    * empty). Both sides are required: the carried edge frames may hold
+    * duplicates, so a one-sided `exceptAll` would be unsound — do not
+    * "simplify" back to it. A fingerprint collision therefore cannot
+    * terminate the loop early with wrong labels — the certificate fails
+    * and iteration continues. Cost: two anti-joins at the fixpoint, not
+    * per round.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b"): DataFrame = {
