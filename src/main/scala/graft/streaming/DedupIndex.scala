@@ -259,27 +259,37 @@ object DedupIndex {
                 beforeBatch = Some(batchId))
               .filter(col(OpCol) =!= OpDelete).drop(OpCol, SeqCol)
               .join(broadcast(keys), Seq("doc_id"), "left_anti")
+            // pinned: three consumers (the candIds bucket listing
+            // inside viewForKeys, the candIds semi-join broadcast, and
+            // the jaccard verify) — unpinned, each re-ran the band
+            // read + candidate join (r16: 3 store-band evaluations per
+            // batch → 1); released once the verified set is
+            // checkpointed below
             val cross = storeBands.as("x").join(newBands.as("y"),
                 col("x.band") === col("y.band") &&
                   col("x.key") === col("y.key"))
               .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
                 greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
               .distinct()
-            val candIds = cross
-              .select(explode(array(col("a"), col("b"))).as("doc_id"))
-              .distinct()
-            val sets = newSigs.select(col("doc_id"), col("hs"), col("n_sh"))
-              .unionByName(
-                BucketedState.viewForKeys(spark, s"$storeDir/sigs",
-                  sigSchema, cfg.sigBuckets, Seq("doc_id"), candIds,
-                  beforeBatch = Some(batchId))
-                  .join(broadcast(keys), Seq("doc_id"), "left_anti"))
-            Dedup.jaccardVerify(cross, sets, cfg.threshold)
-              .unionByName(Dedup.minhashDedupPairsFromSets(
-                newSigs.select(col("doc_id"), col("hs"), col("n_sh")),
-                cfg.k, cfg.bands, cfg.threshold))
-              .distinct()
-              .frontier
+              .persist(mem)
+            try {
+              val candIds = cross
+                .select(explode(array(col("a"), col("b"))).as("doc_id"))
+                .distinct()
+              val sets = newSigs.select(col("doc_id"), col("hs"),
+                  col("n_sh"))
+                .unionByName(
+                  BucketedState.viewForKeys(spark, s"$storeDir/sigs",
+                    sigSchema, cfg.sigBuckets, Seq("doc_id"), candIds,
+                    beforeBatch = Some(batchId))
+                    .join(broadcast(keys), Seq("doc_id"), "left_anti"))
+              Dedup.jaccardVerify(cross, sets, cfg.threshold)
+                .unionByName(Dedup.minhashDedupPairsFromSets(
+                  newSigs.select(col("doc_id"), col("hs"), col("n_sh")),
+                  cfg.k, cfg.bands, cfg.threshold))
+                .distinct()
+                .frontier
+            } finally cross.unpersist(false)
           }
 
           // ---- pair index: retire EVERY stored pair touching a
@@ -316,14 +326,19 @@ object DedupIndex {
               col("a").as("other"), col("jaccard")))
             .select(col("id"), col("other"), col("jaccard"),
               lit(OpUpdate).as(OpCol), lit(batchId * 2 + 1).as(SeqCol))
-          // write-bucket universe of retire ∪ assert in ONE listing job
-          // over the id frames (keys ∪ stored counterparties ∪ new-pair
-          // endpoints), handed to the merge as its touchedHint — the
-          // merge then evaluates the big retire ∪ assert union exactly
-          // once (inside the staged write) instead of persisting it and
-          // running its own listing pass over it
+          // write-bucket universe of retire ∪ assert in ONE listing job,
+          // handed to the merge as its touchedHint — the merge then
+          // evaluates the big retire ∪ assert union exactly once
+          // (inside the staged write) instead of persisting it and
+          // running its own listing pass over it. The listing is EXACT
+          // (r16): retire rows carry exactly oldPairRows' endpoints and
+          // assert rows exactly newPairs' — the old `keys` branch was a
+          // superset that re-evaluated the collapsed chain AND hinted
+          // pairless keys' buckets into empty version rewrites every
+          // batch; both frames here are pinned/checkpointed already, so
+          // the listing reads caches only
           val pairBucketIds = BucketedState.touchedBuckets(
-            keys.select(col("doc_id").as("id"))
+            oldPairRows.select(col("id"))
               .unionByName(oldPairRows.select(col("other").as("id")))
               .unionByName(newPairs.select(col("a").as("id")))
               .unionByName(newPairs.select(col("b").as("id"))),
